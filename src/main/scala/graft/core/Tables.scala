@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the harness parquet tables (TESTDATA.md).
+  *
+  * All tables load directly except `events`, whose `ts` column is
+  * TIMESTAMP(NANOS) parquet — Spark has no nanosecond timestamp type, so we
+  * read nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) and
+  * expose both the exact nanos (`ts_ns`) and a microsecond-precision
+  * TimestampType `ts` (truncation, matching what DuckDB does when it reads
+  * the same file at its native microsecond precision).
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, sfDir)
+      case n        => spark.read.parquet(s"$sfDir/$n.parquet")
+    }
+
+  def region(spark: SparkSession, d: String): DataFrame     = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame     = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame   = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame   = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame       = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame     = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")
+  def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** events with `ts_ns: long` (exact) and `ts: timestamp` (us precision). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long path
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast(LongType)))
+      case _: TimestampType => // engine already truncated for us
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
+}

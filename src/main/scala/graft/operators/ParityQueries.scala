@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.core.{LazyFrame, Norm, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity operators (SURVEY.md §2): row-range / scattered-row
+  * extraction, which()-style index filters, the six comparison ops over
+  * int / double / string, projection, head/tail, and summary stats.
+  *
+  * Every query pins the same row order as its oracle:
+  * `row_number() OVER (ORDER BY l_orderkey, l_linenumber)` — the Spark side
+  * assigns ids scalably (range partition + zipWithIndex, LazyFrame.withRowId)
+  * but under the identical total order.
+  */
+object ParityQueries {
+
+  /** lineitem as a LazyFrame with its pinned row order. */
+  private def li(s: SparkSession, d: String): LazyFrame =
+    LazyFrame.parquet(s, s"$d/lineitem.parquet", Seq("l_orderkey", "l_linenumber"))
+
+  /** Shared projection: all lineitem columns, timestamp stringified. */
+  private def proj(df: DataFrame, withRowId: Boolean = true): DataFrame = {
+    val base = Seq(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"),
+      Norm.dateStr(col("l_shipdate")).as("ship_date"))
+    val cols = if (withRowId) base :+ col("row_id") else base
+    df.select(cols: _*)
+  }
+
+  private val lfCte =
+    """WITH lf AS (
+      |  SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS row_id
+      |  FROM lineitem
+      |)""".stripMargin
+
+  private val projSql =
+    """l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      | strftime(l_shipdate, '%Y-%m-%d') AS ship_date, row_id""".stripMargin
+
+  /** One comparison-filter query (Ops.lazy.frame: the six ops over the
+    * literal's type — `R/lazy.frame.R:182-204`, `src/lazy.frame.c:315-406`). */
+  private def cmp(pred: Column, sqlPred: String): Q = Q(
+    (s, d) => proj(li(s, d).filter(pred)).orderBy("row_id"),
+    s"$lfCte SELECT $projSql FROM lf WHERE $sqlPred ORDER BY row_id")
+
+  val scatteredIds: Seq[Long] = Seq(5L, 15L, 25L, 999L, 1000L, 4999L, 6000L, 999999999L)
+
+  val all: Map[String, Q] = Map(
+    // -- head / tail (R/lazy.frame.R:234-244) --
+    "lf_head" -> Q(
+      (s, d) => proj(li(s, d).head(10)).orderBy("row_id"),
+      s"$lfCte SELECT $projSql FROM lf WHERE row_id <= 10 ORDER BY row_id"),
+    "lf_tail" -> Q(
+      (s, d) => proj(li(s, d).tail(10)).orderBy("row_id"),
+      s"""$lfCte SELECT $projSql FROM lf
+         | WHERE row_id > (SELECT count(*) FROM lineitem) - 10 ORDER BY row_id""".stripMargin),
+
+    // -- contiguous range extraction (RANGE, src/lazy.frame.c:189-216) --
+    "lf_rows_range" -> Q(
+      (s, d) => proj(li(s, d).rowsRange(101, 200)).orderBy("row_id"),
+      s"$lfCte SELECT $projSql FROM lf WHERE row_id BETWEEN 101 AND 200 ORDER BY row_id"),
+
+    // -- scattered extraction (LINES, src/lazy.frame.c:219-245); the huge id
+    //    is silently dropped like out-of-range j (R/lazy.frame.R:146-147) --
+    "lf_rows_at" -> Q(
+      (s, d) => proj(li(s, d).rowsAt(scatteredIds)).orderBy("row_id"),
+      s"""$lfCte SELECT $projSql FROM lf
+         | WHERE row_id IN (${scatteredIds.mkString(",")}) ORDER BY row_id""".stripMargin),
+
+    // -- which(): indices only (Ops.lazy.frame → WHICH kernel) --
+    "lf_which_gt" -> Q(
+      (s, d) => li(s, d).which(col("l_quantity") > 30.0),
+      s"$lfCte SELECT row_id FROM lf WHERE l_quantity > 30.0 ORDER BY row_id"),
+
+    // -- the six comparison ops, typed literals (man/lazy.frame.Rd:55-59) --
+    "lf_filter_eq_str" -> cmp(col("l_returnflag") === "R", "l_returnflag = 'R'"),
+    "lf_filter_ne_str" -> cmp(col("l_linestatus") =!= "F", "l_linestatus <> 'F'"),
+    "lf_filter_gt_dbl" -> cmp(col("l_extendedprice") > 90000.0, "l_extendedprice > 90000.0"),
+    "lf_filter_ge_dbl" -> cmp(col("l_quantity") >= 49.0, "l_quantity >= 49.0"),
+    "lf_filter_lt_int" -> cmp(col("l_linenumber") < 2, "l_linenumber < 2"),
+    "lf_filter_le_int" -> cmp(col("l_suppkey") <= 3L, "l_suppkey <= 3"),
+
+    // -- flagship: filter + extract fused (vignette :272-281) --
+    "lf_filter_extract" -> Q(
+      (s, d) => proj(li(s, d).filter(col("l_quantity") >= 49.0 && col("l_returnflag") === "A"))
+        .orderBy("row_id"),
+      s"""$lfCte SELECT $projSql FROM lf
+         | WHERE l_quantity >= 49.0 AND l_returnflag = 'A' ORDER BY row_id""".stripMargin),
+
+    // -- projection pushdown (reference projects post-parse; we prune at scan) --
+    "lf_select" -> Q(
+      (s, d) => li(s, d).select(Seq("l_orderkey", "l_linenumber", "l_quantity", "nope"))
+        .rowsRange(1, 100).orderBy("row_id"),
+      s"""$lfCte SELECT l_orderkey, l_linenumber, l_quantity, row_id FROM lf
+         | WHERE row_id <= 100 ORDER BY row_id""".stripMargin),
+
+    // -- dim/nrow/ncol (O(1) after cached count, R/lazy.frame.R:206-209) --
+    "lf_dim" -> Q(
+      (s, d) => {
+        val f = li(s, d)
+        val (r, c) = f.dim
+        s.range(1).select(lit(r).as("nrow"), lit(c.toLong).as("ncol"))
+      },
+      "SELECT count(*) AS nrow, CAST(11 AS BIGINT) AS ncol FROM lineitem"),
+
+    // -- summary (stub in reference R/lazy.frame.R:115-119; real here) --
+    "lf_stats" -> Q(
+      (s, d) => li(s, d).df.agg(
+        count(lit(1)).as("n"),
+        Norm.dsum(col("l_quantity")).as("sum_qty"),
+        Norm.davg(col("l_quantity")).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        Norm.dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price")),
+      """SELECT count(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        | FROM lineitem""".stripMargin)
+  )
+
+  /** The driver's smoke entry: the reference flagship (filtered extraction). */
+  def flagship(s: SparkSession, d: String): DataFrame =
+    proj(li(s, d).filter(col("l_quantity") > 30.0)).orderBy("row_id")
+}

@@ -1,0 +1,374 @@
+package graft.operators
+
+import graft.core.{Norm, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational extension surface (SURVEY.md §7.2 step 3): the reference has
+  * none of these (§2.4) — they are capability extensions expressed purely on
+  * stock Catalyst operators, designed for a 1000-executor cluster:
+  *
+  *   - dimension joins are explicitly `broadcast()` (region/nation/customer/
+  *     part are tiny relative to the fact tables at any scale factor);
+  *   - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once and
+  *     let AQE pick shuffle-hash vs sort-merge and re-split skew;
+  *   - aggregations are partial (map-side combine) by construction;
+  *   - window functions partition on high-cardinality keys (suppkey,
+  *     custkey), never a global single-partition window.
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Exact revenue: both factors cast to decimal BEFORE multiplying — a
+    * double product rounded to decimal differs between engines in the last
+    * cent; decimal×decimal is exact and engine-independent. */
+  private def revenueCol = sum(col("l_extendedprice").cast(dec) *
+    (lit(1).cast(dec) - col("l_discount").cast(dec))).cast("double")
+  private val revenue =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  val all: Map[String, Q] = Map(
+
+    // -- TPC-H Q1-shaped aggregation: partial agg + single shuffle on 4 keys --
+    "q1_agg" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Norm.dsum(col("l_quantity")).as("sum_qty"),
+          Norm.dsum(col("l_extendedprice")).as("sum_base_price"),
+          revenueCol.as("sum_disc_price"),
+          Norm.davg(col("l_quantity")).as("avg_qty"),
+          Norm.davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         | $revenue AS sum_disc_price,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+         | count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // -- star join: fact ⋈ fact shuffle once, all dims broadcast --
+    "q_join_star" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            revenueCol.as("revenue"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy("r_name", "n_name")
+      },
+      s"""SELECT r_name, n_name, $revenue AS revenue,
+         | count(DISTINCT l_orderkey) AS n_orders
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+
+    // -- broadcast dim join: lineitem ⋈ part by brand --
+    "q_join_part" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(Norm.dsum(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n"))
+          .orderBy("p_brand")
+      },
+      """SELECT p_brand,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // -- semi / anti joins (EXISTS / NOT EXISTS) --
+    "q_join_semi" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+    "q_join_anti" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // -- outer join with null-extension --
+    "q_join_left" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            coalesce(Norm.dsum(col("o_totalprice")), lit(0.0)).as("total"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
+    // -- top-k: global sort + limit (Spark TakeOrderedAndProject) --
+    "q_topk" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM
+        | (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // -- window: rank within partition (deterministic tiebreak) --
+    "q_window_rank" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+
+    // -- window: running sum with an explicit frame --
+    "q_window_running" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, d)
+          .where(col("l_suppkey") <= 2)
+          .withColumn("running_qty", sum(col("l_quantity").cast(dec)).over(w).cast("double"))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 2
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+
+    // -- window: lag/lead --
+    "q_window_lag" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+          .where(col("o_custkey") <= 20)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_key")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey, o_totalprice, prev_price, next_key FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
+        | FROM orders)
+        |WHERE o_custkey <= 20 ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // -- distinct --
+    "q_distinct" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // -- set operations: union / intersect / except --
+    "q_setops" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val a = c.where(col("c_acctbal") > 1000.0).select(col("c_custkey").as("k"))
+        val b = c.where(col("c_nationkey") < 10).select(col("c_custkey").as("k"))
+        val withOrders = o.select(col("o_custkey").as("k"))
+        val big = o.where(col("o_totalprice") > 200000.0).select(col("o_custkey").as("k"))
+        a.union(b).distinct()
+          .intersect(withOrders)
+          .except(big)
+          .orderBy("k")
+      },
+      """(SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000.0
+        | UNION
+        | SELECT c_custkey AS k FROM customer WHERE c_nationkey < 10)
+        |INTERSECT SELECT o_custkey AS k FROM orders
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000.0
+        |ORDER BY k""".stripMargin),
+
+    // -- rollup / cube (nulls ordered first to match Spark's asc ordering) --
+    "q_rollup" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Norm.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    "q_cube" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // -- exact distinct count (the approx variant is bench/rows-only) --
+    "q_count_distinct" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // -- HLL sketch: no exact SQL oracle (driver records rows-only) --
+    "q_approx_distinct" -> Q.noOracle(
+      (s, d) => Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+
+    // -- scalar string functions --
+    "q_scalar_string" -> Q(
+      (s, d) => Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          length(col("p_name")).cast("long").as("len"),
+          substring(col("p_name"), 1, 5).as("pre"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+          regexp_replace(col("p_name"), " ", "_").as("und"),
+          lpad(col("p_brand"), 12, "*").as("pad"),
+          trim(col("p_name")).as("tr"))
+        .orderBy("p_partkey"),
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        | CAST(length(p_name) AS BIGINT) AS len, substring(p_name, 1, 5) AS pre,
+        | concat_ws('|', p_brand, p_type) AS cat,
+        | replace(p_name, ' ', '_') AS und,
+        | lpad(p_brand, 12, '*') AS pad, trim(p_name) AS tr
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // -- scalar date/time functions --
+    "q_scalar_date" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          Norm.dateStr(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          Norm.dateStr(date_add(col("o_orderdate").cast("date"), 30)).as("plus30"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(month(o_orderdate) AS INTEGER) AS m,
+        | CAST(day(o_orderdate) AS INTEGER) AS dom,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // -- scalar math functions (transcendentals rounded: libm vs JVM ulps) --
+    "q_scalar_math" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_orderkey") <= 200)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("ab"),
+          round(col("l_extendedprice"), 0).as("rnd"),
+          floor(col("l_quantity") / 7.0).as("fl"),
+          ceil(col("l_quantity") / 7.0).as("ce"),
+          round(sqrt(col("l_extendedprice")), 6).as("sq"),
+          round(log(col("l_extendedprice")), 6).as("ln"),
+          round(pow(col("l_quantity"), 2), 2).as("p2"),
+          (col("l_partkey") % 7).as("md"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_discount - 0.05) AS ab,
+        | round(l_extendedprice, 0) AS rnd,
+        | CAST(floor(l_quantity / 7.0) AS BIGINT) AS fl,
+        | CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ce,
+        | round(sqrt(l_extendedprice), 6) AS sq,
+        | round(ln(l_extendedprice), 6) AS ln,
+        | round(pow(l_quantity, 2), 2) AS p2,
+        | l_partkey % 7 AS md
+        |FROM lineitem WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // -- conditional expressions --
+    "q_case_expr" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("bucket",
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 35, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), Norm.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("bucket"),
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |            WHEN l_quantity < 35 THEN 'mid' ELSE 'high' END AS bucket,
+        | count(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // -- timestamp-range filter + monthly aggregation --
+    "q_monthly_rev" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(month(col("o_orderdate")).as("m"))
+        .agg(Norm.dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+        .orderBy("m"),
+      """SELECT CAST(month(o_orderdate) AS INTEGER) AS m,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        | count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY m""".stripMargin)
+  )
+}
