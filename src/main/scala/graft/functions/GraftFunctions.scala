@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Registers the graft kernels as native Catalyst expressions.
+  *
+  * Each function is a `StaticInvoke` of a method in [[TextHashes]]: Catalyst
+  * generates a direct static call inside whole-stage codegen — the preferred
+  * extension point after built-ins, well ahead of Scala UDFs (which
+  * round-trip through external row formats).
+  *
+  * Registered in the session's FunctionRegistry so both the Column API
+  * (via `call_function`) and `spark.sql` can use them.
+  */
+object GraftFunctions {
+
+  private def invoke(
+      out: DataType,
+      method: String,
+      args: Seq[Expression],
+      in: Seq[DataType]): Expression =
+    StaticInvoke(
+      TextHashes.getClass,
+      out,
+      method,
+      args,
+      inputTypes = in,
+      propagateNull = true,
+      returnNullable = false)
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash",
+      (e: Seq[Expression]) => invoke(ArrayType(LongType, containsNull = false), "minhash", e,
+        Seq(ArrayType(StringType), IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      (e: Seq[Expression]) => invoke(LongType, "simhash", e,
+        Seq(ArrayType(StringType))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      (e: Seq[Expression]) => invoke(ArrayType(LongType, containsNull = false), "winnow", e,
+        Seq(ArrayType(StringType), IntegerType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      (e: Seq[Expression]) => invoke(DoubleType, "cosineF", e,
+        Seq(ArrayType(FloatType), ArrayType(FloatType))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hyperplane_bucket",
+      (e: Seq[Expression]) => invoke(IntegerType, "hyperplaneBucket", e,
+        Seq(ArrayType(FloatType), IntegerType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      (e: Seq[Expression]) => invoke(DoubleType, "dotF", e,
+        Seq(ArrayType(FloatType), ArrayType(FloatType))), "scala_udf")
+  }
+
+  // Column-API wrappers (register(spark) must have been called in the session)
+  def minhashSig(c: Column, numHashes: Int): Column =
+    call_function("graft_minhash", c, lit(numHashes))
+  def simhash64(c: Column): Column = call_function("graft_simhash", c)
+  def winnowFp(c: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow", c, lit(k), lit(w))
+  def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def dotProd(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Lowercase alphanumeric word tokens (both engines: split on
+    * `[^a-z0-9]+`, drop empties). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), x => x =!= "")
+
+  /** k-word shingles joined with spaces; empty array if fewer than k
+    * tokens. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora (north-star extension —
+  * the reference has no dedup surface at all, SURVEY.md §2.4).
+  *
+  * Scale design (100 TB):
+  *   - Exact dedup is one hash-shuffle on the dedup key (map-side partial
+  *     aggregation first); dedup on a digest (`md5(text)`) keeps shuffle
+  *     rows narrow instead of shuffling full documents.
+  *   - N-gram Jaccard uses an inverted-index self-join on shingles: only
+  *     documents sharing a shingle ever meet, so there is no O(n²)
+  *     cross join. Skew (ultra-common shingles) is the known hazard; the
+  *     mitigation at scale is document-frequency prefix filtering (drop
+  *     shingles with df > cutoff — they cannot be discriminative) plus AQE
+  *     skew-join splitting. Kept exact here because the correctness oracle
+  *     is exact Jaccard.
+  *   - MinHash+LSH replaces the full inverted index with `bands` bucket
+  *     joins over 8-byte band hashes: shuffle volume is O(n * bands), and
+  *     only bucket-colliding candidates are verified exactly. With 128
+  *     hashes in 32 bands of 4, recall at J ≥ 0.9 is 1-(1-0.9⁴)³² ≈ 1-3e-15
+  *     — the verified output equals the exact answer with overwhelming
+  *     probability, which is why it shares the exact oracle.
+  *   - SimHash reduces each document to 8 bytes; candidates share one of
+  *     four 16-bit blocks (pigeonhole: Hamming ≤ 3 ⇒ some block equal),
+  *     then exact Hamming verification via `bit_count(a ^ b)`.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical value of `keyCols`. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol))
+
+  /** doc_id + distinct k-shingle rows (the inverted index). */
+  private[operators] def shingleIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), explode(shingles(col("t"), k)).as("s"))
+      .distinct()
+
+  /** Exact pairwise n-gram Jaccard ≥ tau via inverted-index join.
+    * Output: (da, db, jac) with da < db. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tau: Double): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, k)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") / (col("ca.n") + col("cb.n") - col("inter"))).as("jac"))
+      .where(col("jac") >= tau)
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified: shingle → 128-hash MinHash
+    * signature → 32 band buckets → bucket-join candidates → exact Jaccard
+    * filter. Output: (da, db, jac), same contract as [[ngramJaccardPairs]].
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tau: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val rows = numHashes / bands
+    val sh = shingleIndex(docs, idCol, textCol, k)
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list(col("s")).as("ss"), count(lit(1)).as("n"))
+
+    val sig = sets.select(col("doc_id"), minhashSig(col("ss"), numHashes).as("sig"))
+    val bandTbl = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + lit(1), lit(rows))))))
+      .toDF("doc_id", "band", "bh")
+    val cand = bandTbl.as("a")
+      .join(bandTbl.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+
+    cand
+      .join(sets.select(col("doc_id"), col("ss").as("ssa"), col("n").as("na")), col("da") === col("doc_id")).drop("doc_id")
+      .join(sets.select(col("doc_id"), col("ss").as("ssb"), col("n").as("nb")), col("db") === col("doc_id")).drop("doc_id")
+      .select(col("da"), col("db"),
+        (size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+          (col("na") + col("nb") - size(array_intersect(col("ssa"), col("ssb"))))).as("jac"))
+      .where(col("jac") >= tau)
+  }
+
+  /** SimHash near-dup candidate pairs with exact Hamming verification.
+    * Hamming ≤ maxHamming requires maxHamming+1 blocks for the pigeonhole
+    * guarantee; we use 4 16-bit blocks (exact for maxHamming ≤ 3).
+    * Output: (da, db, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block LSH is exact only for Hamming <= 3")
+    GraftFunctions.register(docs.sparkSession)
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      simhash64(tokens(col(textCol))).as("sh"))
+    val blocks = sigs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 to 3).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "sh", "blk", "bv")
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: exact cosine ≥ tau. Brute-force baseline
+    * (broadcast-nested-loop at test scale); the scale path is
+    * [[Similarity.lshCosinePairs]] — random-hyperplane bucketing. */
+  def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cosineSim(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") >= tau)
+  }
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import graft.operators.{TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators as registered queries
+  * (SURVEY.md §7.2 step 4): dedup (exact / n-gram Jaccard / MinHash+LSH /
+  * SimHash / embedding-cosine), similarity search (brute / IVF / LSH),
+  * text analysis (lang-id / quality / tokens / fingerprints), multimodal
+  * plumbing. */
+object PipelineQueries {
+
+  /** DuckDB manual double-precision cosine — same accumulation order as
+    * TextHashes.cosineF, so values are bit-identical. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*x)))
+       |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*x)))))""".stripMargin
+
+  /** Shared exact-Jaccard oracle (k=3 word shingles, tau): the oracle for
+    * BOTH the inverted-index exact query and the MinHash+LSH query — LSH
+    * recall at the planted-duplicate similarity level (J ≥ 0.9) is
+    * 1-(1-0.9⁴)³² ≈ 1-3e-15, so the verified LSH output equals the exact
+    * answer. */
+  private def jaccardSql(tau: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+       |           i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.da, p.db, CAST(p.inter AS DOUBLE)/(ca.n + cb.n - p.inter) AS jac
+       |FROM pairs p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id
+       |WHERE CAST(p.inter AS DOUBLE)/(ca.n + cb.n - p.inter) >= $tau
+       |ORDER BY da, db""".stripMargin
+
+  private val tokSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private def hitsSql(toks: String, words: Seq[String]): String =
+    s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val all: Map[String, Q] = Map(
+
+    // ---- deduplication ----
+    "q_dedup_exact" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).withColumn("h", md5(col("text").cast("binary")))
+        Dedup.exact(docs, "doc_id", Seq("h")).orderBy("h")
+      },
+      "SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1 ORDER BY h"),
+
+    "q_dedup_keyed" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .orderBy("lang", "source"),
+      """SELECT lang, source, min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin),
+
+    "q_dedup_ngram" -> Q(
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+        .orderBy("da", "db"),
+      jaccardSql(0.8)),
+
+    "q_dedup_minhash" -> Q(
+      (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+        .orderBy("da", "db"),
+      jaccardSql(0.8)),
+
+    "q_dedup_simhash" -> Q.noOracle(
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("da", "db")),
+
+    "q_dedup_embed" -> Q(
+      (s, d) => Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("va", "vb"),
+      s"""SELECT va, vb, cos FROM (
+         | SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.4 ORDER BY va, vb""".stripMargin),
+
+    // ---- similarity search ----
+    "q_ann_topk" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.bruteTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .orderBy("qid", "vid")
+      },
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |s AS (SELECT q.qid, e.vec_id AS vid, ${cosSql("q.qe", "e.embedding")} AS cos
+         |      FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+         |SELECT qid, vid, cos FROM (
+         |  SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+         |  FROM s)
+         |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
+
+    "q_ann_ivf" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", "label", 5)
+          .orderBy("qid", "vid")
+      },
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql FROM embeddings WHERE vec_id < 10),
+         |s AS (SELECT q.qid, e.vec_id AS vid, ${cosSql("q.qe", "e.embedding")} AS cos
+         |      FROM q JOIN embeddings e ON e.vec_id <> q.qid AND e.label = q.ql)
+         |SELECT qid, vid, cos FROM (
+         |  SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+         |  FROM s)
+         |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
+
+    "q_ann_lsh" -> Q.noOracle(
+      (s, d) => Similarity.lshCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("va", "vb")),
+
+    // ---- text analysis ----
+    "q_lang_id" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("predicted", TA.langId(col("text")))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted"),
+      s"""WITH t AS (SELECT lang, $tokSql AS toks, text FROM documents),
+         |p AS (SELECT lang,
+         |  CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
+         |       WHEN ${hitsSql("toks", TA.langMarkers("en"))} = 0
+         |        AND ${hitsSql("toks", TA.langMarkers("de"))} = 0
+         |        AND ${hitsSql("toks", TA.langMarkers("fr"))} = 0
+         |        AND ${hitsSql("toks", TA.langMarkers("es"))} = 0 THEN 'und'
+         |       WHEN ${hitsSql("toks", TA.langMarkers("en"))} >= ${hitsSql("toks", TA.langMarkers("de"))}
+         |        AND ${hitsSql("toks", TA.langMarkers("en"))} >= ${hitsSql("toks", TA.langMarkers("fr"))}
+         |        AND ${hitsSql("toks", TA.langMarkers("en"))} >= ${hitsSql("toks", TA.langMarkers("es"))} THEN 'en'
+         |       WHEN ${hitsSql("toks", TA.langMarkers("de"))} >= ${hitsSql("toks", TA.langMarkers("fr"))}
+         |        AND ${hitsSql("toks", TA.langMarkers("de"))} >= ${hitsSql("toks", TA.langMarkers("es"))} THEN 'de'
+         |       WHEN ${hitsSql("toks", TA.langMarkers("fr"))} >= ${hitsSql("toks", TA.langMarkers("es"))} THEN 'fr'
+         |       ELSE 'es' END AS predicted
+         | FROM t)
+         |SELECT lang, predicted, count(*) AS n FROM p
+         |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin),
+
+    "q_text_quality" -> Q(
+      (s, d) => TA.qualityFeatures(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id"),
+      s"""WITH t AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+         |  CAST(${hitsSql("toks", TA.langMarkers("en"))} AS BIGINT) AS n_stopwords
+         | FROM t)
+         |SELECT doc_id, n_chars, n_words, n_punct, n_stopwords,
+         |  CASE WHEN n_words > 0 THEN CAST(n_chars - n_words + 1 AS DOUBLE)/n_words ELSE 0.0 END AS avg_word_len,
+         |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN n_words > 0 THEN CAST(n_stopwords AS DOUBLE)/n_words ELSE 0.0 END AS stopword_ratio,
+         |  round(least(n_words/100.0, 1.0) * 0.5
+         |    + CASE WHEN n_words > 0 THEN least(n_stopwords*10.0/n_words, 1.0) ELSE 0.0 END * 0.3
+         |    + (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 0.2,
+         |    6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin),
+
+    "q_token_count" -> Q(
+      (s, d) => TA.tokenCounts(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id"),
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_fingerprint" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TA.contentFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_winnow_fp" -> Q.noOracle(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            winnowFp(tokens(col("text")), 4, 5).as("fps"))
+          .select(col("doc_id"), size(col("fps")).as("n_fps"),
+            element_at(col("fps"), 1).as("first_fp"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- multimodal plumbing ----
+    "q_mm_meta" -> Q(
+      (s, d) => Multimodal.withBlob(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("media_meta.mime").as("mime"),
+          col("media_meta.n_bytes").as("n_bytes"), col("media_meta.digest").as("digest"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, 'text/plain' AS mime,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_mm_features" -> Q.noOracle(
+      (s, d) => Multimodal.extractFeatures(
+        Multimodal.withBlob(Tables.documents(s, d), "text"), "doc_id", "payload")
+        .orderBy("doc_id"))
+  )
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — north-star extension surface.
+  *
+  * Three tiers, trading recall for scale:
+  *   1. [[bruteTopK]] — exact: every query scores every vector. Fine when
+  *      the query set is small (broadcast) and the corpus fits a scan;
+  *      O(|Q|·n·d) work but perfectly parallel, no shuffle beyond the
+  *      final top-k (window over qid partitions).
+  *   2. [[ivfTopK]] — IVF-style: vectors are pre-assigned to coarse cells
+  *      (here the `label` column stands in for a k-means coarse quantizer,
+  *      which is how a real IVF index is built offline); each query probes
+  *      only its own cell. Work drops by the cell count; recall depends on
+  *      the quantizer.
+  *   3. [[lshCosinePairs]] — random-hyperplane LSH for all-pairs search:
+  *      sign-pattern buckets via deterministic hyperplanes, exact cosine
+  *      verification within buckets. Candidate volume is O(n·tables),
+  *      never O(n²).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val scored = e.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosineSim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "vid", "cos")
+  }
+
+  /** IVF top-k: probe only the query's coarse cell (`cellCol`). */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"), col(cellCol).as("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), col(cellCol).as("qcell"))
+    val scored = e.join(broadcast(q), col("cell") === col("qcell") && col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosineSim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "vid", "cos")
+  }
+
+  /** All-pairs cosine ≥ tau via random-hyperplane LSH: `tables` hash
+    * tables of `bits` sign-bits each (hyperplanes derived deterministically
+    * from xxhash64 of (table, bit, dim) — no RNG state, reproducible across
+    * runs/executors); exact cosine verification on bucket collisions.
+    *
+    * Recall for a pair at angle θ: 1-(1-(1-θ/π)^bits)^tables. Not exact —
+    * callers wanting the exact answer at test scale use
+    * [[Dedup.embeddingCosinePairs]].
+    */
+  def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, bits: Int = 12, tables: Int = 8): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // sign-bit bucket per (table): bit j = sign(dot(v, plane(t, j)))
+    // planes are pseudo-random ±1 vectors from xxhash64((t*bits+j)*dim+i)
+    val bucketed = e.select(col("vec_id"), col("v"),
+      posexplode(transform(sequence(lit(0), lit(tables - 1)),
+        t => call_function("graft_hyperplane_bucket", col("v"), t, lit(bits)))))
+      .toDF("vec_id", "v", "tbl", "bucket")
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.v").as("va_v"), col("b.v").as("vb_v"))
+      .distinct()
+      .select(col("va"), col("vb"), cosineSim(col("va_v"), col("vb_v")).as("cos"))
+      .where(col("cos") >= tau)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (north-star
+  * extension): language ID, quality scoring, token counting, document
+  * fingerprinting. All are single-pass, per-row, codegen'd expressions — no
+  * shuffle at all until an aggregation is requested, so they scale linearly
+  * with the corpus. */
+object TextAnalysis {
+
+  /** Tiny per-language stopword evidence lists for the n-gram heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "a", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  private def markerHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => langMarkers(lang).map(m => t === m).reduce(_ || _)))
+
+  /** Language-ID heuristic: CJK codepoints ⇒ zh; else the language with the
+    * most stopword-evidence tokens (strict-majority precedence en > de >
+    * fr > es); no evidence ⇒ "und" (undetermined). Deterministic and
+    * SQL-expressible — the oracle mirrors the same decision tree. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = markerHits(toks, "en"); val de = markerHits(toks, "de")
+    val fr = markerHits(toks, "fr"); val es = markerHits(toks, "es")
+    when(text.rlike("[\\x{4E00}-\\x{9FFF}]"), "zh")
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Quality features + a deterministic composite score in [0,1]. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("long")
+    val nWords = size(toks).cast("long")
+    val punct = regexp_count(t, lit("[^a-zA-Z0-9 ]")).cast("long")
+    val stop = markerHits(toks, "en").cast("long")
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      punct.as("n_punct"),
+      stop.as("n_stopwords"),
+      // mean word length: exact int arithmetic then one double divide
+      when(nWords > 0, (nChars - nWords + 1).cast("double") / nWords)
+        .otherwise(0.0).as("avg_word_len"),
+      when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0).as("punct_ratio"),
+      when(nWords > 0, stop.cast("double") / nWords).otherwise(0.0).as("stopword_ratio"),
+      // composite: length credit + stopword credit - punctuation penalty
+      round(
+        least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5 +
+          when(nWords > 0, least(stop.cast("double") / nWords * 10.0, lit(1.0)))
+            .otherwise(0.0) * 0.3 +
+          (lit(1.0) - when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0)) * 0.2,
+        6).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish subword regex count
+    * (runs of letters / digits / single punctuation — the classic
+    * pre-tokenizer shape). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(filter(split(t, " +"), x => x =!= "")).cast("long").as("ws_tokens"),
+      regexp_count(t, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long").as("bpe_tokens"),
+      length(t).cast("long").as("n_chars"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lowercase, collapsed
+    * whitespace) — the exact-dedup key. The edit-robust winnowing
+    * fingerprint is `GraftFunctions.winnowFp`. */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}
