@@ -40,10 +40,11 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
-      case LongType => // nanos-as-long path
+      case LongType => // nanos-as-long path; integer div — double division
+        // loses precision at 1e18 nanos
         raw
           .withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast(LongType)))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case _: TimestampType => // engine already truncated for us
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case other =>

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.core.Tables
+import graft.operators.Q
+import org.apache.spark.sql.functions._
+
+/** Streaming queries with batch oracles. The tumbling/sliding queries run
+  * as REAL streaming queries (file source → watermark → windowed agg →
+  * memory sink); complete output mode over the finite input makes the
+  * final table equal the batch answer, which DuckDB recomputes with
+  * time_bucket SQL. Session windows run the same `session_window` operator
+  * in batch mode here (deterministic), and as a stream in the spec. */
+object StreamingQueries {
+
+  val all: Map[String, Q] = Map(
+
+    "q_stream_tumbling" -> Q(
+      (s, d) => {
+        val out = EventStreams.runToBatch(s,
+          EventStreams.tumbling(EventStreams.readStream(s, d), "1 day"),
+          s"tumbling_${System.nanoTime()}")
+        out.orderBy("win_start_us", "event_type")
+      },
+      """SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS win_start_us,
+        | event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin),
+
+    "q_stream_sliding" -> Q(
+      (s, d) => {
+        val out = EventStreams.runToBatch(s,
+          EventStreams.sliding(EventStreams.readStream(s, d), "1 day", "12 hours"),
+          s"sliding_${System.nanoTime()}")
+        out.orderBy("win_start_us", "event_type")
+      },
+      """WITH slid AS (
+        |  SELECT time_bucket(INTERVAL 12 HOUR, ts) - k.k * INTERVAL 12 HOUR AS win_start,
+        |         event_type
+        |  FROM events CROSS JOIN (VALUES (0), (1)) AS k(k))
+        |SELECT epoch_us(win_start) AS win_start_us, event_type, count(*) AS n
+        |FROM slid GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin),
+
+    "q_stream_session" -> Q(
+      (s, d) => EventStreams.sessions(Tables.events(s, d), "6 hours")
+        .orderBy("user_id", "session_start_us"),
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 6 HOUR
+        |                     THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT epoch_us(min(ts)) AS session_start_us, user_id, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)
+  )
+}
