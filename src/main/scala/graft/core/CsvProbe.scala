@@ -61,7 +61,7 @@ object CsvProbe {
   /** Minimal quote-aware split (the reference's filter path dequotes crudely
     * too — `strip_nl_and_dequote`, `src/lazy.frame.c:465-497`; full quoting
     * is handled by the real CSV parser at scan time). */
-  private[core] def splitLine(line: String, sep: String): Seq[String] = {
+  private[graft] def splitLine(line: String, sep: String): Seq[String] = {
     val s = sep.head
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -80,7 +80,7 @@ object CsvProbe {
     if (t.length >= 2 && t.head == '"' && t.last == '"') t.substring(1, t.length - 1) else t
   }
 
-  private[core] def inferType(raw: String): DataType = {
+  private[graft] def inferType(raw: String): DataType = {
     val s = stripQuotes(raw)
     if (s.isEmpty || s == "NA") NullType
     else if (s.matches("[+-]?\\d+")) LongType
@@ -88,7 +88,7 @@ object CsvProbe {
     else StringType
   }
 
-  private[core] def mergeTypes(ts: Seq[DataType]): DataType =
+  private[graft] def mergeTypes(ts: Seq[DataType]): DataType =
     ts.foldLeft(NullType: DataType) {
       case (NullType, t) => t
       case (t, NullType) => t

@@ -201,14 +201,28 @@ object LazyFrame {
     val finalSchema = schema.getOrElse(
       if (hasHeader) probe.schemaWithHeaderNames else probe.schemaGenericNames)
 
-    var reader = spark.read
-      .option("sep", sep)
-      .option("header", hasHeader.toString)
-      .option("mode", "PERMISSIVE") // malformed fields → null → never match filters,
-                                    // like cheap_strtod → NAN (src/lazy.frame.c:413-462)
-      .schema(finalSchema)
-    if (skip > 0) reader = reader.option("skipRows", skip)
-    val df = reader.csv(path)
+    // malformed fields → null → never match filters, like cheap_strtod →
+    // NAN (src/lazy.frame.c:413-462): PERMISSIVE mode (the default)
+    val df =
+      if (skip == 0) {
+        spark.read
+          .option("sep", sep)
+          .option("header", hasHeader.toString)
+          .option("mode", "PERMISSIVE")
+          .schema(finalSchema)
+          .csv(path)
+      } else {
+        // Spark CSV has no skip-N-lines option: emulate the reference's
+        // `internalskip` (R/lazy.frame.R:62-65) by dropping the first
+        // skip(+header) physical lines of the text, then parsing.
+        val raw = spark.read.text(path)
+        val dropN = skip + (if (hasHeader) 1 else 0)
+        val rdd = raw.rdd.zipWithIndex()
+          .filter(_._2 >= dropN).map(_._1)
+        spark.createDataFrame(rdd, raw.schema)
+          .select(from_csv(col("value"), finalSchema, Map("sep" -> sep)).as("r"))
+          .select("r.*")
+      }
     val order = if (rowOrder.nonEmpty) rowOrder else finalSchema.fieldNames.toSeq
     new LazyFrame(df, order, Map.empty)
   }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Operator-level dedup/similarity behavior on the harness tables and on
+  * constructed corpora with planted duplicates. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0).cache()
+
+  test("exact dedup keeps lowest id per key") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", Seq("text")).orderBy("text")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 1L), ("b", 3L), ("c", 5L)))
+  }
+
+  test("minhash+LSH pairs == exact inverted-index jaccard pairs (tau=0.8)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-duplicates")
+    assert(lsh == exact)
+  }
+
+  test("simhash finds planted exact and near-identical documents") {
+    // exact copies → Hamming 0, must always pair with their source
+    val copies = docs.limit(5)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val corpus = docs.select("doc_id", "text").union(copies)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.limit(5).select("doc_id").collect()
+      .map(_.getLong(0)).map(id => (id, id + 100000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing: ${expected.diff(pairs)}")
+    // a single-token append on a long document stays within small Hamming
+    // distance (not necessarily ≤3 — sketch noise grows as tokens shrink)
+    val h = Dedup.simhashPairs(corpus, "doc_id", "text", 3)
+    assert(h.columns.toSeq == Seq("da", "db", "hamming"))
+  }
+
+  test("embedding cosine pairs: symmetric-free (da<db), threshold respected") {
+    val emb = Tables.embeddings(spark, sf0)
+    val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.4).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.4))
+  }
+
+  test("LSH cosine pairs are a (probabilistic) subset of exact pairs at the same tau") {
+    val emb = Tables.embeddings(spark, sf0)
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("brute top-k: k rows per query, scores descending within query") {
+    val emb = Tables.embeddings(spark, sf0)
+    val out = Similarity.bruteTopK(emb, emb.where(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .orderBy("qid", "vid").collect()
+    assert(out.length == 15)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length == 5))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.core.{CsvProbe, LazyFrame}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parity semantics ported from the reference's executable documentation
+  * (SURVEY.md §5.1): header autodetection, separators, gzip, skip, typed
+  * comparison filters with malformed→no-match, row addressing, metadata. */
+class LazyFrameSpec extends SparkSpec {
+
+  private def writeCsv(lines: Seq[String], suffix: String = ".csv"): String = {
+    val f = Files.createTempFile("lfspec", suffix)
+    Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  // iris-shaped fixture (the Rd example's filter cardinalities, scaled down)
+  private val irisish = Seq(
+    "sl,sw,pl,pw,species",
+    "5.1,3.5,1.4,0.2,setosa",
+    "4.4,2.9,1.4,0.2,setosa", // row 2: sl < 4.5
+    "4.9,3.1,1.5,0.1,setosa",
+    "4.3,3.0,1.1,0.1,setosa", // row 4: sl < 4.5
+    "7.0,3.2,4.7,1.4,versicolor",
+    "6.4,3.2,4.5,1.5,versicolor",
+    "5.9,3.0,5.1,1.8,virginica")
+
+  test("csv open: header autodetected, schema probed from 5 rows") {
+    val lf = LazyFrame.csv(spark, writeCsv(irisish))
+    assert(lf.columns == Seq("sl", "sw", "pl", "pw", "species"))
+    assert(lf.df.schema("sl").dataType == DoubleType)
+    assert(lf.df.schema("species").dataType == StringType)
+    assert(lf.dim == (7L, 5))
+  }
+
+  test("csv open: headerless file gets V1..Vn names (like read.table)") {
+    val lf = LazyFrame.csv(spark, writeCsv(irisish.tail))
+    assert(lf.columns == Seq("V1", "V2", "V3", "V4", "V5"))
+    assert(lf.nrow == 7L)
+  }
+
+  test("csv open: non-comma separator and skip") {
+    val lines = Seq("# a comment", "x|y", "1|foo", "2|bar")
+    val lf = LazyFrame.csv(spark, writeCsv(lines), sep = "|", skip = 1)
+    assert(lf.columns == Seq("x", "y"))
+    assert(lf.df.schema("x").dataType == LongType)
+    assert(lf.nrow == 2L)
+  }
+
+  test("csv open: gzip input read transparently (reference zlib vtable)") {
+    val f = Files.createTempFile("lfspec", ".csv.gz")
+    val out = new GZIPOutputStream(Files.newOutputStream(f))
+    out.write(irisish.mkString("\n").getBytes("UTF-8")); out.close()
+    val lf = LazyFrame.csv(spark, f.toString)
+    assert(lf.dim == (7L, 5))
+  }
+
+  test("filter semantics: the Rd example cardinalities") {
+    val lf = LazyFrame.csv(spark, writeCsv(irisish), rowOrder = Seq("sl", "sw", "pl", "pw", "species"))
+    assert(lf.filterFast(col("species") === "versicolor").count() == 2)
+    assert(lf.filterFast(col("sl") < 4.5).count() == 2)
+  }
+
+  test("malformed numerics parse to null and never match (cheap_strtod NAN)") {
+    val lines = Seq("a,b", "1,2.5", "oops,3.5", "3,bad")
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", DoubleType)))
+    val lf = LazyFrame.csv(spark, writeCsv(lines), header = Some(true), schema = Some(schema))
+    // 'oops' → null a; 'bad' → null b; comparisons never match nulls
+    assert(lf.filterFast(col("a") > 0).count() == 2)
+    assert(lf.filterFast(col("b") > 0.0).count() == 2)
+    assert(lf.filterFast(col("b") <= 99.0).count() == 2)
+  }
+
+  test("row addressing: rowsRange, rowsAt, head/tail over pinned order") {
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", Seq("l_orderkey", "l_linenumber"))
+    assert(lf.rowsRange(1, 10).count() == 10)
+    assert(lf.head(5).count() == 5)
+    assert(lf.tail(5).count() == 5)
+    // out-of-range ids silently dropped (R/lazy.frame.R:146-147)
+    assert(lf.rowsAt(Seq(1L, 2L, 999999999L)).count() == 2)
+    // non-positive ids rejected (R/lazy.frame.R:145)
+    intercept[IllegalArgumentException](lf.rowsAt(Seq(0L)))
+    // tail returns the LAST rows
+    val lastId = lf.tail(1).select("row_id").collect().head.getLong(0)
+    assert(lastId == lf.nrow)
+  }
+
+  test("which(pred) ids ∘ rowsAt ≡ filter(pred) — the reference two-pass identity") {
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", Seq("l_orderkey", "l_linenumber"))
+    val pred = col("l_quantity") >= 49.0
+    val ids = lf.which(pred).collect().map(_.getLong(0)).toSeq
+    val viaIds = lf.rowsAt(ids).select("l_orderkey", "l_linenumber").collect().toSet
+    val direct = lf.filter(pred).select("l_orderkey", "l_linenumber").collect().toSet
+    assert(ids.nonEmpty && viaIds == direct)
+  }
+
+  test("column projection: unknown names silently dropped; pushdown-safe") {
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", Seq("l_orderkey", "l_linenumber"))
+    val sel = lf.select(Seq("l_orderkey", "l_linenumber", "not_a_column"))
+    assert(sel.columns == Seq("l_orderkey", "l_linenumber"))
+  }
+
+  test("columnAttr metadata persists through extraction (column_attr<-)") {
+    val meta = new MetadataBuilder().putStringArray("levels", Array("A", "N", "R")).build()
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", Seq("l_orderkey", "l_linenumber"))
+      .withColumnAttr("l_returnflag", meta)
+    val out = lf.filter(col("l_quantity") > 45)
+    assert(out.schema("l_returnflag").metadata.getStringArray("levels").toSeq == Seq("A", "N", "R"))
+    assert(lf.columnAttr("l_returnflag").contains(meta))
+  }
+
+  test("renameColumns applies make.names sanitization") {
+    assert(LazyFrame.makeNames(Seq("a b", "1x", "ok", "ok")) == Seq("a.b", "X1x", "ok", "ok.1"))
+    val lf = LazyFrame.csv(spark, writeCsv(Seq("a,b", "1,2")))
+    val renamed = lf.renameColumns(Seq("col 1", "2nd"))
+    assert(renamed.columns == Seq("col.1", "X2nd"))
+  }
+
+  test("CsvProbe type inference and merging") {
+    assert(CsvProbe.inferType("42") == LongType)
+    assert(CsvProbe.inferType("4.5") == DoubleType)
+    assert(CsvProbe.inferType("4.5e3") == DoubleType)
+    assert(CsvProbe.inferType("abc") == StringType)
+    assert(CsvProbe.inferType("NA") == NullType)
+    assert(CsvProbe.mergeTypes(Seq(LongType, DoubleType)) == DoubleType)
+    assert(CsvProbe.mergeTypes(Seq(LongType, StringType)) == StringType)
+    assert(CsvProbe.mergeTypes(Seq(NullType, LongType)) == LongType)
+    assert(CsvProbe.splitLine("a,\"b,c\",d", ",") == Seq("a", "\"b,c\"", "d"))
+  }
+}

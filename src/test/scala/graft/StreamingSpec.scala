@@ -1,0 +1,52 @@
+package graft
+
+import graft.core.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming/batch parity: the same declared transform must produce the
+  * same result run as a Structured Streaming query (file source → memory
+  * sink) and as a batch aggregation. */
+class StreamingSpec extends SparkSpec {
+
+  test("tumbling window: streaming result equals batch result") {
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.tumbling(EventStreams.readStream(spark, sf0), "1 day"),
+      s"spec_tumbling_${System.nanoTime()}")
+      .orderBy("win_start_us", "event_type").collect()
+
+    val batch = Tables.events(spark, sf0)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start_us", "event_type").collect()
+
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("session windows: gap semantics (6h) — sessions partition all events") {
+    val sess = EventStreams.sessions(Tables.events(spark, sf0), "6 hours")
+    val total = sess.agg(sum("n")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sf0).count())
+    // no two sessions of a user overlap-or-touch within gap: starts are
+    // strictly increasing by more than 0 per user
+    val perUser = sess.orderBy("user_id", "session_start_us").collect()
+      .groupBy(_.getLong(1)).values
+    assert(perUser.forall { rows =>
+      rows.map(_.getLong(0)).sliding(2).forall {
+        case Array(a, b) => a < b
+        case _ => true
+      }
+    })
+  }
+
+  test("events ns timestamps: exact nanos preserved in ts_ns, ts at us precision") {
+    val e = Tables.events(spark, sf0)
+    val row = e.select(col("ts_ns"), unix_micros(col("ts")).as("us")).head()
+    assert(row.getLong(0) / 1000L == row.getLong(1))
+  }
+}

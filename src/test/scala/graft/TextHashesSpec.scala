@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.TextHashes
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+/** Kernel-level properties of the sketch functions. */
+class TextHashesSpec extends SparkSpec {
+
+  private def arr(ss: Seq[String]) =
+    new GenericArrayData(ss.map(s => UTF8String.fromString(s)).toArray[Any])
+
+  test("minhash: deterministic, right length, multiplicity-insensitive") {
+    val a = TextHashes.minhash(arr(Seq("x y z", "y z w")), 128)
+    val b = TextHashes.minhash(arr(Seq("y z w", "x y z", "x y z")), 128)
+    assert(a.numElements() == 128)
+    assert(a.toLongArray().toSeq == b.toLongArray().toSeq)
+  }
+
+  test("minhash: signature agreement estimates Jaccard") {
+    val base = (1 to 100).map(i => s"sh$i")
+    val mut = base.drop(10) ++ (1 to 10).map(i => s"other$i") // J = 90/110 ≈ 0.818
+    val sa = TextHashes.minhash(arr(base), 256).toLongArray()
+    val sb = TextHashes.minhash(arr(mut), 256).toLongArray()
+    val agree = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(agree - 0.818) < 0.1, s"agreement $agree should approximate 0.818")
+  }
+
+  test("simhash: identical inputs collide; near inputs have small Hamming distance") {
+    val toks = (1 to 60).map(i => s"w$i")
+    val h1 = TextHashes.simhash(arr(toks))
+    val h2 = TextHashes.simhash(arr(toks))
+    val h3 = TextHashes.simhash(arr(toks.updated(0, "CHANGED")))
+    val far = TextHashes.simhash(arr((1 to 60).map(i => s"z$i")))
+    assert(h1 == h2)
+    assert(java.lang.Long.bitCount(h1 ^ h3) < 12)
+    assert(java.lang.Long.bitCount(h1 ^ far) > 12)
+  }
+
+  test("winnow: fingerprints are a subset-stable edit-robust sketch") {
+    val toks = (1 to 200).map(i => s"t${i % 50}_$i")
+    val fp1 = TextHashes.winnow(arr(toks), 4, 5).toLongArray().toSet
+    val fp2 = TextHashes.winnow(arr(toks.updated(100, "EDIT")), 4, 5).toLongArray().toSet
+    val overlap = fp1.intersect(fp2).size.toDouble / fp1.size
+    assert(overlap > 0.8, s"one edit should preserve most fingerprints, got $overlap")
+    // short input: single window
+    assert(TextHashes.winnow(arr(Seq("a", "b")), 4, 5).numElements() == 0)
+    assert(TextHashes.winnow(arr(Seq("a", "b", "c", "d")), 4, 5).numElements() == 1)
+  }
+
+  test("cosineF: exact on known vectors; zero-norm guarded") {
+    def farr(xs: Seq[Float]) = new GenericArrayData(xs.toArray[Any])
+    assert(TextHashes.cosineF(farr(Seq(1f, 0f)), farr(Seq(1f, 0f))) == 1.0)
+    assert(TextHashes.cosineF(farr(Seq(1f, 0f)), farr(Seq(0f, 1f))) == 0.0)
+    assert(math.abs(TextHashes.cosineF(farr(Seq(1f, 1f)), farr(Seq(1f, 0f))) - math.sqrt(0.5)) < 1e-12)
+    assert(TextHashes.cosineF(farr(Seq(0f, 0f)), farr(Seq(1f, 2f))) == 0.0)
+  }
+
+  test("hyperplaneBucket: deterministic, bounded, table-dependent") {
+    def farr(xs: Seq[Float]) = new GenericArrayData(xs.toArray[Any])
+    val v = farr((1 to 64).map(_.toFloat))
+    val b0 = TextHashes.hyperplaneBucket(v, 0, 12)
+    assert(b0 == TextHashes.hyperplaneBucket(v, 0, 12))
+    assert(b0 >= 0 && b0 < 4096)
+    val others = (1 to 7).map(t => TextHashes.hyperplaneBucket(v, t, 12))
+    assert((b0 +: others).distinct.size > 1)
+  }
+
+  test("property: minhash sig of a superset never exceeds the subset sig elementwise") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 100) {
+      val base = (0 until 1 + rnd.nextInt(50)).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+      val extra = (0 until rnd.nextInt(20)).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+      val sa = TextHashes.minhash(arr(base), 32).toLongArray()
+      val sb = TextHashes.minhash(arr(base ++ extra), 32).toLongArray()
+      // adding elements can only lower (or keep) each min
+      assert(sa.zip(sb).forall { case (x, y) => y <= x })
+    }
+  }
+}
