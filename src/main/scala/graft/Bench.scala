@@ -1,5 +1,7 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +9,20 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Warm-up: absorb JVM/classloader/codegen startup so per-query numbers
+    // measure the queries, not session bootstrap (SURVEY.md §6: the real
+    // risk at small SF is fixed overhead). Runs the flagship once at the
+    // smallest SF, then one tiny scan of the bench dir.
+    try {
+      SparkEntry.entry(spark).count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+    } catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -55,8 +55,11 @@ final class LazyFrame private (
     * range-partition on the row order, sort within partitions, then offset
     * each partition by the cumulative count of its predecessors
     * (`zipWithIndex`) — the scalable equivalent of the reference's newline
-    * index, built per-query instead of per-open. */
-  def withRowId: DataFrame = {
+    * index. Memoized (and persisted by `cached()`): the reference builds
+    * its newline index once at open and reuses it for every extraction
+    * (`R/lazy.frame.R:47-50`); re-deriving it per query would repeat the
+    * indexing scan. */
+  lazy val withRowId: DataFrame = {
     val ordered = df
       .repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
         rowOrder.map(col): _*)
@@ -66,6 +69,14 @@ final class LazyFrame private (
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Persist the row-id index (MEMORY_AND_DISK) — the analogue of the
+    * reference keeping its newline index resident for the frame's
+    * lifetime. Returns this frame for chaining. */
+  def cached(): LazyFrame = {
+    withRowId.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    this
   }
 
   // ---- extraction (the reference's `[` — R/lazy.frame.R:126-180) ----

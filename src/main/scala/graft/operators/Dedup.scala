@@ -36,20 +36,35 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol))
 
-  /** doc_id + distinct k-shingle rows (the inverted index). */
-  private[operators] def shingleIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+  /** Per-document distinct shingle set, represented as 8-byte xxhash64
+    * values computed ROW-LOCALLY (no shuffle): `(doc_id, ss: array<long>,
+    * n: int)`. Joining/intersecting on 8-byte hashes instead of shingle
+    * strings shrinks shuffle volume several-fold; a 64-bit collision
+    * (≈ |shingles|²/2⁶⁴) is the accepted, negligible error. */
+  private[operators] def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
-      .select(col("doc_id"), explode(shingles(col("t"), k)).as("s"))
-      .distinct()
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("t"), k), s => xxhash64(s))).as("ss"))
+      .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
 
   /** Exact pairwise n-gram Jaccard ≥ tau via inverted-index join.
-    * Output: (da, db, jac) with da < db. */
+    * Output: (da, db, jac) with da < db.
+    *
+    * Plan shape: one explode (no distinct shuffle — sets are deduped
+    * row-locally), one equi-join on the 8-byte shingle hash, one pair
+    * aggregation, two narrow count joins. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, tau: Double): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, k)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sets = shingleSets(docs, idCol, textCol, k)
+    // Pre-partition the inverted index on the join key: the self-join's two
+    // sides are then an identical hash-partitioned subtree — Spark computes
+    // the (expensive) tokenize→shingle→hash scan ONCE (ReusedExchange) and
+    // the equi-join itself needs no further shuffle.
+    val sh = sets.select(col("doc_id"), explode(col("ss")).as("h"))
+      .repartition(col("h"))
+    val cnt = sets.select(col("doc_id"), col("n"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -68,15 +83,22 @@ object Dedup {
       k: Int, tau: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
-    val sh = shingleIndex(docs, idCol, textCol, k)
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_list(col("s")).as("ss"), count(lit(1)).as("n"))
+    // Everything per-row until the band bucket join: signature AND shingle
+    // set are computed inside the scan stage, zero shuffle (MinHash is
+    // multiplicity-insensitive, so no distinct needed before signing).
+    val sets = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), shingles(col("t"), k).as("sharr"))
+      .select(col("doc_id"),
+        minhashSig(col("sharr"), numHashes).as("sig"),
+        array_distinct(transform(col("sharr"), s => xxhash64(s))).as("ss"))
+      .select(col("doc_id"), col("sig"), col("ss"), size(col("ss")).as("n"))
 
-    val sig = sets.select(col("doc_id"), minhashSig(col("ss"), numHashes).as("sig"))
+    val sig = sets.select(col("doc_id"), col("sig"))
     val bandTbl = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + lit(1), lit(rows))))))
       .toDF("doc_id", "band", "bh")
+      .repartition(col("band"), col("bh")) // one exchange, reused by both join sides
     val cand = bandTbl.as("a")
       .join(bandTbl.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object ParityQueries {
 
-  /** lineitem as a LazyFrame with its pinned row order. */
+  /** lineitem as a LazyFrame with its pinned row order. One frame per
+    * (session, dir), like one open per file in the reference — the row-id
+    * index is built once and shared by every parity query. */
+  private val frames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LazyFrame]
   private def li(s: SparkSession, d: String): LazyFrame =
-    LazyFrame.parquet(s, s"$d/lineitem.parquet", Seq("l_orderkey", "l_linenumber"))
+    frames.getOrElseUpdate((s, d),
+      LazyFrame.parquet(s, s"$d/lineitem.parquet", Seq("l_orderkey", "l_linenumber")).cached())
 
   /** Shared projection: all lineitem columns, timestamp stringified. */
   private def proj(df: DataFrame, withRowId: Boolean = true): DataFrame = {
