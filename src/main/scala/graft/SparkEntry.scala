@@ -13,8 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Map[String, Q] =
-    ParityQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++
-      graft.streaming.StreamingQueries.all
+    ParityQueries.all ++ RelationalQueries.all ++ AdvancedQueries.all ++
+      PipelineQueries.all ++ graft.streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

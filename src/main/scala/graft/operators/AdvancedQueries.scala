@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.core.{Norm, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second wave of relational/extension queries: as-of join, salt-equalized
+  * join, JSON extraction, pivot, grouping sets, percentiles, array
+  * aggregation, null handling, scalar subquery, ntile/first/last windows. */
+object AdvancedQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Deterministic-result salted join: replicate the build side `s` ways,
+    * spread probe rows across salts; the result equals the unsalted join —
+    * which is exactly what the oracle checks. At scale this is the
+    * mitigation when one join key dominates (AQE skew-join handles moderate
+    * skew; salting handles adversarial single-key skew). */
+  def saltedJoin(salts: Int)(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+      leftKey: String, rightKey: String): org.apache.spark.sql.DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(saltedRight,
+      saltedLeft(leftKey) === saltedRight(rightKey) &&
+        saltedLeft("__salt") === saltedRight("__salt"))
+      .drop("__salt")
+  }
+
+  val all: Map[String, Q] = Map(
+
+    // -- as-of join: each event ↔ the user's most recent click (<=) --
+    "q_asof_join" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        AsOfJoin(
+          left = ev.select(col("event_id"), col("user_id"), col("ts")),
+          right = clicks, key = "user_id", leftTs = "ts", rightTs = "ts",
+          payloadCols = Map("event_id" -> "last_click_id"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("last_click_id"))
+          .orderBy("event_id")
+      },
+      """SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
+        | b.event_id AS last_click_id
+        |FROM events a
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |                WHERE event_type = 'click') b
+        | ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY a.event_id""".stripMargin),
+
+    // -- salted join == plain join (the oracle IS the unsalted answer) --
+    "q_join_salted" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        saltedJoin(8)(li, o, "l_orderkey", "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+
+    // -- JSON extraction from events.props --
+    "q_json" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      """SELECT event_type,
+        | CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(CAST(props->>'k' AS BIGINT)) AS n_k,
+        | CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+        | CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    // -- pivot (wide aggregation) --
+    "q_pivot" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(Norm.dsum(col("l_quantity")))
+        .orderBy("l_linestatus"),
+      """SELECT l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag='A') AS DOUBLE) AS A,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag='N') AS DOUBLE) AS N,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag='R') AS DOUBLE) AS R
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin),
+
+    // -- grouping sets (SQL surface) --
+    "q_grouping_sets" -> Q(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS n
+            |FROM lineitem_gs
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // -- exact percentiles (interpolated; rounded: interpolation ulps) --
+    "q_percentile" -> Q(
+      (s, d) => {
+        val p = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
+            Norm.davg(col("l_quantity")).as("mean_qty"))
+        p.select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 6).as("p25"),
+          round(element_at(col("ps"), 2), 6).as("p50"),
+          round(element_at(col("ps"), 3), 6).as("p75"),
+          col("mean_qty"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        | round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+
+    // -- sketch percentile: no exact oracle (rows-only) --
+    "q_approx_percentile" -> Q.noOracle(
+      (s, d) => Tables.lineitem(s, d)
+        .agg(approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+          .as("approx_ps"))),
+
+    // -- array aggregation --
+    "q_collect_list" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linenumber"))).as("lines"),
+          countDistinct(col("l_linenumber")).as("n_lines"))
+        .orderBy("l_returnflag"),
+      """WITH dd AS (SELECT DISTINCT l_returnflag, l_linenumber FROM lineitem)
+        |SELECT l_returnflag, list(l_linenumber ORDER BY l_linenumber) AS lines,
+        | count(*) AS n_lines
+        |FROM dd GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+
+    // -- null-handling scalar surface --
+    "q_scalar_null" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("nf"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("XX")).as("co"),
+          col("l_returnflag").isNull.as("isn"),
+          when(col("l_quantity") > 25, col("l_quantity")).as("maybe_qty"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber,
+        | nullif(l_returnflag, 'N') AS nf,
+        | coalesce(nullif(l_returnflag, 'N'), 'XX') AS co,
+        | l_returnflag IS NULL AS isn,
+        | CASE WHEN l_quantity > 25 THEN l_quantity END AS maybe_qty
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // -- scalar subquery (broadcast of a 1-row aggregate) --
+    "q_subquery_scalar" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val avgP = o.agg(Norm.davg(col("o_totalprice")).as("avg_price"))
+        o.crossJoin(broadcast(avgP))
+          .where(col("o_totalprice") > col("avg_price") * 1.5)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*)
+        |                      FROM orders) * 1.5
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // -- ntile / first / last window frame functions --
+    "q_window_frames" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .where(col("o_custkey") <= 50)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            first(col("o_orderkey")).over(wf).as("cheapest_key"),
+            last(col("o_orderkey")).over(wf).as("priciest_key"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | ntile(4) OVER w AS quartile,
+        | first_value(o_orderkey) OVER wf AS cheapest_key,
+        | last_value(o_orderkey) OVER wf AS priciest_key
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)
+  )
+}

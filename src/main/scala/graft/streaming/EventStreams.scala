@@ -72,6 +72,43 @@ object EventStreams {
       .select(unix_micros(col("session_window.start")).as("session_start_us"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** Custom state machine per user via `mapGroupsWithState`: exact running
+    * (count, sum) totals. Sums accumulate in integer cents so the result is
+    * independent of row arrival order within a batch (double addition is
+    * not associative; long addition is). Emits an updated snapshot per
+    * (user, batch); [[runUpdatesToBatch]] keeps the final snapshot. */
+  def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    readStream(spark, sfDir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          state.update((n, cents))
+          (uid, n, cents / 100.0)
+      }
+      .toDF("user_id", "n", "sum_value")
+  }
+
+  /** Drive an update-mode stateful stream to completion, collecting every
+    * emitted snapshot via foreachBatch; returns all snapshots (callers keep
+    * the final one per key — `n` is strictly increasing per key). */
+  def runUpdatesToBatch(spark: SparkSession, agg: DataFrame): DataFrame = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val schema = agg.schema
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (b: DataFrame, _: Long) => rows.synchronized { rows ++= b.collect() }; () }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** Run a streaming aggregation to completion against the finite input and
     * return the final result (memory sink, complete mode, AvailableNow). */
   def runToBatch(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {

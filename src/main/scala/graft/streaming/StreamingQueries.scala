@@ -40,6 +40,19 @@ object StreamingQueries {
         |SELECT epoch_us(win_start) AS win_start_us, event_type, count(*) AS n
         |FROM slid GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin),
 
+    "q_stream_stateful" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val snaps = EventStreams.runUpdatesToBatch(s, EventStreams.statefulUserTotals(s, d))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc)
+        snaps.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select("user_id", "n", "sum_value")
+          .orderBy("user_id")
+      },
+      """SELECT user_id, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin),
+
     "q_stream_session" -> Q(
       (s, d) => EventStreams.sessions(Tables.events(s, d), "6 hours")
         .orderBy("user_id", "session_start_us"),

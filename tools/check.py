@@ -18,6 +18,8 @@ def norm_df(df: pd.DataFrame) -> pd.DataFrame:
 def cmp_cell(a, b) -> bool:
     if a is None and b is None:
         return True
+    if hasattr(a, "__len__") and not isinstance(a, str):
+        return list(a) == list(b)
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
