@@ -170,6 +170,19 @@ final class LazyFrame private (
     * here it's a real distributed describe. */
   def summary(): DataFrame = df.summary()
 
+  /** `str.lazy.frame` (`R/lazy.frame.R:246-253`): internals + head shape. */
+  def str(): String =
+    s"lazy frame: $nrow obs. of $ncol variables (rowOrder=${rowOrder.mkString(",")})\n" +
+      df.schema.fields.map(f => s" $$ ${f.name}: ${f.dataType.simpleString}").mkString("\n")
+
+  /** REOPEN (`src/lazy.frame.c:94-130`): re-bind to the source — plans are
+    * re-executable by construction, so this just drops cached state (the
+    * reference re-opens its file handle after deserialization). */
+  def reopen(): LazyFrame = {
+    withRowId.unpersist()
+    new LazyFrame(df, rowOrder, attrs)
+  }
+
   private def applyAttrs(d: DataFrame): DataFrame =
     if (attrs.isEmpty) d
     else attrs.foldLeft(d) { case (acc, (name, meta)) =>

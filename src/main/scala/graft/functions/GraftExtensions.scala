@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+/** `SparkSessionExtensions` injector: registers the graft kernels at
+  * session-build time, so clusters launched with
+  *
+  *   --conf spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * get `graft_minhash`, `graft_simhash`, `graft_winnow`, `graft_cosine`,
+  * `graft_dot`, `graft_hyperplane_bucket` in SQL and the Column API without
+  * any driver-side registration call. Programmatic sessions can instead use
+  * `GraftFunctions.register(spark)` (same builders).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, out: DataType, method: String, in: Seq[DataType]) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(TextHashes.getClass.getName, name),
+      (e: Seq[Expression]) => StaticInvoke(TextHashes.getClass, out, method, e,
+        inputTypes = in, propagateNull = true, returnNullable = false): Expression)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    val longs = ArrayType(LongType, containsNull = false)
+    Seq(
+      fn("graft_minhash", longs, "minhash", Seq(ArrayType(StringType), IntegerType)),
+      fn("graft_simhash", LongType, "simhash", Seq(ArrayType(StringType))),
+      fn("graft_winnow", longs, "winnow", Seq(ArrayType(StringType), IntegerType, IntegerType)),
+      fn("graft_cosine", DoubleType, "cosineF", Seq(ArrayType(FloatType), ArrayType(FloatType))),
+      fn("graft_dot", DoubleType, "dotF", Seq(ArrayType(FloatType), ArrayType(FloatType))),
+      fn("graft_hyperplane_bucket", IntegerType, "hyperplaneBucket",
+        Seq(ArrayType(FloatType), IntegerType, IntegerType))
+    ).foreach(ext.injectFunction)
+  }
+}

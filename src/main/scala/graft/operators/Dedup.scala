@@ -139,6 +139,45 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over duplicate pairs → canonical representative
+    * per cluster (the dedup canonicalization step: every member maps to the
+    * minimum doc_id of its component).
+    *
+    * Iterative min-label propagation: each round joins labels across edges
+    * and keeps the elementwise min; converges in O(component diameter)
+    * rounds (near-dup clusters are shallow — pairs/chains of a few docs).
+    * Each round is one shuffle join; the driver only checks a scalar
+    * convergence count, so this scales to billions of edges the same way
+    * large-graph CC does. Output: (doc_id, cluster) for every doc that
+    * appears in at least one pair. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (not cache): iterative plans grow exponentially in
+    // lineage; checkpointing truncates the logical plan each round.
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node"), col("a").as("lbl"))
+      .union(edges.select(col("b").as("node"), col("b").as("lbl")))
+      .groupBy("node").agg(min("lbl").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val viaEdges = edges.join(labels, edges("b") === labels("node"))
+        .select(col("a").as("node"), col("lbl"))
+      val next = labels.select(col("node"), col("lbl")).union(viaEdges)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
+        .where(col("n.lbl") =!= col("p.lbl")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   /** Embedding near-dup pairs: exact cosine ≥ tau. Brute-force baseline
     * (broadcast-nested-loop at test scale); the scale path is
     * [[Similarity.lshCosinePairs]] — random-hyperplane bucketing. */

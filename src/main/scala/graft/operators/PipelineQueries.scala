@@ -76,6 +76,57 @@ object PipelineQueries {
         .orderBy("da", "db"),
       jaccardSql(0.8)),
 
+    // cluster canonicalization over the exact-Jaccard pairs; oracle is a
+    // recursive-CTE transitive closure + min label
+    "q_dedup_clusters" -> Q(
+      (s, d) => Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8))
+        .orderBy("doc_id"),
+      s"""WITH RECURSIVE pairs AS (${jaccardSql(0.8).replace("ORDER BY da, db", "")}),
+         |sym AS (SELECT da AS a, db AS b FROM pairs
+         |        UNION SELECT db AS a, da AS b FROM pairs),
+         |reach AS (
+         |  SELECT a AS src, b AS dst FROM sym
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+         |)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+
+    // corpus vocabulary: top terms by document frequency
+    "q_vocab" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+        toks.groupBy("term").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("term")).limit(20)
+          .orderBy("term")
+      },
+      """SELECT term, df FROM (
+        |  SELECT term, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |    FROM documents)
+        |  GROUP BY term ORDER BY df DESC, term LIMIT 20)
+        |ORDER BY term""".stripMargin),
+
+    // PII-style scrubbing: digits masked, emails-ish collapsed, ws normalized
+    "q_scrub" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+              "[0-9]", "#"),
+            "\\s+", " ").as("clean"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |   '[0-9]', '#', 'g'),
+        |   '\s+', ' ', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     "q_dedup_simhash" -> Q.noOracle(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("da", "db")),
