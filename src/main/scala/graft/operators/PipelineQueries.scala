@@ -155,6 +155,22 @@ object PipelineQueries {
          |  FROM s)
          |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
 
+    // same contract as q_ann_topk, computed by the typed top-k Aggregator
+    // (map-side bounded heaps) — shares its oracle
+    "q_ann_topk_agg" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.aggTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .orderBy("qid", "vid")
+      },
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |s AS (SELECT q.qid, e.vec_id AS vid, ${cosSql("q.qe", "e.embedding")} AS cos
+         |      FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+         |SELECT qid, vid, cos FROM (
+         |  SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+         |  FROM s)
+         |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
+
     "q_ann_ivf" -> Q(
       (s, d) => {
         val e = Tables.embeddings(s, d)

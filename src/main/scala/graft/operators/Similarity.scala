@@ -39,6 +39,30 @@ object Similarity {
       .select("qid", "vid", "cos")
   }
 
+  /** Exact top-k via the typed [[graft.functions.TopKAggregator]]: same
+    * answer as [[bruteTopK]], but map partitions reduce to ≤ k candidates
+    * per query BEFORE the exchange (partial aggregation) — the shuffle
+    * carries O(|Q|·k·partitions) rows instead of all n·|Q| scored rows. */
+  def aggTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val scored = e.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosineSim(col("qv"), col("v")).as("cos"))
+      .as[(Long, Long, Double)]
+    val agg = new graft.functions.TopKAggregator(k)
+    scored
+      .groupByKey(_._1)
+      .mapValues { case (_, vid, cos) => graft.functions.Scored(vid, cos) }
+      .agg(agg.toColumn)
+      .toDF("qid", "top")
+      .select(col("qid"), explode(col("top")).as("s"))
+      .select(col("qid"), col("s.vid").as("vid"), col("s.cos").as("cos"))
+  }
+
   /** IVF top-k: probe only the query's coarse cell (`cellCol`). */
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int): DataFrame = {
