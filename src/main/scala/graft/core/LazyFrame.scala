@@ -1,8 +1,76 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** The narrow row-id index of a [[LazyFrame]] — the Spark-native analogue of
+  * the reference's newline index (`src/lazy.frame.c:252-298`: 8 bytes per
+  * line, built once at open, reused by every extraction).
+  *
+  * Built in two distributed passes over the ORDER-KEY COLUMNS ONLY (never the
+  * full table):
+  *
+  *   1. range-partition + sort the key columns, stamp each row with its
+  *      partition id and partition-local position, persist (narrow: keys +
+  *      two longs — tens of bytes/row, not the table);
+  *   2. one counting job over the persisted keys yields per-partition row
+  *      counts; cumulative offsets are broadcast as a literal array, and
+  *      `row_id = offset(pid) + local + 1` becomes a plain projection.
+  *
+  * No RDD round-trip, no whole-table cache, no single-task global window.
+  * Partition-local positions come from `monotonically_increasing_id`
+  * (pid in the upper bits, a per-partition counter in the low 33); the
+  * persisted frame freezes them, so ids are stable for the frame's lifetime
+  * and deterministic because the row order is total.
+  */
+private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
+
+  import LazyFrame.ROW_ID
+
+  private def spark: SparkSession = source.sparkSession
+
+  /** Sorted order-key rows stamped with (partition id, local position);
+    * persisted — this IS the index storage, O(rows · keyWidth) bytes. */
+  private lazy val keyed: DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    source.select(order.map(col): _*)
+      .repartitionByRange(parts, order.map(col): _*)
+      .sortWithinPartitions(order.map(col): _*)
+      .select(col("*"), spark_partition_id().as("__pid"),
+        // low 33 bits = position within the sorted partition (stable once
+        // persisted; partitions beyond 2^33 rows would need a wider split)
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)).as("__loc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Per-partition cumulative offsets (the counting job — also materializes
+    * the persisted index) and the total row count. */
+  private lazy val offsetsAndTotal: (Seq[Long], Long) = {
+    val counts = keyed.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val parts = if (counts.isEmpty) 1 else counts.keys.max + 1
+    val offs = new Array[Long](parts)
+    var acc = 0L
+    var p = 0
+    while (p < parts) { offs(p) = acc; acc += counts.getOrElse(p, 0L); p += 1 }
+    (offs.toSeq, acc)
+  }
+  private def offsets: Seq[Long] = offsetsAndTotal._1
+
+  def nrow: Long = offsetsAndTotal._2
+
+  /** The index frame: (orderKeys..., row_id), 1-based rank under the total
+    * order. A projection over the persisted keys — never recomputed. */
+  lazy val idx: DataFrame = keyed.select(
+    order.map(col) :+
+      (element_at(typedlit(offsets), col("__pid") + 1) + col("__loc") + 1L).as(ROW_ID): _*)
+
+  /** Force the build (open-time indexing, like the reference's first pass). */
+  def materialize(): Unit = { offsetsAndTotal; () }
+
+  def unpersist(): Unit = { keyed.unpersist(); () }
+}
 
 /** A lazy, read-only, row-addressable frame over a file — the Spark-native
   * re-expression of the reference's "data frame promise"
@@ -16,8 +84,8 @@ import org.apache.spark.sql.types._
   *   - '''Stable row numbering''': the reference addresses "the N-th physical
   *     line" via its newline index (`src/lazy.frame.c:252-298`). Distributed
   *     files have no innate total order, so a LazyFrame pins an explicit
-  *     `rowOrder` (a total ordering key) at open time; `row_id` is assigned
-  *     1..N under that order.
+  *     `rowOrder` (a total ordering key) at open time; `row_id` is the row's
+  *     1-based rank under that order.
   *   - '''which()-style filters''': `which(pred)` returns matching 1-based
   *     row ids, like `Ops.lazy.frame` (`R/lazy.frame.R:182-204`); the fused
   *     `filter(pred)` is the one-pass version Catalyst gives us for free.
@@ -27,55 +95,60 @@ import org.apache.spark.sql.types._
   *   - '''Read-only''': there is no write surface, matching
   *     `R/lazy.frame.R:121-124` ("File frames are read-only.").
   *
-  * Scale notes (100 TB design):
-  *   - `row_id` assignment uses range-repartition + per-partition sort +
-  *     `zipWithIndex` — no single-task global window. Cost is one extra pass
-  *     to count partition sizes; ids are deterministic because `rowOrder`
-  *     must be a total order (callers append a unique tiebreak).
-  *   - Everything else is stock Catalyst: filters/projections push down to
-  *     the scan, comparisons stay inside whole-stage codegen.
+  * Scale design (100 TB): extraction = pushdown FileScan ⋈ narrow index.
+  * The [[RowIndex]] (key → row_id, built once at open) is the only
+  * materialized state — O(rows · keyWidth) bytes, the moral size of the
+  * reference's 8 B/line newline index. Every extraction then reads the
+  * TABLE through a plain FileScan, so data-column predicates and column
+  * pruning reach the parquet reader (`PushedFilters` / `ReadSchema`), and
+  * joins back to the index on the order key: broadcast while the index is
+  * small, sort-merge at cluster scale. Row ids stay correct under pushdown
+  * because each id is a function of the row's own key, not of which other
+  * rows survived the filter.
+  *
+  * Projection keeps the order-key columns internally (hidden on output) so
+  * a projected frame preserves the parent's row numbering — matching the
+  * reference, where projection never changes line numbers.
   */
 final class LazyFrame private (
-    val df: DataFrame,
+    private val src: DataFrame,
     val rowOrder: Seq[String],
-    private val attrs: Map[String, Metadata]) {
+    private val visible: Seq[String],
+    private val attrs: Map[String, Metadata],
+    private val index: RowIndex) {
 
   import LazyFrame.ROW_ID
 
-  /** Cached row count: O(1) `nrow` after first use, like the reference's
-    * construction-time `dim` capture (`R/lazy.frame.R:80-81`). */
-  lazy val nrow: Long = df.count()
-  def ncol: Int = df.schema.length
+  /** The visible-column frame (no row ids — pure pushdown scan). */
+  def df: DataFrame = src.select(visible.map(col): _*)
+
+  /** O(1) after the index is built (the counting job caches the total),
+    * like the reference's construction-time `dim` capture
+    * (`R/lazy.frame.R:80-81`). */
+  def nrow: Long = index.nrow
+  def ncol: Int = visible.length
   def dim: (Long, Int) = (nrow, ncol)
-  def columns: Seq[String] = df.columns.toSeq
+  def columns: Seq[String] = visible
 
-  private def spark: SparkSession = df.sparkSession
+  /** Index side of an extraction join: broadcast while small (row count is
+    * already known from the index build — no extra job), shuffle join at
+    * scale. 8M rows ≈ low hundreds of MB of key+id — past that a broadcast
+    * stops being free on a real cluster. */
+  private def idxSide: DataFrame =
+    if (index.nrow <= LazyFrame.BroadcastIndexMaxRows) broadcast(index.idx) else index.idx
 
-  /** The frame with its pinned 1-based `row_id`. Distributed id assignment:
-    * range-partition on the row order, sort within partitions, then offset
-    * each partition by the cumulative count of its predecessors
-    * (`zipWithIndex`) — the scalable equivalent of the reference's newline
-    * index. Memoized (and persisted by `cached()`): the reference builds
-    * its newline index once at open and reuses it for every extraction
-    * (`R/lazy.frame.R:47-50`); re-deriving it per query would repeat the
-    * indexing scan. */
-  lazy val withRowId: DataFrame = {
-    val ordered = df
-      .repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
-        rowOrder.map(col): _*)
-      .sortWithinPartitions(rowOrder.map(col): _*)
-    val schema = ordered.schema.add(ROW_ID, LongType, nullable = false)
-    val rdd = ordered.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(rdd, schema)
-  }
+  /** The frame with its pinned 1-based `row_id`: FileScan ⋈ index on the
+    * order key. Filters composed on top push to the scan side (data
+    * predicates) or the index side (row-id predicates). */
+  lazy val withRowId: DataFrame =
+    src.join(idxSide, rowOrder)
+      .select((visible.map(col) :+ col(ROW_ID)): _*)
 
-  /** Persist the row-id index (MEMORY_AND_DISK) — the analogue of the
-    * reference keeping its newline index resident for the frame's
-    * lifetime. Returns this frame for chaining. */
+  /** Force-build the row-id index (the reference builds its newline index
+    * at open and reuses it for every extraction, `R/lazy.frame.R:47-50`).
+    * Returns this frame for chaining. */
   def cached(): LazyFrame = {
-    withRowId.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index.materialize()
     this
   }
 
@@ -97,32 +170,39 @@ final class LazyFrame private (
   /** Column projection by name; unknown names silently dropped
     * (`R/lazy.frame.R:146-147`). Unlike the reference (which parses full
     * rows then projects in R, `R/lazy.frame.R:179`), this is true pushdown:
-    * the parquet/CSV scan reads only the requested columns. */
+    * the parquet/CSV scan reads only the requested (plus order-key)
+    * columns. The parent's row-id index is shared, so numbering is
+    * unchanged even when order-key columns are projected away. */
   def select(names: Seq[String]): LazyFrame = {
-    val keep = names.filter(df.columns.contains)
-    new LazyFrame(df.select(keep.map(col): _*), rowOrder.filter(keep.contains), attrs)
+    val keep = names.filter(visible.contains)
+    val internal = src.columns.filter(c => keep.contains(c) || rowOrder.contains(c)).toSeq
+    new LazyFrame(src.select(internal.map(col): _*), rowOrder, keep, attrs, index)
   }
 
   /** Column projection by 1-based position (reference columns are 1-based). */
   def selectAt(positions: Seq[Int]): LazyFrame =
-    select(positions.filter(p => p >= 1 && p <= ncol).map(p => df.columns(p - 1)))
+    select(positions.filter(p => p >= 1 && p <= ncol).map(p => visible(p - 1)))
 
   // ---- predicate surface (Ops.lazy.frame — R/lazy.frame.R:182-204) ----
 
   /** Matching 1-based row ids for a predicate — `x[, col] OP value` returns
-    * indices like `which()` (`man/lazy.frame.Rd:43-47`). One distributed
-    * scan; only ids surface, mirroring the C `WHICH` kernel returning hit
+    * indices like `which()` (`man/lazy.frame.Rd:43-47`). The predicate
+    * pushes down to the FileScan; only matching keys join the index, and
+    * only ids surface — mirroring the C `WHICH` kernel returning hit
     * arrays, not rows (`src/lazy.frame.c:617-698`). */
   def which(pred: Column): DataFrame =
-    withRowId.where(pred).select(col(ROW_ID)).orderBy(col(ROW_ID))
+    src.where(pred).join(idxSide, rowOrder)
+      .select(col(ROW_ID)).orderBy(col(ROW_ID))
 
   /** Fused filter+extract — the reference idiom `x[x[,c] OP v, ]`
-    * (vignette `inst/doc/lazy.frame.Rnw:272-281`) collapsed to the single
-    * pass Catalyst plans anyway. */
-  def filter(pred: Column): DataFrame = applyAttrs(withRowId.where(pred))
+    * (vignette `inst/doc/lazy.frame.Rnw:272-281`): pushdown scan of the
+    * matching rows, ids attached from the index. */
+  def filter(pred: Column): DataFrame =
+    applyAttrs(src.where(pred).join(idxSide, rowOrder)
+      .select((visible.map(col) :+ col(ROW_ID)): _*))
 
-  /** Filter without row ids — pure pushdown path (no id assignment pass);
-    * use when row addressing isn't needed. */
+  /** Filter without row ids — pure pushdown path (no index join); use when
+    * row addressing isn't needed. */
   def filterFast(pred: Column): DataFrame = applyAttrs(df.where(pred))
 
   // ---- head / tail / print (R/lazy.frame.R:234-261) ----
@@ -133,7 +213,7 @@ final class LazyFrame private (
   /** `print.lazy.frame`: header + head + "(N more rows)" (`R/lazy.frame.R:255-261`). */
   def printFrame(n: Int = 6): String = {
     val rows = head(n).collect()
-    val cols = df.columns :+ ROW_ID
+    val cols = visible :+ ROW_ID
     val more = math.max(0L, nrow - n)
     val body = rows.map(_.toSeq.map(v => if (v == null) "NA" else v.toString).mkString("\t"))
     (s"A lazy frame with $nrow rows and $ncol columns" +:
@@ -149,8 +229,8 @@ final class LazyFrame private (
     * the reference mutates its environment, we don't). Attributes are
     * re-applied to every extraction, like `R/lazy.frame.R:167-178`. */
   def withColumnAttr(column: String, meta: Metadata): LazyFrame = {
-    require(df.columns.contains(column), s"no such column: $column")
-    new LazyFrame(df, rowOrder, attrs + (column -> meta))
+    require(visible.contains(column), s"no such column: $column")
+    new LazyFrame(src, rowOrder, visible, attrs + (column -> meta), index)
   }
 
   /** Rename columns with `make.names`-style sanitization
@@ -159,11 +239,18 @@ final class LazyFrame private (
   def renameColumns(newNames: Seq[String]): LazyFrame = {
     require(newNames.length == ncol, "names length must match ncol")
     val clean = LazyFrame.makeNames(newNames)
-    val renamed = df.toDF(clean: _*)
-    val order = rowOrder.map(o => clean(df.columns.indexOf(o)))
-    new LazyFrame(renamed, order, attrs.map { case (k, v) =>
-      clean(df.columns.indexOf(k)) -> v
-    })
+    val mapping = visible.zip(clean).toMap
+    val renamedSrc = src.columns.foldLeft(src) { (d, c) =>
+      if (mapping.contains(c)) d.withColumnRenamed(c, mapping(c)) else d
+    }
+    val order = rowOrder.map(o => mapping.getOrElse(o, o))
+    // renaming an order-key column invalidates the shared index's key names;
+    // rebuild lazily against the renamed source
+    val idx2 =
+      if (rowOrder.exists(mapping.contains)) new RowIndex(renamedSrc, order) else index
+    new LazyFrame(renamedSrc, order, clean, attrs.map { case (k, v) =>
+      mapping.getOrElse(k, k) -> v
+    }, idx2)
   }
 
   /** `summary` is a stub in the reference (`R/lazy.frame.R:115-119`);
@@ -176,11 +263,11 @@ final class LazyFrame private (
       df.schema.fields.map(f => s" $$ ${f.name}: ${f.dataType.simpleString}").mkString("\n")
 
   /** REOPEN (`src/lazy.frame.c:94-130`): re-bind to the source — plans are
-    * re-executable by construction, so this just drops cached state (the
-    * reference re-opens its file handle after deserialization). */
+    * re-executable by construction, so this just drops the persisted index
+    * (the reference re-opens its file handle after deserialization). */
   def reopen(): LazyFrame = {
-    withRowId.unpersist()
-    new LazyFrame(df, rowOrder, attrs)
+    index.unpersist()
+    new LazyFrame(src, rowOrder, visible, attrs, new RowIndex(src, rowOrder))
   }
 
   private def applyAttrs(d: DataFrame): DataFrame =
@@ -193,6 +280,9 @@ final class LazyFrame private (
 
 object LazyFrame {
   val ROW_ID = "row_id"
+
+  /** Index rows up to which the extraction join broadcasts the index. */
+  val BroadcastIndexMaxRows: Long = 8L * 1000 * 1000
 
   /** Open a parquet table with a pinned row order (schema comes free from
     * the footer — the moral equivalent of the reference's sampled probe). */
@@ -248,13 +338,13 @@ object LazyFrame {
           .select("r.*")
       }
     val order = if (rowOrder.nonEmpty) rowOrder else finalSchema.fieldNames.toSeq
-    new LazyFrame(df, order, Map.empty)
+    new LazyFrame(df, order, df.columns.toSeq, Map.empty, new RowIndex(df, order))
   }
 
   def fromDataFrame(df: DataFrame, rowOrder: Seq[String]): LazyFrame = {
     require(rowOrder.nonEmpty, "a LazyFrame needs a pinned total row order")
     require(rowOrder.forall(df.columns.contains), "rowOrder must name existing columns")
-    new LazyFrame(df, rowOrder, Map.empty)
+    new LazyFrame(df, rowOrder, df.columns.toSeq, Map.empty, new RowIndex(df, rowOrder))
   }
 
   /** R `make.names` semantics (subset used by the reference's dimnames

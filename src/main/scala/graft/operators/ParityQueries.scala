@@ -10,19 +10,28 @@ import org.apache.spark.sql.functions._
   *
   * Every query pins the same row order as its oracle:
   * `row_number() OVER (ORDER BY l_orderkey, l_linenumber)` — the Spark side
-  * assigns ids scalably (range partition + zipWithIndex, LazyFrame.withRowId)
-  * but under the identical total order.
+  * assigns ids scalably (narrow key→row_id index joined to a pushdown
+  * FileScan, LazyFrame.withRowId) but under the identical total order.
   */
 object ParityQueries {
 
   /** lineitem as a LazyFrame with its pinned row order. One frame per
     * (session, dir), like one open per file in the reference — the row-id
-    * index is built once and shared by every parity query. */
+    * index is built once and shared by every parity query.
+    *
+    * The order key must be a TOTAL order (LazyFrame contract): in the
+    * harness data `(l_orderkey, l_linenumber)` alone is not unique, so the
+    * key extends with partkey/suppkey/extendedprice, which together are —
+    * and the oracle's `row_number() OVER (ORDER BY ...)` pins the identical
+    * order, making ids deterministic on both engines (rather than relying
+    * on coincidental tie-breaking). */
+  private[graft] val rowOrderKey: Seq[String] =
+    Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
   private val frames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LazyFrame]
   private def li(s: SparkSession, d: String): LazyFrame =
     frames.getOrElseUpdate((s, d),
-      LazyFrame.parquet(s, s"$d/lineitem.parquet", Seq("l_orderkey", "l_linenumber")).cached())
+      LazyFrame.parquet(s, s"$d/lineitem.parquet", rowOrderKey).cached())
 
   /** Shared projection: all lineitem columns, timestamp stringified. */
   private def proj(df: DataFrame, withRowId: Boolean = true): DataFrame = {
@@ -37,7 +46,8 @@ object ParityQueries {
 
   private val lfCte =
     """WITH lf AS (
-      |  SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS row_id
+      |  SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+      |                               l_partkey, l_suppkey, l_extendedprice) AS row_id
       |  FROM lineitem
       |)""".stripMargin
 

@@ -75,7 +75,7 @@ class LazyFrameSpec extends SparkSpec {
   }
 
   test("row addressing: rowsRange, rowsAt, head/tail over pinned order") {
-    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", Seq("l_orderkey", "l_linenumber"))
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", graft.operators.ParityQueries.rowOrderKey)
     assert(lf.rowsRange(1, 10).count() == 10)
     assert(lf.head(5).count() == 5)
     assert(lf.tail(5).count() == 5)
@@ -89,7 +89,7 @@ class LazyFrameSpec extends SparkSpec {
   }
 
   test("which(pred) ids ∘ rowsAt ≡ filter(pred) — the reference two-pass identity") {
-    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", Seq("l_orderkey", "l_linenumber"))
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", graft.operators.ParityQueries.rowOrderKey)
     val pred = col("l_quantity") >= 49.0
     val ids = lf.which(pred).collect().map(_.getLong(0)).toSeq
     val viaIds = lf.rowsAt(ids).select("l_orderkey", "l_linenumber").collect().toSet
@@ -98,14 +98,28 @@ class LazyFrameSpec extends SparkSpec {
   }
 
   test("column projection: unknown names silently dropped; pushdown-safe") {
-    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", Seq("l_orderkey", "l_linenumber"))
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", graft.operators.ParityQueries.rowOrderKey)
     val sel = lf.select(Seq("l_orderkey", "l_linenumber", "not_a_column"))
     assert(sel.columns == Seq("l_orderkey", "l_linenumber"))
   }
 
+  test("projection preserves parent row numbering even when order-key cols are dropped") {
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", graft.operators.ParityQueries.rowOrderKey)
+    // l_quantity is NOT part of the order key: projecting to it alone must
+    // keep the parent's ids (the reference numbers physical lines, which
+    // projection never changes)
+    val sel = lf.select(Seq("l_quantity"))
+    assert(sel.columns == Seq("l_quantity"))
+    val parent = lf.rowsRange(11, 20).select("row_id", "l_quantity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val child = sel.rowsRange(11, 20).select("row_id", "l_quantity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(child == parent && child.size == 10)
+  }
+
   test("columnAttr metadata persists through extraction (column_attr<-)") {
     val meta = new MetadataBuilder().putStringArray("levels", Array("A", "N", "R")).build()
-    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", Seq("l_orderkey", "l_linenumber"))
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", graft.operators.ParityQueries.rowOrderKey)
       .withColumnAttr("l_returnflag", meta)
     val out = lf.filter(col("l_quantity") > 45)
     assert(out.schema("l_returnflag").metadata.getStringArray("levels").toSeq == Seq("A", "N", "R"))
