@@ -52,6 +52,28 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_dot",
       (e: Seq[Expression]) => invoke(DoubleType, "dotF", e,
         Seq(ArrayType(FloatType), ArrayType(FloatType))), "scala_udf")
+    // md5-derived variants: reproducible by the SQL oracle (see TextHashes)
+    reg.createOrReplaceTempFunction("graft_md5_60",
+      (e: Seq[Expression]) => invoke(LongType, "md5Hash60", e,
+        Seq(StringType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash60",
+      (e: Seq[Expression]) => invoke(LongType, "simhash60", e,
+        Seq(ArrayType(StringType))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_winnow60",
+      (e: Seq[Expression]) => invoke(ArrayType(LongType, containsNull = false), "winnow60", e,
+        Seq(ArrayType(StringType), IntegerType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hyperplane_bucket_md5",
+      (e: Seq[Expression]) => invoke(IntegerType, "hyperplaneBucketMd5", e,
+        Seq(ArrayType(FloatType), IntegerType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_byte_entropy",
+      (e: Seq[Expression]) => invoke(DoubleType, "byteEntropy", e,
+        Seq(BinaryType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_distinct_bytes",
+      (e: Seq[Expression]) => invoke(IntegerType, "distinctBytes", e,
+        Seq(BinaryType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_fake_dim",
+      (e: Seq[Expression]) => invoke(IntegerType, "fakeDim", e,
+        Seq(BinaryType, IntegerType)), "scala_udf")
   }
 
   // Column-API wrappers (register(spark) must have been called in the session)
@@ -62,6 +84,13 @@ object GraftFunctions {
     call_function("graft_winnow", c, lit(k), lit(w))
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def dotProd(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def md5Hash60(c: Column): Column = call_function("graft_md5_60", c)
+  def simhash60(c: Column): Column = call_function("graft_simhash60", c)
+  def winnow60(c: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow60", c, lit(k), lit(w))
+  def byteEntropy(c: Column): Column = call_function("graft_byte_entropy", c)
+  def distinctBytes(c: Column): Column = call_function("graft_distinct_bytes", c)
+  def fakeDim(c: Column, idx: Int): Column = call_function("graft_fake_dim", c, lit(idx))
 
   /** Lowercase alphanumeric word tokens (both engines: split on
     * `[^a-z0-9]+`, drop empties). */

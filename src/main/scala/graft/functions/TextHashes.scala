@@ -173,4 +173,182 @@ object TextHashes {
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     dot
   }
+
+  // ---------------------------------------------------------------------
+  // md5-derived kernels: every hash below is the first 60 bits of the md5
+  // of a string, i.e. exactly `('0x' || substr(md5(s), 1, 15))::BIGINT` in
+  // ANSI-ish SQL. That choice makes each WHOLE ALGORITHM (simhash,
+  // winnowing, hyperplane LSH) reproducible by the DuckDB oracle — the
+  // differential harness then verifies the pipeline itself, not merely an
+  // aggregate bound. xxhash64 variants above remain the faster kernels
+  // when cross-engine reproducibility isn't needed.
+  // ---------------------------------------------------------------------
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes) == big-endian first 8 digest bytes >>> 4
+    * == `('0x' || substr(md5(s),1,15))::BIGINT`. Always non-negative. */
+  @inline private def md5Bits60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  /** md5-60 hash of a UTF8 string column value. */
+  def md5Hash60(s: UTF8String): Long = md5Bits60(s.getBytes)
+
+  /** 60-bit SimHash over a token array (weight 1 per occurrence), with the
+    * md5-60 token hash: bit b set iff Σ ±1 votes from token-hash bit b is
+    * positive. DuckDB reproduces it with md5 + bit arithmetic. */
+  def simhash60(tokens: ArrayData): Long = {
+    val acc = new Array[Int](60)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = md5Hash60(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03) over
+    * md5-60 hashes of k-token grams (space-joined, like [[shingles]]):
+    * slide a window of `w` gram-hashes, keep each window's minimum; return
+    * the distinct selected hashes sorted. The selected VALUE set equals
+    * the rightmost-min formulation (ties share the value), and every step
+    * is plain SQL: grams → md5-60 → windowed min → distinct. */
+  def winnow60(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    val nGrams = n - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val grams = new Array[Long](nGrams)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      grams(i) = md5Bits60(sb.toString.getBytes("UTF-8"))
+      i += 1
+    }
+    val selected = scala.collection.mutable.SortedSet.empty[Long]
+    if (nGrams <= w) {
+      var m = grams(0); i = 1
+      while (i < nGrams) { if (grams(i) < m) m = grams(i); i += 1 }
+      selected += m
+    } else {
+      var start = 0
+      while (start + w <= nGrams) {
+        var m = grams(start)
+        var j = start + 1
+        while (j < start + w) { if (grams(j) < m) m = grams(j); j += 1 }
+        selected += m
+        start += 1
+      }
+    }
+    new GenericArrayData(selected.toArray)
+  }
+
+  /** ±1 hyperplane components derived from md5 of "t_j_i" (low bit of the
+    * first hex nibble) — reproducible in SQL. The full plane set for a
+    * given (tables, bits, dim) is memoized per JVM: the space is tiny and
+    * fixed, so executors pay the md5 cost once, not per row. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Byte]]]()
+
+  private def planes(tables: Int, bits: Int, d: Int): Array[Array[Byte]] =
+    planeCache.computeIfAbsent((tables, bits, d), { _ =>
+      Array.tabulate(tables * bits) { tj =>
+        val t = tj / bits
+        val j = tj % bits
+        Array.tabulate(d) { i =>
+          val h = md5Bits60(s"${t}_${j}_${i}".getBytes("UTF-8"))
+          // first hex nibble of the digest = bits 59..56 of md5Bits60
+          if (((h >>> 56) & 1L) == 1L) 1.toByte else -1.toByte
+        }
+      }
+    })
+
+  /** Random-hyperplane LSH bucket with md5-derived planes: `bits` sign
+    * bits of dot products, bit j set iff dot(v, plane(table, j)) > 0. */
+  def hyperplaneBucketMd5(v: ArrayData, table: Int, bits: Int): Int = {
+    val d = v.numElements()
+    val pl = planes(table + 1, bits, d) // ensure cache covers tables 0..table
+    var bucket = 0
+    var j = 0
+    while (j < bits) {
+      val p = pl(table * bits + j)
+      var dot = 0.0
+      var i = 0
+      while (i < d) { dot += p(i) * v.getFloat(i).toDouble; i += 1 }
+      if (dot > 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
+  // ---- byte-level multimodal features (binary payload column) ----
+
+  /** Shannon entropy (bits/byte) of a byte histogram, summed over byte
+    * values ascending, rounded HALF_UP to 6 decimals — matching
+    * `round(-sum(p*ln(p)/ln(2)), 6)` over the same histogram in SQL. */
+  def byteEntropy(bytes: Array[Byte]): Double = {
+    val n = bytes.length
+    if (n == 0) return 0.0
+    val hist = new Array[Long](256)
+    var i = 0
+    while (i < n) { hist(bytes(i) & 0xFF) += 1; i += 1 }
+    var e = 0.0
+    var b = 0
+    while (b < 256) {
+      if (hist(b) > 0) {
+        val p = hist(b).toDouble / n
+        e -= p * (math.log(p) / math.log(2))
+      }
+      b += 1
+    }
+    BigDecimal(e).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Count of distinct byte values in the payload. */
+  def distinctBytes(bytes: Array[Byte]): Int = {
+    val seen = new Array[Boolean](256)
+    var c = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      if (!seen(b)) { seen(b) = true; c += 1 }
+      i += 1
+    }
+    c
+  }
+
+  /** Pseudo decode dimension: 64 + (byte[idx] & 0x7F), 64 when absent —
+    * the STUB stand-in for a real media decoder (no codecs in container). */
+  def fakeDim(bytes: Array[Byte], idx: Int): Int =
+    64 + (if (bytes.length > idx) bytes(idx) & 0x7F else 0)
 }

@@ -25,11 +25,39 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, List[Scored], List[Score
   private def lt(a: Scored, b: Scored): Boolean =
     a.cos > b.cos || (a.cos == b.cos && a.vid < b.vid)
 
-  private def trim(xs: List[Scored]): List[Scored] = xs.sortWith(lt).take(k)
+  /** Insert into a best-first sorted list (invariant held by every buffer):
+    * O(position) list surgery, no sort. */
+  private def insert(a: Scored, xs: List[Scored]): List[Scored] = xs match {
+    case h :: t if lt(h, a) => h :: insert(a, t)
+    case _                  => a :: xs
+  }
 
   override def zero: List[Scored] = Nil
-  override def reduce(buf: List[Scored], a: Scored): List[Scored] = trim(a :: buf)
-  override def merge(x: List[Scored], y: List[Scored]): List[Scored] = trim(x ::: y)
+
+  /** Bounded insert: a full buffer rejects a candidate no better than its
+    * current worst in O(1) list-tail peek + O(k) only on actual insertions
+    * — the common case for a streaming top-k is the cheap rejection. */
+  override def reduce(buf: List[Scored], a: Scored): List[Scored] =
+    if (buf.lengthCompare(k) < 0) insert(a, buf)
+    else if (lt(a, buf.last)) insert(a, buf.init)
+    else buf
+
+  /** Merge two sorted buffers, keeping the k best (merge-step of
+    * mergesort, truncated). */
+  override def merge(x: List[Scored], y: List[Scored]): List[Scored] = {
+    val out = List.newBuilder[Scored]
+    var (xs, ys, n) = (x, y, 0)
+    while (n < k && (xs.nonEmpty || ys.nonEmpty)) {
+      if (ys.isEmpty || (xs.nonEmpty && lt(xs.head, ys.head))) {
+        out += xs.head; xs = xs.tail
+      } else {
+        out += ys.head; ys = ys.tail
+      }
+      n += 1
+    }
+    out.result()
+  }
+
   override def finish(buf: List[Scored]): List[Scored] = buf
   override def bufferEncoder: Encoder[List[Scored]] = ExpressionEncoder[List[Scored]]()
   override def outputEncoder: Encoder[List[Scored]] = ExpressionEncoder[List[Scored]]()

@@ -135,21 +135,49 @@ object AdvancedQueries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_qty
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
 
-    // -- sketch percentile: no exact oracle (rows-only) --
-    "q_approx_percentile" -> Q.noOracle(
-      (s, d) => Tables.lineitem(s, d)
-        .agg(approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-          .as("approx_ps"))),
+    // -- sketch percentile, oracled by its error bound: approx_percentile
+    //    with accuracy A has rank error ≤ n/A (KLL-style guarantee); with
+    //    A=10000 a ±0.005 quantile window is ~50× that bound. The query
+    //    emits the EXACT quantiles (cross-engine checked) plus booleans
+    //    asserting each sketch value lies inside its window; the sketch is
+    //    deterministic for fixed data, so the booleans are stable. --
+    "q_approx_percentile" -> Q(
+      (s, d) => {
+        val ps = Seq(0.5, 0.95, 0.99)
+        val delta = 0.005
+        val agg = Tables.lineitem(s, d).agg(
+          approx_percentile(col("l_extendedprice"),
+            array(ps.map(lit): _*), lit(10000)).as("ap"),
+          percentile(col("l_extendedprice"), array(ps.map(lit): _*)).as("ex"),
+          percentile(col("l_extendedprice"),
+            array(ps.map(p => lit(math.max(0.0, p - delta))): _*)).as("lo"),
+          percentile(col("l_extendedprice"),
+            array(ps.map(p => lit(math.min(1.0, p + delta))): _*)).as("hi"))
+        agg.select(
+          (ps.indices.map(i => round(element_at(col("ex"), i + 1), 6).as(s"exact_p${(ps(i) * 100).toInt}")) ++
+            ps.indices.map(i =>
+              (element_at(col("ap"), i + 1) >= element_at(col("lo"), i + 1) &&
+                element_at(col("ap"), i + 1) <= element_at(col("hi"), i + 1))
+                .as(s"approx_ok_p${(ps(i) * 100).toInt}"))): _*)
+      },
+      """SELECT round(quantile_cont(l_extendedprice, 0.50), 6) AS exact_p50,
+        | round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+        | round(quantile_cont(l_extendedprice, 0.99), 6) AS exact_p99,
+        | TRUE AS approx_ok_p50, TRUE AS approx_ok_p95, TRUE AS approx_ok_p99
+        |FROM lineitem""".stripMargin),
 
-    // -- array aggregation --
+    // -- array aggregation (array emitted as a joined string: the driver's
+    //    pandas compare can't sort/hash a raw array column) --
     "q_collect_list" -> Q(
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(sort_array(collect_set(col("l_linenumber"))).as("lines"),
+        .agg(array_join(sort_array(collect_set(col("l_linenumber"))).cast("array<string>"), ",")
+          .as("lines"),
           countDistinct(col("l_linenumber")).as("n_lines"))
         .orderBy("l_returnflag"),
       """WITH dd AS (SELECT DISTINCT l_returnflag, l_linenumber FROM lineitem)
-        |SELECT l_returnflag, list(l_linenumber ORDER BY l_linenumber) AS lines,
+        |SELECT l_returnflag,
+        | string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS lines,
         | count(*) AS n_lines
         |FROM dd GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
 

@@ -52,10 +52,16 @@ object AsOfJoin {
 
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Carry a (ts, payload) marker struct rather than the bare payload:
+    // the marker is non-null exactly on right rows, so a legitimately-NULL
+    // payload in the most recent right row is preserved (ASOF semantics)
+    // instead of last(ignoreNulls) skipping back to an older right row.
     val carried = taggedRight.unionByName(taggedLeft)
       .select((col(key) +: col("__t") +: col("__side") +:
         leftCols.filterNot(_ == key).map(col)) ++
-        srcNames.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w)
+        srcNames.map(c => last(
+          when(col("__side") === 0, struct(col("__t").as("t"), col(s"__p_$c").as("p"))),
+          ignoreNulls = true).over(w).getField("p")
           .as(payloadCols(c))): _*)
 
     carried.where(col("__side") === 1)

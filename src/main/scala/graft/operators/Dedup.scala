@@ -86,12 +86,19 @@ object Dedup {
     // Everything per-row until the band bucket join: signature AND shingle
     // set are computed inside the scan stage, zero shuffle (MinHash is
     // multiplicity-insensitive, so no distinct needed before signing).
+    //
+    // Persisted: `sets` feeds the band table AND both sides of the exact
+    // verification join — without it the tokenize→shingle→128-hash scan
+    // (the dominant cost) runs three times. Size is bounded: per doc one
+    // signature (numHashes longs) + the distinct shingle hashes — a few KB
+    // per document, independent of raw document length.
     val sets = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .select(col("doc_id"), shingles(col("t"), k).as("sharr"))
       .select(col("doc_id"),
         minhashSig(col("sharr"), numHashes).as("sig"),
         array_distinct(transform(col("sharr"), s => xxhash64(s))).as("ss"))
       .select(col("doc_id"), col("sig"), col("ss"), size(col("ss")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val sig = sets.select(col("doc_id"), col("sig"))
     val bandTbl = sig.select(col("doc_id"),
@@ -117,17 +124,19 @@ object Dedup {
 
   /** SimHash near-dup candidate pairs with exact Hamming verification.
     * Hamming ≤ maxHamming requires maxHamming+1 blocks for the pigeonhole
-    * guarantee; we use 4 16-bit blocks (exact for maxHamming ≤ 3).
+    * guarantee; we use 4 15-bit blocks of the 60-bit md5-based simhash
+    * (exact for maxHamming ≤ 3). The md5-60 token hash makes the whole
+    * pipeline reproducible by the SQL oracle (TextHashes.simhash60).
     * Output: (da, db, hamming). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block LSH is exact only for Hamming <= 3")
     GraftFunctions.register(docs.sparkSession)
     val sigs = docs.select(col(idCol).as("doc_id"),
-      simhash64(tokens(col(textCol))).as("sh"))
+      simhash60(tokens(col(textCol))).as("sh"))
     val blocks = sigs.select(col("doc_id"), col("sh"),
       posexplode(array((0 to 3).map(b =>
-        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftrightunsigned(col("sh"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
       .toDF("doc_id", "sh", "blk", "bv")
     blocks.as("a")
       .join(blocks.as("b"),
@@ -150,11 +159,14 @@ object Dedup {
     * convergence count, so this scales to billions of edges the same way
     * large-graph CC does. Output: (doc_id, cluster) for every doc that
     * appears in at least one pair. */
-  def dupClusters(pairs: DataFrame): DataFrame = {
-    // localCheckpoint (not cache): iterative plans grow exponentially in
-    // lineage; checkpointing truncates the logical plan each round.
-    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // Materialize the (possibly expensive) pair computation ONCE before the
+    // symmetric union reads it twice; localCheckpoint (not cache) because
+    // iterative plans grow exponentially in lineage — checkpointing
+    // truncates the logical plan each round.
+    val p0 = pairs.select(col("da"), col("db")).localCheckpoint()
+    val edges = p0.select(col("da").as("a"), col("db").as("b"))
+      .union(p0.select(col("db").as("a"), col("da").as("b")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("a").as("node"), col("a").as("lbl"))
@@ -163,7 +175,7 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val viaEdges = edges.join(labels, edges("b") === labels("node"))
         .select(col("a").as("node"), col("lbl"))
       val next = labels.select(col("node"), col("lbl")).union(viaEdges)
@@ -175,18 +187,49 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // Returning unconverged labels would be silently WRONG for components
+    // of diameter > maxRounds — refuse instead (callers with deeper graphs
+    // raise maxRounds; near-dup clusters are shallow in practice).
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters: min-label propagation did not converge in $maxRounds rounds " +
+          "(component diameter exceeds the cap); raise maxRounds")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
   }
 
-  /** Embedding near-dup pairs: exact cosine ≥ tau. Brute-force baseline
-    * (broadcast-nested-loop at test scale); the scale path is
-    * [[Similarity.lshCosinePairs]] — random-hyperplane bucketing. */
+  /** Embedding near-dup pairs: EXACT cosine ≥ tau via a block-tiled
+    * all-pairs equi-join (no BroadcastNestedLoopJoin anywhere in the plan).
+    *
+    * Exact low-threshold all-pairs is inherently Θ(n²) WORK on data without
+    * similarity structure (the harness embeddings are continuous through
+    * any threshold — there is no gap a sub-quadratic sketch could exploit
+    * with recall 1). What a cluster buys is distributing that work: each
+    * vector is assigned a block `b = vec_id mod B`; side A replicates a
+    * block-p vector to tiles (p, q≥p), side B to tiles (p≤q, q), and an
+    * ordinary shuffle join on the tile key lands every unordered pair in
+    * exactly one of the B(B+1)/2 evenly-sized tiles. Shuffle volume is
+    * O(n·B) vectors; per-task work (n/B)² — tune B to the cluster.
+    *
+    * When approximate recall suffices, [[Similarity.lshCosinePairs]] is the
+    * sub-quadratic path. */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-      tau: Double): DataFrame = {
+      tau: Double, blocks: Int = 8): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      pmod(col(idCol), lit(blocks)).cast("int").as("blk"))
+    val sideA = e.select(col("vec_id"), col("v"), col("blk").as("p"),
+        explode(sequence(col("blk"), lit(blocks - 1))).as("q"))
+    val sideB = e.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), col("blk"))).as("p"), col("blk").as("q"))
+    sideA.as("a")
+      .join(sideB.as("b"),
+        col("a.p") === col("b.p") && col("a.q") === col("b.q") &&
+          (col("a.p") < col("a.q") || col("a.vec_id") < col("b.vec_id")))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("va"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vb"),
+        // cosineF is orientation-symmetric bit-for-bit (same per-i products,
+        // commutative final multiply), so least/greatest relabeling is safe
         cosineSim(col("a.v"), col("b.v")).as("cos"))
       .where(col("cos") >= tau)
   }

@@ -76,11 +76,13 @@ object PipelineQueries {
         .orderBy("da", "db"),
       jaccardSql(0.8)),
 
-    // cluster canonicalization over the exact-Jaccard pairs; oracle is a
-    // recursive-CTE transitive closure + min label
+    // cluster canonicalization over the verified near-dup pairs (MinHash
+    // candidates, exact-Jaccard verified — equal to the exact pair set at
+    // this tau, see jaccardSql note); oracle is a recursive-CTE transitive
+    // closure + min label over the exact pairs
     "q_dedup_clusters" -> Q(
       (s, d) => Dedup.dupClusters(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8))
+        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8))
         .orderBy("doc_id"),
       s"""WITH RECURSIVE pairs AS (${jaccardSql(0.8).replace("ORDER BY da, db", "")}),
          |sym AS (SELECT da AS a, db AS b FROM pairs
@@ -127,9 +129,37 @@ object PipelineQueries {
         |   '\s+', ' ', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    "q_dedup_simhash" -> Q.noOracle(
+    // full differential oracle: DuckDB replays the 60-bit md5-based simhash
+    // (token hash = first 60 bits of md5, majority vote per bit), the
+    // 4×15-bit pigeonhole blocking, and the exact Hamming verification —
+    // the ALGORITHM is cross-engine checked, not just an aggregate bound
+    "q_dedup_simhash" -> Q(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
-        .orderBy("da", "db")),
+        .orderBy("da", "db"),
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |th AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+         |bits AS (
+         |  SELECT th.doc_id, b.b,
+         |         CASE WHEN sum(((h >> b.b) & 1) * 2 - 1) > 0
+         |              THEN (1::BIGINT << b.b) ELSE 0 END AS bv
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+         |  GROUP BY th.doc_id, b.b),
+         |sig AS (
+         |  SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+         |  FROM documents d LEFT JOIN
+         |   (SELECT doc_id, sum(bv)::BIGINT AS sh FROM bits GROUP BY 1) s USING (doc_id)),
+         |blk AS (
+         |  SELECT doc_id, sh, k.k AS blk, (sh >> (k.k * 15)) & 32767 AS bv
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |         bit_count(xor(a.sh, b.sh))::INT AS hamming
+         |  FROM blk a JOIN blk b
+         |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT da, db, hamming FROM cand WHERE hamming <= 3
+         |ORDER BY da, db""".stripMargin),
 
     "q_dedup_embed" -> Q(
       (s, d) => Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
@@ -185,9 +215,39 @@ object PipelineQueries {
          |  FROM s)
          |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
 
-    "q_ann_lsh" -> Q.noOracle(
+    // full differential oracle of the hyperplane-LSH pipeline: DuckDB
+    // rebuilds the md5-derived ±1 planes, the 12-bit sign buckets per
+    // table, the bucket-collision candidates, and the exact cosine
+    // verification. (Recall vs the exact pair set is a property of the
+    // parameters, measured in SimilaritySpec; this row checks that the
+    // ALGORITHM computes identically on both engines.)
+    "q_ann_lsh" -> Q(
       (s, d) => Similarity.lshCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
-        .orderBy("va", "vb")),
+        .orderBy("va", "vb"),
+      s"""WITH planes AS (
+         |  SELECT t.t, j.j, i.i,
+         |    CASE WHEN (('0x' || substr(md5(t.t::VARCHAR || '_' || j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::BIGINT & 1) = 1
+         |         THEN 1.0 ELSE -1.0 END AS s
+         |  FROM (SELECT unnest(range(0, 8)) AS t) t
+         |  CROSS JOIN (SELECT unnest(range(0, 12)) AS j) j
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+         |dots AS (
+         |  SELECT e.vec_id, p.t, p.j, sum(p.s * e.embedding[p.i + 1]) AS dot
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY 1, 2, 3),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT va, vb, cos FROM (
+         |  SELECT c.va, c.vb, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.va
+         |              JOIN embeddings eb ON eb.vec_id = c.vb)
+         |WHERE cos >= 0.4 ORDER BY va, vb""".stripMargin),
 
     // ---- text analysis ----
     "q_lang_id" -> Q(
@@ -248,16 +308,35 @@ object PipelineQueries {
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    "q_winnow_fp" -> Q.noOracle(
+    // winnowing fingerprints (k=4 token grams, window w=5), differential
+    // oracle: DuckDB rebuilds the md5-60 gram hashes and the per-window
+    // minima; the selected VALUE set equals the rightmost-min formulation
+    "q_winnow_fp" -> Q(
       (s, d) => {
         GraftFunctions.register(s)
         Tables.documents(s, d)
           .select(col("doc_id"),
-            winnowFp(tokens(col("text")), 4, 5).as("fps"))
-          .select(col("doc_id"), size(col("fps")).as("n_fps"),
-            element_at(col("fps"), 1).as("first_fp"))
-          .orderBy("doc_id")
-      }),
+            explode(winnow60(tokens(col("text")), 4, 5)).as("fp"))
+          .orderBy("doc_id", "fp")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, i,
+         |    ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT AS gh,
+         |    ng
+         |  FROM (SELECT doc_id, t, len(t) - 3 AS ng,
+         |          unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS i
+         |        FROM toks)),
+         |win AS (
+         |  SELECT doc_id, ng, p, least(p + 4, ng) AS hi
+         |  FROM (SELECT doc_id, ng,
+         |          unnest(range(1, greatest(ng - 4, 1) + 1)) AS p
+         |        FROM (SELECT DISTINCT doc_id, ng FROM g))),
+         |wmin AS (
+         |  SELECT w.doc_id, w.p, min(g.gh) AS fp
+         |  FROM win w JOIN g ON g.doc_id = w.doc_id AND g.i BETWEEN w.p AND w.hi
+         |  GROUP BY w.doc_id, w.p)
+         |SELECT DISTINCT doc_id, fp FROM wmin ORDER BY doc_id, fp""".stripMargin),
 
     // ---- multimodal plumbing ----
     "q_mm_meta" -> Q(
@@ -270,9 +349,33 @@ object PipelineQueries {
         | md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    "q_mm_features" -> Q.noOracle(
+    // byte-level features over the binary payload, differential oracle:
+    // DuckDB explodes the payload's hex pairs into byte values and replays
+    // the histogram → distinct count + entropy (identical ln-ratio
+    // formula, HALF_UP round to 6) + the stubbed decode dims
+    "q_mm_features" -> Q(
       (s, d) => Multimodal.extractFeatures(
         Multimodal.withBlob(Tables.documents(s, d), "text"), "doc_id", "payload")
-        .orderBy("doc_id"))
+        .orderBy("doc_id"),
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text))::BIGINT AS nb
+        |  FROM documents),
+        |by AS (
+        |  SELECT doc_id, nb, unnest(list_transform(range(1, nb::INT + 1),
+        |         i -> ('0x' || substr(h, (i-1)*2 + 1, 2))::BIGINT)) AS v
+        |  FROM hx),
+        |hist AS (SELECT doc_id, nb, v, count(*)::DOUBLE AS c FROM by GROUP BY 1, 2, 3),
+        |feat AS (
+        |  SELECT doc_id, count(*)::INT AS nd,
+        |         round(-sum((c / nb) * (ln(c / nb) / ln(2))), 6) AS ent
+        |  FROM hist GROUP BY doc_id, nb)
+        |SELECT hx.doc_id, hx.nb AS n_bytes,
+        |  coalesce(f.nd, 0)::INT AS n_distinct_bytes,
+        |  coalesce(f.ent, 0.0) AS entropy,
+        |  (64 + CASE WHEN nb > 0 THEN ('0x' || substr(h, 1, 2))::BIGINT & 127 ELSE 0 END)::INT AS fake_width,
+        |  (64 + CASE WHEN nb > 1 THEN ('0x' || substr(h, 3, 2))::BIGINT & 127 ELSE 0 END)::INT AS fake_height
+        |FROM hx LEFT JOIN feat f USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -263,11 +263,25 @@ object RelationalQueries {
         | count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
-    // -- HLL sketch: no exact SQL oracle (driver records rows-only) --
-    "q_approx_distinct" -> Q.noOracle(
+    // -- HLL sketch, oracled by its error bound: the estimate is
+    //    deterministic for fixed data (fixed hash, no RNG), so "within 5%
+    //    of exact" is a stable boolean; the exact counts are cross-engine
+    //    checked as values --
+    "q_approx_distinct" -> Q(
       (s, d) => Tables.lineitem(s, d)
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.05)
+            .as("parts_within_5pct"),
+          (abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders") <= 0.05)
+            .as("orders_within_5pct")),
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        | count(DISTINCT l_orderkey) AS exact_orders,
+        | TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+        |FROM lineitem""".stripMargin),
 
     // -- scalar string functions --
     "q_scalar_string" -> Q(

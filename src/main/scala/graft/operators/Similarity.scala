@@ -77,23 +77,23 @@ object Similarity {
   }
 
   /** All-pairs cosine ≥ tau via random-hyperplane LSH: `tables` hash
-    * tables of `bits` sign-bits each (hyperplanes derived deterministically
-    * from xxhash64 of (table, bit, dim) — no RNG state, reproducible across
-    * runs/executors); exact cosine verification on bucket collisions.
+    * tables of `bits` sign-bits each (±1 hyperplanes derived
+    * deterministically from md5 of "t_j_i" — no RNG state, reproducible
+    * across runs/executors AND by the SQL oracle, which replays the same
+    * planes/buckets/verification); exact cosine verification on bucket
+    * collisions.
     *
     * Recall for a pair at angle θ: 1-(1-(1-θ/π)^bits)^tables. Not exact —
-    * callers wanting the exact answer at test scale use
-    * [[Dedup.embeddingCosinePairs]].
+    * callers wanting the exact answer use [[Dedup.embeddingCosinePairs]].
     */
   def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       tau: Double, bits: Int = 12, tables: Int = 8): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     // sign-bit bucket per (table): bit j = sign(dot(v, plane(t, j)))
-    // planes are pseudo-random ±1 vectors from xxhash64((t*bits+j)*dim+i)
     val bucketed = e.select(col("vec_id"), col("v"),
       posexplode(transform(sequence(lit(0), lit(tables - 1)),
-        t => call_function("graft_hyperplane_bucket", col("v"), t, lit(bits)))))
+        t => call_function("graft_hyperplane_bucket_md5", col("v"), t, lit(bits)))))
       .toDF("vec_id", "v", "tbl", "bucket")
     bucketed.as("a")
       .join(bucketed.as("b"),

@@ -87,26 +87,37 @@ object EventStreams {
       .mapGroupsWithState[(Long, Long), (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
         case (uid, it, state) =>
           var (n, cents) = state.getOption.getOrElse((0L, 0L))
-          it.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          it.foreach { case (_, v) =>
+            n += 1
+            // HALF_UP at scale 2, matching a DECIMAL(18,2) cast (the oracle
+            // semantics) — math.round is half-up toward +inf, which differs
+            // for negative exact half-cents
+            cents += (BigDecimal(v).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100)
+              .toLongExact
+          }
           state.update((n, cents))
           (uid, n, cents / 100.0)
       }
       .toDF("user_id", "n", "sum_value")
   }
 
-  /** Drive an update-mode stateful stream to completion, collecting every
-    * emitted snapshot via foreachBatch; returns all snapshots (callers keep
-    * the final one per key — `n` is strictly increasing per key). */
+  /** Drive an update-mode stateful stream to completion. Every micro-batch
+    * of snapshots is APPENDED TO A TEMP PARQUET SINK by the executors —
+    * the driver never collects data rows (at scale the union of snapshots
+    * dwarfs driver memory); the returned frame reads the sink back.
+    * Callers keep the final snapshot per key — `n` is strictly increasing
+    * per key. */
   def runUpdatesToBatch(spark: SparkSession, agg: DataFrame): DataFrame = {
-    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-    val schema = agg.schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stateful_").toString
     val q = agg.writeStream
       .outputMode("update")
-      .foreachBatch { (b: DataFrame, _: Long) => rows.synchronized { rows ++= b.collect() }; () }
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(dir); ()
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    spark.read.schema(agg.schema).parquet(dir)
   }
 
   /** Run a streaming aggregation to completion against the finite input and
