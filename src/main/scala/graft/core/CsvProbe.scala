@@ -27,23 +27,25 @@ object CsvProbe {
 
   private val SampleRows = 5
 
-  def probe(spark: SparkSession, path: String, sep: String, skip: Int): Probe = {
+  def probe(spark: SparkSession, path: String, sep: String, skip: Int,
+      naStrings: Seq[String] = Seq("NA"), dec: Char = '.'): Probe = {
     val lines = spark.read.text(path)
       .limit(skip + SampleRows + 1)
       .collect()
       .iterator.map(_.getString(0)).drop(skip).toSeq
     require(lines.nonEmpty, s"empty input: $path")
 
+    def infer(s: String) = inferTypeNa(s, naStrings.toSet, dec)
     val cells = lines.map(splitLine(_, sep))
     val ncol = cells.head.length
-    val first = cells.head.map(inferType)
+    val first = cells.head.map(infer)
     val rest = cells.tail.filter(_.length == ncol)
 
     // Header heuristic (cf. R/lazy.frame.R:76-79): the first row is a header
     // if it is all-string while some later row has a numeric in a column.
     val restTypes: Seq[DataType] =
       if (rest.isEmpty) first
-      else (0 until ncol).map(i => mergeTypes(rest.map(r => inferType(r(i)))))
+      else (0 until ncol).map(i => mergeTypes(rest.map(r => infer(r(i)))))
     val headerDetected = rest.nonEmpty &&
       first.forall(_ == StringType) &&
       restTypes.exists(t => t == LongType || t == DoubleType)
@@ -51,7 +53,7 @@ object CsvProbe {
     val dataRows = if (headerDetected) rest else cells.filter(_.length == ncol)
     val types: Seq[DataType] =
       if (dataRows.isEmpty) Seq.fill(ncol)(StringType)
-      else (0 until ncol).map(i => mergeTypes(dataRows.map(r => inferType(r(i)))))
+      else (0 until ncol).map(i => mergeTypes(dataRows.map(r => infer(r(i)))))
     val names =
       if (headerDetected) LazyFrame.makeNames(cells.head.map(stripQuotes))
       else (1 to ncol).map(i => s"V$i")
@@ -80,12 +82,20 @@ object CsvProbe {
     if (t.length >= 2 && t.head == '"' && t.last == '"') t.substring(1, t.length - 1) else t
   }
 
-  private[graft] def inferType(raw: String): DataType = {
-    val s = stripQuotes(raw)
-    if (s.isEmpty || s == "NA") NullType
-    else if (s.matches("[+-]?\\d+")) LongType
-    else if (scala.util.Try(s.toDouble).isSuccess) DoubleType
-    else StringType
+  private[graft] def inferType(raw: String): DataType =
+    inferTypeNa(raw, Set("NA"), '.')
+
+  /** Type inference aware of the caller's NA markers and decimal separator
+    * (read.table's `na.strings`/`dec` passthrough, `R/lazy.frame.R:89-108`). */
+  private[graft] def inferTypeNa(raw: String, na: Set[String], dec: Char): DataType = {
+    val s0 = stripQuotes(raw)
+    if (s0.isEmpty || na.contains(s0)) NullType
+    else {
+      val s = if (dec != '.') s0.replace(dec, '.') else s0
+      if (s.matches("[+-]?\\d+")) LongType
+      else if (scala.util.Try(s.toDouble).isSuccess) DoubleType
+      else StringType
+    }
   }
 
   private[graft] def mergeTypes(ts: Seq[DataType]): DataType =

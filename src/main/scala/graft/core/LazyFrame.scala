@@ -115,12 +115,24 @@ final class LazyFrame private (
     val rowOrder: Seq[String],
     private val visible: Seq[String],
     private val attrs: Map[String, Metadata],
-    private val index: RowIndex) {
+    private val index: RowIndex,
+    private val rowNamesCol: Option[String] = None) {
 
   import LazyFrame.ROW_ID
 
   /** The visible-column frame (no row ids — pure pushdown scan). */
   def df: DataFrame = src.select(visible.map(col): _*)
+
+  /** The designated row-names source column, if one was given at open
+    * (`row.names=j`, `R/lazy.frame.R:53-58`). It is excluded from the data
+    * columns (so positional addressing shifts past it, like the C WHICH
+    * kernel's `rownames` adjustment, `src/lazy.frame.c:632-636`) and
+    * surfaces as a trailing `row_names` column on every extraction. */
+  def rowNames: Option[String] = rowNamesCol
+
+  /** Extraction output columns: visible data + optional row_names. */
+  private def outCols: Seq[Column] =
+    visible.map(col) ++ rowNamesCol.map(c => col(c).as("row_names")).toSeq
 
   /** O(1) after the index is built (the counting job caches the total),
     * like the reference's construction-time `dim` capture
@@ -142,7 +154,7 @@ final class LazyFrame private (
     * predicates) or the index side (row-id predicates). */
   lazy val withRowId: DataFrame =
     src.join(idxSide, rowOrder)
-      .select((visible.map(col) :+ col(ROW_ID)): _*)
+      .select((outCols :+ col(ROW_ID)): _*)
 
   /** Force-build the row-id index (the reference builds its newline index
     * at open and reuses it for every extraction, `R/lazy.frame.R:47-50`).
@@ -175,8 +187,9 @@ final class LazyFrame private (
     * unchanged even when order-key columns are projected away. */
   def select(names: Seq[String]): LazyFrame = {
     val keep = names.filter(visible.contains)
-    val internal = src.columns.filter(c => keep.contains(c) || rowOrder.contains(c)).toSeq
-    new LazyFrame(src.select(internal.map(col): _*), rowOrder, keep, attrs, index)
+    val internal = src.columns.filter(c =>
+      keep.contains(c) || rowOrder.contains(c) || rowNamesCol.contains(c)).toSeq
+    new LazyFrame(src.select(internal.map(col): _*), rowOrder, keep, attrs, index, rowNamesCol)
   }
 
   /** Column projection by 1-based position (reference columns are 1-based). */
@@ -199,7 +212,7 @@ final class LazyFrame private (
     * matching rows, ids attached from the index. */
   def filter(pred: Column): DataFrame =
     applyAttrs(src.where(pred).join(idxSide, rowOrder)
-      .select((visible.map(col) :+ col(ROW_ID)): _*))
+      .select((outCols :+ col(ROW_ID)): _*))
 
   /** Filter without row ids — pure pushdown path (no index join); use when
     * row addressing isn't needed. */
@@ -230,7 +243,7 @@ final class LazyFrame private (
     * re-applied to every extraction, like `R/lazy.frame.R:167-178`. */
   def withColumnAttr(column: String, meta: Metadata): LazyFrame = {
     require(visible.contains(column), s"no such column: $column")
-    new LazyFrame(src, rowOrder, visible, attrs + (column -> meta), index)
+    new LazyFrame(src, rowOrder, visible, attrs + (column -> meta), index, rowNamesCol)
   }
 
   /** Rename columns with `make.names`-style sanitization
@@ -250,7 +263,7 @@ final class LazyFrame private (
       if (rowOrder.exists(mapping.contains)) new RowIndex(renamedSrc, order) else index
     new LazyFrame(renamedSrc, order, clean, attrs.map { case (k, v) =>
       mapping.getOrElse(k, k) -> v
-    }, idx2)
+    }, idx2, rowNamesCol.map(c => mapping.getOrElse(c, c)))
   }
 
   /** `summary` is a stub in the reference (`R/lazy.frame.R:115-119`);
@@ -267,14 +280,27 @@ final class LazyFrame private (
     * (the reference re-opens its file handle after deserialization). */
   def reopen(): LazyFrame = {
     index.unpersist()
-    new LazyFrame(src, rowOrder, visible, attrs, new RowIndex(src, rowOrder))
+    new LazyFrame(src, rowOrder, visible, attrs, new RowIndex(src, rowOrder), rowNamesCol)
   }
 
+  /** Re-apply persistent column attributes to an extraction
+    * (`R/lazy.frame.R:167-178`). A `levels` attribute is not merely carried
+    * as metadata — it is APPLIED like R factor coding (the reference's
+    * canonical use, `man/column_attr.Rd:43-64`): string values outside the
+    * pinned levels become NULL, exactly as R recodes out-of-level values
+    * to NA. */
   private def applyAttrs(d: DataFrame): DataFrame =
     if (attrs.isEmpty) d
     else attrs.foldLeft(d) { case (acc, (name, meta)) =>
-      if (acc.columns.contains(name)) acc.withColumn(name, col(name).as(name, meta))
-      else acc
+      if (!acc.columns.contains(name)) acc
+      else {
+        val value =
+          if (meta.contains("levels") && acc.schema(name).dataType == StringType) {
+            val levels = meta.getStringArray("levels").toSeq
+            when(col(name).isin(levels: _*), col(name)).otherwise(lit(null))
+          } else col(name)
+        acc.withColumn(name, value.as(name, meta))
+      }
     }
 }
 
@@ -300,6 +326,18 @@ object LazyFrame {
     * @param rowOrder total-order key for row addressing; Nil = use all
     *                 columns in sequence (adequate for files whose rows are
     *                 unique; callers with duplicate rows should supply a key)
+    * @param naStrings values parsed as NA/null in EVERY column — the
+    *                  reference forwards `na.strings` to every read.table
+    *                  call (`R/lazy.frame.R:89-108`); default matches R's
+    *                  `na.strings = "NA"`
+    * @param quote     field quote character ("" disables), like read.table's
+    *                  `quote` passthrough
+    * @param dec       decimal separator for numeric columns (read.table's
+    *                  `dec`, e.g. ',' for European locales)
+    * @param rowNames  1-based index of the column holding row names
+    *                  (`row.names=j`, `R/lazy.frame.R:53-58`): excluded
+    *                  from the data columns (positional addressing shifts),
+    *                  surfaced as `row_names` on extractions
     */
   def csv(
       spark: SparkSession,
@@ -308,23 +346,53 @@ object LazyFrame {
       header: Option[Boolean] = None,
       skip: Int = 0,
       schema: Option[StructType] = None,
-      rowOrder: Seq[String] = Nil): LazyFrame = {
+      rowOrder: Seq[String] = Nil,
+      naStrings: Seq[String] = Seq("NA"),
+      quote: String = "\"",
+      dec: Char = '.',
+      rowNames: Option[Int] = None): LazyFrame = {
 
-    val probe = CsvProbe.probe(spark, path, sep, skip)
+    val probe = CsvProbe.probe(spark, path, sep, skip, naStrings, dec)
     val hasHeader = header.getOrElse(probe.headerDetected)
     val finalSchema = schema.getOrElse(
       if (hasHeader) probe.schemaWithHeaderNames else probe.schemaGenericNames)
+
+    // Multiple NA markers or a non-'.' decimal separator exceed what the
+    // Spark CSV reader expresses natively (one nullValue, '.' decimals):
+    // parse those files as strings and cast in a projection — the scan
+    // still prunes columns; the casts stay inside codegen.
+    val customParse = naStrings.size > 1 || dec != '.'
+    val readSchema =
+      if (customParse) StructType(finalSchema.map(f => f.copy(dataType = StringType)))
+      else finalSchema
+
+    def castCustom(raw: DataFrame): DataFrame =
+      if (!customParse) raw
+      else raw.select(finalSchema.map { f =>
+        val denulled =
+          if (naStrings.isEmpty) col(f.name)
+          else when(col(f.name).isin(naStrings: _*), lit(null)).otherwise(col(f.name))
+        val decFixed = f.dataType match {
+          case DoubleType | FloatType if dec != '.' =>
+            regexp_replace(denulled, java.util.regex.Pattern.quote(dec.toString), ".")
+          case _ => denulled
+        }
+        // try_cast: malformed → null, the reference's cheap_strtod → NAN
+        decFixed.try_cast(f.dataType).as(f.name)
+      }: _*)
 
     // malformed fields → null → never match filters, like cheap_strtod →
     // NAN (src/lazy.frame.c:413-462): PERMISSIVE mode (the default)
     val df =
       if (skip == 0) {
-        spark.read
+        castCustom(spark.read
           .option("sep", sep)
           .option("header", hasHeader.toString)
           .option("mode", "PERMISSIVE")
-          .schema(finalSchema)
-          .csv(path)
+          .option("quote", quote)
+          .option("nullValue", naStrings.headOption.getOrElse(""))
+          .schema(readSchema)
+          .csv(path))
       } else {
         // Spark CSV has no skip-N-lines option: emulate the reference's
         // `internalskip` (R/lazy.frame.R:62-65) by dropping the first
@@ -333,12 +401,20 @@ object LazyFrame {
         val dropN = skip + (if (hasHeader) 1 else 0)
         val rdd = raw.rdd.zipWithIndex()
           .filter(_._2 >= dropN).map(_._1)
-        spark.createDataFrame(rdd, raw.schema)
-          .select(from_csv(col("value"), finalSchema, Map("sep" -> sep)).as("r"))
-          .select("r.*")
+        castCustom(spark.createDataFrame(rdd, raw.schema)
+          .select(from_csv(col("value"), readSchema,
+            Map("sep" -> sep, "quote" -> quote,
+              "nullValue" -> naStrings.headOption.getOrElse(""))).as("r"))
+          .select("r.*"))
       }
+    val rowNamesCol = rowNames.map { j =>
+      require(j >= 1 && j <= finalSchema.length,
+        "lazy frames only support row names from a single column in the file")
+      finalSchema.fieldNames(j - 1)
+    }
     val order = if (rowOrder.nonEmpty) rowOrder else finalSchema.fieldNames.toSeq
-    new LazyFrame(df, order, df.columns.toSeq, Map.empty, new RowIndex(df, order))
+    val vis = df.columns.toSeq.filterNot(rowNamesCol.contains)
+    new LazyFrame(df, order, vis, Map.empty, new RowIndex(df, order), rowNamesCol)
   }
 
   def fromDataFrame(df: DataFrame, rowOrder: Seq[String]): LazyFrame = {

@@ -133,6 +133,83 @@ class LazyFrameSpec extends SparkSpec {
     assert(renamed.columns == Seq("col.1", "X2nd"))
   }
 
+  // iris-shaped 150-row fixture with the Rd example's invariants
+  // (man/lazy.frame.Rd:82-100): exactly rows {9,14,39,43} have col1 < 4.5,
+  // exactly 50 rows are 'versicolor'. `id` mirrors physical line order (the
+  // LazyFrame analogue of the reference's newline index).
+  private val irisLow = Map(9 -> 4.4, 14 -> 4.3, 39 -> 4.4, 43 -> 4.4)
+  private def iris150: Seq[String] =
+    "sl,sw,pl,pw,species,id" +: (1 to 150).map { i =>
+      val sl = irisLow.getOrElse(i, 4.5 + (i * 7 % 30) / 10.0)
+      val sp = if (i <= 50) "setosa" else if (i <= 100) "versicolor" else "virginica"
+      f"$sl%.1f,${2.0 + (i * 3 % 25) / 10.0}%.1f,${1.0 + (i * 11 % 60) / 10.0}%.1f,${i / 1000.0}%.3f,$sp,$i"
+    }
+
+  test("Rd example semantics: x[x[,1]<4.5,] rows and versicolor cardinality") {
+    val lf = LazyFrame.csv(spark, writeCsv(iris150), rowOrder = Seq("id"))
+    val ids = lf.which(col("sl") < 4.5).collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(9L, 14L, 39L, 43L))
+    val v = lf.filter(col("species") === "versicolor")
+    assert(v.count() == 50)
+    // filter+extract returns the full rows with their pinned ids
+    val low = lf.filter(col("sl") < 4.5).select("row_id", "sl").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(low == Map(9L -> 4.4, 14L -> 4.3, 39L -> 4.4, 43L -> 4.4))
+  }
+
+  test("na.strings: every marker parses to NA in every column (read.table passthrough)") {
+    val lines = Seq("a,b,s", "1,2.5,x", "NULL,3.5,y", "3,?,NULL", "4,4.5,z")
+    val lf = LazyFrame.csv(spark, writeCsv(lines), naStrings = Seq("NULL", "?"))
+    assert(lf.df.schema("a").dataType == LongType) // NA markers don't break inference... via cast
+    assert(lf.filterFast(col("a").isNull).count() == 1)
+    assert(lf.filterFast(col("b").isNull).count() == 1)
+    assert(lf.filterFast(col("s").isNull).count() == 1)
+    // malformed-NA semantics: null never matches a comparison
+    assert(lf.filterFast(col("b") > 0.0).count() == 3)
+  }
+
+  test("quote: quoted separators stay one field; quote='' disables") {
+    val lines = Seq("a;s", "1;'x;y'", "2;plain")
+    val lf = LazyFrame.csv(spark, writeCsv(lines), sep = ";", quote = "'")
+    assert(lf.filterFast(col("s") === "x;y").count() == 1)
+  }
+
+  test("dec=',': European decimal separator parses doubles") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", DoubleType), StructField("s", StringType)))
+    val lines = Seq("x;s", "1,5;a", "2,25;b", "bad;c")
+    val lf = LazyFrame.csv(spark, writeCsv(lines), sep = ";", header = Some(true),
+      schema = Some(schema), dec = ',')
+    val got = lf.df.collect().map(r => Option(r.get(0))).toSeq
+    assert(got == Seq(Some(1.5), Some(2.25), None))
+  }
+
+  test("row.names from a file column: excluded from data cols, surfaced on extraction") {
+    val lines = Seq("name,x,y", "alpha,1,10.5", "beta,2,20.5", "gamma,3,30.5")
+    val lf = LazyFrame.csv(spark, writeCsv(lines), rowNames = Some(1), rowOrder = Seq("x"))
+    assert(lf.columns == Seq("x", "y") && lf.ncol == 2)
+    // positional addressing shifts past the row-names column (C WHICH adj)
+    assert(lf.selectAt(Seq(2)).columns == Seq("y"))
+    val out = lf.rowsRange(2, 3).select("row_names", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._2)
+    assert(out == Seq(("beta", 2L), ("gamma", 3L)))
+  }
+
+  test("factor levels are APPLIED to extractions: out-of-level values become NA") {
+    // column_attr.Rd:43-64 — pin levels; extracted subsets recode against them
+    val lf = LazyFrame.csv(spark, writeCsv(iris150), rowOrder = Seq("id"))
+    val full = new MetadataBuilder()
+      .putStringArray("levels", Array("setosa", "versicolor", "virginica")).build()
+    val known = lf.withColumnAttr("species", full)
+    assert(known.filter(col("id") <= 150).where(col("species").isNull).count() == 0)
+    // restricting the levels recodes everything else to NA
+    val restricted = lf.withColumnAttr("species",
+      new MetadataBuilder().putStringArray("levels", Array("setosa")).build())
+    val out = restricted.filter(col("id") <= 150)
+    assert(out.where(col("species").isNull).count() == 100)
+    assert(out.schema("species").metadata.getStringArray("levels").toSeq == Seq("setosa"))
+  }
+
   test("CsvProbe type inference and merging") {
     assert(CsvProbe.inferType("42") == LongType)
     assert(CsvProbe.inferType("4.5") == DoubleType)

@@ -1,0 +1,66 @@
+package graft
+
+import graft.core.{LazyFrame, Tables}
+import graft.operators.{Dedup, ParityQueries, RelationalQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the scale properties the engine is designed
+  * around must be visible in the physical plan, so a refactor can't silently
+  * trade them away (VERDICT r1 §9).
+  *
+  *   - LazyFrame extraction = pushdown FileScan ⋈ narrow index: the data
+  *     predicate reaches the parquet reader (PushedFilters), projection
+  *     prunes the scan (ReadSchema), and no RDD round-trip hides the scan.
+  *   - Exact embedding pairs are a tiled equi-join, never a
+  *     BroadcastNestedLoopJoin.
+  *   - Dimension joins broadcast.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("lf filter: data predicate is pushed to the parquet scan") {
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", ParityQueries.rowOrderKey)
+    val plan = formatted(lf.filter(col("l_returnflag") === "R"))
+    assert(plan.contains("PushedFilters: ["), s"no pushdown section:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"filter not pushed to scan:\n$plan")
+  }
+
+  test("lf select: projection prunes the scan to requested + order-key columns") {
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", ParityQueries.rowOrderKey)
+    val plan = formatted(lf.select(Seq("l_quantity")).filterFast(col("l_quantity") > 0))
+    // ReadSchema of the pushdown scan must not include untouched wide cols
+    assert(!plan.contains("l_comment") && !plan.contains("l_shipinstruct"),
+      s"scan reads pruned columns:\n$plan")
+  }
+
+  test("exact embedding pairs: tiled equi-join, no BroadcastNestedLoopJoin") {
+    val out = Dedup.embeddingCosinePairs(Tables.embeddings(spark, sf0),
+      "vec_id", "embedding", 0.4)
+    val plan = formatted(out)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs fell back to BNLJ:\n$plan")
+    assert(plan.contains("Join"), s"expected an equi-join:\n$plan")
+    assert(out.count() > 0)
+  }
+
+  test("dimension join broadcasts (q_join_part)") {
+    val df = RelationalQueries.all("q_join_part").fn(spark, sf0)
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"dimension join does not broadcast:\n$plan")
+  }
+
+  test("lf which: only ids surface and the predicate still reaches the scan") {
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", ParityQueries.rowOrderKey)
+    val which = lf.which(col("l_quantity") > 30.0)
+    val plan = formatted(which)
+    assert(plan.contains("GreaterThan(l_quantity,30.0)"),
+      s"which() predicate not pushed:\n$plan")
+    assert(which.columns.toSeq == Seq("row_id"))
+  }
+}
