@@ -47,31 +47,55 @@ object Dedup {
         array_distinct(transform(shingles(col("t"), k), s => xxhash64(s))).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
 
-  /** Exact pairwise n-gram Jaccard ≥ tau via inverted-index join.
-    * Output: (da, db, jac) with da < db.
+  /** Exact pairwise n-gram Jaccard ≥ tau via PREFIX-FILTERED inverted
+    * index (AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08). Output: (da, db, jac) with da < db.
     *
-    * Plan shape: one explode (no distinct shuffle — sets are deduped
-    * row-locally), one equi-join on the 8-byte shingle hash, one pair
-    * aggregation, two narrow count joins. */
+    * The Σdf² hazard of a full inverted index (ultra-common shingles make
+    * candidate volume quadratic in their document frequency) is removed
+    * structurally, with recall exactly 1:
+    *
+    *   - order every document's shingle set by GLOBAL (df, hash) ascending
+    *     — rarest first;
+    *   - index only each document's first `|S| − ⌈tau·|S|⌉ + 1` shingles
+    *     (its prefix). PPJoin Lemma 1: J(A,B) ≥ tau implies
+    *     |A∩B| ≥ ⌈tau·max(|A|,|B|)⌉, and two sets whose intersection is
+    *     that large MUST intersect within these prefixes under any shared
+    *     total order — so candidate generation over prefixes alone misses
+    *     nothing;
+    *   - verify every candidate with the full shingle sets (exact
+    *     intersection), so precision is exact too.
+    *
+    * Rarest-first ordering concentrates prefixes on discriminative
+    * shingles: a shingle appearing in half the corpus lands in almost no
+    * prefixes, so its df² pair explosion never happens. Plan shape: one
+    * df aggregation, one rank window (both shuffle narrow rows), one
+    * prefix self-join, one verification join against the persisted sets. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sets = shingleSets(docs, idCol, textCol, k)
-    // Pre-partition the inverted index on the join key: the self-join's two
-    // sides are then an identical hash-partitioned subtree — Spark computes
-    // the (expensive) tokenize→shingle→hash scan ONCE (ReusedExchange) and
-    // the equi-join itself needs no further shuffle.
-    val sh = sets.select(col("doc_id"), explode(col("ss")).as("h"))
-      .repartition(col("h"))
-    val cnt = sets.select(col("doc_id"), col("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("ss")).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .where(col("rk") <= col("n") - ceil(col("n") * lit(tau)) + 1)
+      .select(col("doc_id"), col("h"))
+      .repartition(col("h")) // one exchange, reused by both self-join sides
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id"), col("ss").as("ssa"), col("n").as("na")),
+        col("da") === col("doc_id")).drop("doc_id")
+      .join(sets.select(col("doc_id"), col("ss").as("ssb"), col("n").as("nb")),
+        col("db") === col("doc_id")).drop("doc_id")
       .select(col("da"), col("db"),
-        (col("inter").cast("double") / (col("ca.n") + col("cb.n") - col("inter"))).as("jac"))
+        (size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+          (col("na") + col("nb") - size(array_intersect(col("ssa"), col("ssb"))))).as("jac"))
       .where(col("jac") >= tau)
   }
 
