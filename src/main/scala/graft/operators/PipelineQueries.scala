@@ -338,6 +338,64 @@ object PipelineQueries {
          |  GROUP BY w.doc_id, w.p)
          |SELECT DISTINCT doc_id, fp FROM wmin ORDER BY doc_id, fp""".stripMargin),
 
+    // corpus-unigram language-model score: bits/token surprisal under the
+    // corpus's own unigram distribution — the classic cheap quality filter
+    // (low-probability token soup scores high). One corpus-wide count
+    // aggregation (broadcast back), per-doc mean of -log2 p(t).
+    "q_lm_score" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val uni = toks.groupBy("t").agg(count(lit(1)).cast("double").as("c"))
+        val tot = uni.agg(sum(col("c")).as("tt"))
+        toks.join(broadcast(uni), "t").crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(-avg(log(col("c") / col("tt")) / math.log(2.0)), 6)
+              .as("lm_bits_per_token"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+         |uni AS (SELECT t, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT sum(c) AS tt FROM uni)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  round(-avg(ln(c / tt) / ln(2)), 6) AS lm_bits_per_token
+         |FROM toks JOIN uni USING (t) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // int8 embedding quantization (per-vector symmetric scale): emit the
+    // scale and the reconstruction MSE. Spark side is an ORDERED
+    // functions.aggregate fold; the oracle replays it with list_reduce
+    // over the same element order, so doubles match bit-for-bit.
+    "q_embed_quant" -> Q(
+      (s, d) => {
+        val vd = transform(col("embedding"), x => x.cast("double"))
+        val mx = array_max(transform(vd, x => abs(x)))
+        val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0))
+        def sqErr(x: org.apache.spark.sql.Column) = {
+          val dq = floor(x * scale + 0.5) / scale
+          when(scale > 0, (x - dq) * (x - dq)).otherwise(lit(0.0))
+        }
+        Tables.embeddings(s, d).select(
+          col("vec_id"),
+          scale.as("scale"),
+          round(aggregate(vd, lit(0.0), (acc, x) => acc + sqErr(x)) / size(vd), 9)
+            .as("mse"))
+          .orderBy("vec_id")
+      },
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
+        |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM q))
+        |SELECT vec_id, scale,
+        |  round(list_reduce(list_prepend(0.0, list_transform(v, x ->
+        |      CASE WHEN scale > 0
+        |           THEN (x - floor(x*scale + 0.5)/scale) * (x - floor(x*scale + 0.5)/scale)
+        |           ELSE 0.0 END)),
+        |    (a, b) -> a + b) / len(v), 9) AS mse
+        |FROM s ORDER BY vec_id""".stripMargin),
+
     // ---- multimodal plumbing ----
     "q_mm_meta" -> Q(
       (s, d) => Multimodal.withBlob(Tables.documents(s, d), "text")

@@ -120,6 +120,52 @@ object EventStreams {
     spark.read.schema(agg.schema).parquet(dir)
   }
 
+  /** Streaming exact deduplication: the first-seen row per `keys` survives
+    * (`dropDuplicates` keyed state). This is the streaming ingest side of
+    * the dedup family: content digests (or here, key columns) dedupe
+    * records AS THEY ARRIVE, so downstream training-data writes never see
+    * a duplicate. State is one entry per distinct key, hash-partitioned
+    * across executors. (The watermarked variant
+    * `dropDuplicatesWithinWatermark` bounds state for unbounded keys but
+    * intentionally forgets old keys — its result would diverge from
+    * global batch dedup, so the oracle-checked query uses the global
+    * form.) */
+  def dedupStream(spark: SparkSession, sfDir: String, keys: Seq[String]): DataFrame =
+    readStream(spark, sfDir).dropDuplicates(keys)
+
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding hour. Both sides are watermarked so the
+    * join state is bounded by (watermark + interval); the range condition
+    * lets Spark expire buffered rows as event time advances — the standard
+    * attribution-join shape at scale. */
+  def purchaseClickJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = readStream(spark, sfDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = readStream(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
+  /** Run an append-mode stream (dedup, stream-stream join) to completion
+    * against the finite input (memory sink, AvailableNow). */
+  def runAppendToBatch(spark: SparkSession, out: DataFrame, name: String): DataFrame = {
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Run a streaming aggregation to completion against the finite input and
     * return the final result (memory sink, complete mode, AvailableNow). */
   def runToBatch(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {

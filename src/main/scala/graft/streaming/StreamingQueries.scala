@@ -53,6 +53,37 @@ object StreamingQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin),
 
+    // streaming ingest dedup: first row per (user, type) survives; the
+    // per-type survivor count equals batch COUNT(DISTINCT user)
+    "q_stream_dedup" -> Q(
+      (s, d) => {
+        val out = EventStreams.runAppendToBatch(s,
+          EventStreams.dedupStream(s, d, Seq("user_id", "event_type"))
+            .select("user_id", "event_type"),
+          s"sdedup_${System.nanoTime()}")
+        out.groupBy("event_type").agg(count(lit(1)).as("n_unique_users"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    // stream-stream interval join (attribution): purchases x same-user
+    // clicks in the preceding hour, both sides watermarked
+    "q_stream_join" -> Q(
+      (s, d) => {
+        val out = EventStreams.runAppendToBatch(s,
+          EventStreams.purchaseClickJoin(s, d).select(col("event_id"), col("c_ts")),
+          s"ssjoin_${System.nanoTime()}")
+        out.groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+          .orderBy("event_id")
+      },
+      """SELECT a.event_id, count(*) AS n_clicks
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'purchase'
+        | AND b.event_type = 'click'
+        | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+        |GROUP BY 1 ORDER BY a.event_id""".stripMargin),
+
     "q_stream_session" -> Q(
       (s, d) => EventStreams.sessions(Tables.events(s, d), "6 hours")
         .orderBy("user_id", "session_start_us"),

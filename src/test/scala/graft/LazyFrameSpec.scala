@@ -210,6 +210,35 @@ class LazyFrameSpec extends SparkSpec {
     assert(out.schema("species").metadata.getStringArray("levels").toSeq == Seq("setosa"))
   }
 
+  test("reopen re-binds to the source: same dims, same row ids (REOPEN)") {
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet",
+      graft.operators.ParityQueries.rowOrderKey).cached()
+    val before = lf.rowsRange(5, 8).select("row_id", "l_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val re = lf.reopen()
+    assert(re.dim == lf.dim)
+    val after = re.rowsRange(5, 8).select("row_id", "l_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(after == before)
+  }
+
+  test("printFrame and str render header, shape and column info (print/str)") {
+    val lf = LazyFrame.csv(spark, writeCsv(irisish))
+    val p = lf.printFrame(3)
+    assert(p.startsWith("A lazy frame with 7 rows and 5 columns"))
+    assert(p.contains("species") && p.contains("more rows not displayed"))
+    assert(p.linesIterator.size == 3 + 3) // header + colnames + 3 rows + footer
+    val s = lf.str()
+    assert(s.contains("7 obs. of 5 variables"))
+    assert(s.contains("$ sl: double") && s.contains("$ species: string"))
+  }
+
+  test("summary is a real distributed describe (reference stubs it)") {
+    val lf = LazyFrame.csv(spark, writeCsv(irisish))
+    val stats = lf.summary().collect().map(r => r.getString(0))
+    assert(stats.contains("mean") && stats.contains("max"))
+  }
+
   test("CsvProbe type inference and merging") {
     assert(CsvProbe.inferType("42") == LongType)
     assert(CsvProbe.inferType("4.5") == DoubleType)

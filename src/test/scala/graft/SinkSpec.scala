@@ -1,0 +1,53 @@
+package graft
+
+import graft.core.Tables
+import java.nio.file.Files
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Sink surface for the pipeline extensions (the LazyFrame parity surface
+  * stays read-only, like the reference): partitioned parquet output is the
+  * standard shape for training-data shards — one directory per partition
+  * key, so downstream readers prune whole shards by predicate.
+  */
+class SinkSpec extends SparkSpec {
+
+  test("partitioned parquet write: readers prune non-matching partitions") {
+    val dir = Files.createTempDirectory("graft_sink_").toString
+    val docs = Tables.documents(spark, sf0)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+
+    // read back one shard by predicate: values round-trip
+    val back = spark.read.parquet(dir)
+    val want = docs.where(col("lang") === "en").select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val got = back.where(col("lang") === "en").select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want && got.nonEmpty)
+
+    // the partition predicate must prune at planning time (PartitionFilters),
+    // not surface as a data filter over all shards
+    val plan = back.where(col("lang") === "en")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"partition pruning not visible:\n$plan")
+  }
+
+  test("streaming sink: windowed aggregate appends to partitioned parquet") {
+    val dir = Files.createTempDirectory("graft_stream_sink_").toString
+    val agg = graft.streaming.EventStreams.tumbling(
+      graft.streaming.EventStreams.readStream(spark, sf0), "1 day")
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", s"$dir/_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // append mode emits only watermark-closed windows; the finite input
+    // closes all but the final watermark frontier
+    val n = spark.read.parquet(dir).count()
+    assert(n > 0)
+  }
+}
