@@ -25,7 +25,11 @@ object Bench {
 
     // A failed query surfaces in "failed" (and on stderr) and is excluded
     // from the total, instead of silently skewing the benchmark.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args restrict the run to the named queries (tuning loop).
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
+      else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

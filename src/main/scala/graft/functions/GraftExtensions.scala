@@ -33,7 +33,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("graft_cosine", DoubleType, "cosineF", Seq(ArrayType(FloatType), ArrayType(FloatType))),
       fn("graft_dot", DoubleType, "dotF", Seq(ArrayType(FloatType), ArrayType(FloatType))),
       fn("graft_hyperplane_bucket", IntegerType, "hyperplaneBucket",
-        Seq(ArrayType(FloatType), IntegerType, IntegerType))
+        Seq(ArrayType(FloatType), IntegerType, IntegerType)),
+      // md5-60 family: reproducible by ANSI-ish SQL (see TextHashes)
+      fn("graft_md5_60", LongType, "md5Hash60", Seq(StringType)),
+      fn("graft_simhash60", LongType, "simhash60", Seq(ArrayType(StringType))),
+      fn("graft_winnow60", longs, "winnow60",
+        Seq(ArrayType(StringType), IntegerType, IntegerType)),
+      fn("graft_hyperplane_bucket_md5", IntegerType, "hyperplaneBucketMd5",
+        Seq(ArrayType(FloatType), IntegerType, IntegerType)),
+      fn("graft_byte_entropy", DoubleType, "byteEntropy", Seq(BinaryType)),
+      fn("graft_distinct_bytes", IntegerType, "distinctBytes", Seq(BinaryType)),
+      fn("graft_fake_dim", IntegerType, "fakeDim", Seq(BinaryType, IntegerType))
     ).foreach(ext.injectFunction)
   }
 }

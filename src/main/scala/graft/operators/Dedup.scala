@@ -183,12 +183,44 @@ object Dedup {
     * convergence count, so this scales to billions of edges the same way
     * large-graph CC does. Output: (doc_id, cluster) for every doc that
     * appears in at least one pair. */
+  /** Edge count up to which connected components run as driver-side
+    * union-find instead of the iterative join loop. Dup-pair edge sets are
+    * tiny relative to the corpus (they ARE the duplicates); collecting up
+    * to this many 16-byte edges is the same class of driver load as a
+    * broadcast build side, and replaces O(diameter) Spark jobs with one. */
+  val SmallGraphMaxEdges: Long = 4L * 1000 * 1000
+
   def dupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // Materialize the (possibly expensive) pair computation ONCE before the
     // symmetric union reads it twice; localCheckpoint (not cache) because
     // iterative plans grow exponentially in lineage — checkpointing
     // truncates the logical plan each round.
+    val spark = pairs.sparkSession
     val p0 = pairs.select(col("da"), col("db")).localCheckpoint()
+    val nEdges = p0.count()
+    if (nEdges <= SmallGraphMaxEdges) {
+      // Small-graph fast path: exact union-find on the driver, one job in,
+      // one tiny frame out. At 100 TB the pair set only exceeds this when
+      // the corpus is pathologically duplicated — then the loop below runs.
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      p0.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-label wins
+      }
+      val labels = parent.keys.toSeq.map(n => n -> find(n)).toMap
+      val nodes = (labels.keySet ++ labels.values).toSeq.sorted
+        .map(n => (n, labels.getOrElse(n, n)))
+      return spark.createDataset(nodes).toDF("doc_id", "cluster")
+    }
     val edges = p0.select(col("da").as("a"), col("db").as("b"))
       .union(p0.select(col("db").as("a"), col("da").as("b")))
       .distinct()
@@ -199,16 +231,20 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var rounds = 0
+    var prevSum = Option.empty[Long]
     while (!converged && rounds < maxRounds) {
       val viaEdges = edges.join(labels, edges("b") === labels("node"))
         .select(col("a").as("node"), col("lbl"))
       val next = labels.select(col("node"), col("lbl")).union(viaEdges)
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
-        .where(col("n.lbl") =!= col("p.lbl")).count()
+      // Convergence via Σ labels: min-label propagation is monotonically
+      // non-increasing per node, so an unchanged sum ⟺ no label changed —
+      // one cheap aggregation per round instead of a self-join + count.
+      val s = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
       labels = next
-      converged = changed == 0
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       rounds += 1
     }
     // Returning unconverged labels would be silently WRONG for components

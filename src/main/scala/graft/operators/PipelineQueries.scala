@@ -396,6 +396,120 @@ object PipelineQueries {
         |    (a, b) -> a + b) / len(v), 9) AS mse
         |FROM s ORDER BY vec_id""".stripMargin),
 
+    // deterministic stratified sampling: keep a doc iff
+    // md5-60("smp_"+doc_id) mod 1000 < rate(lang)‰ — the scalable sampling
+    // method (no RNG state, reproducible on any cluster, stable across
+    // reruns), with per-stratum rates like a training-mix recipe. The
+    // oracle replays the same md5 arithmetic.
+    "q_sample_stratified" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val permille = md5Hash60(concat(lit("smp_"), col("doc_id").cast("string"))) % 1000
+        val rate = when(col("lang") === "en", 200)
+          .when(col("lang") === "zh", 600)
+          .when(col("lang").isin("de", "fr", "es"), 400)
+          .otherwise(300)
+        Tables.documents(s, d)
+          .where(permille < rate)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5('smp_' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
+        |  CASE WHEN lang = 'en' THEN 200 WHEN lang = 'zh' THEN 600
+        |       WHEN lang IN ('de','fr','es') THEN 400 ELSE 300 END
+        |ORDER BY doc_id""".stripMargin),
+
+    // document chunking for embedding pipelines: 64-token windows with
+    // stride 48 (16-token overlap); per-row transform+posexplode, zero
+    // shuffle — chunk boundaries are pure integer arithmetic on both
+    // engines
+    "q_chunk" -> Q(
+      (s, d) => {
+        val c = 64
+        val stride = 48
+        val n = size(col("t"))
+        val nChunks = when(n > 0,
+          lit(1) + floor((greatest(n - c, lit(0)) + stride - 1) / stride)).otherwise(0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("t"), nChunks.cast("int").as("nc"))
+          .select(col("doc_id"), col("t"),
+            posexplode(sequence(lit(0), col("nc") - 1)))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_ix"),
+            // chunk token count is arithmetic, not a second slice
+            least(lit(c), size(col("t")) - col("col") * stride).cast("long").as("n_toks"),
+            concat_ws(" ", slice(col("t"), col("col") * stride + 1, lit(c))).as("chunk"))
+          .orderBy("doc_id", "chunk_ix")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |ck AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN len(t) > 0
+         |         THEN 1 + ((greatest(len(t) - 64, 0) + 47) // 48) ELSE 0 END AS nc
+         |  FROM toks)
+         |SELECT doc_id, s AS chunk_ix,
+         |  len(t[s*48 + 1 : s*48 + 64])::BIGINT AS n_toks,
+         |  array_to_string(t[s*48 + 1 : s*48 + 64], ' ') AS chunk
+         |FROM (SELECT doc_id, t, unnest(range(0, nc)) AS s FROM ck)
+         |ORDER BY doc_id, chunk_ix""".stripMargin),
+
+    // token-budget shard packing: within each lang stratum, docs (in id
+    // order) pack into ~4096-token shards via a prefix-sum window — the
+    // scalable sequence-packing approximation (shard = floor(cum_before /
+    // budget), partitioned per stratum so no global single-partition
+    // window)
+    "q_pack" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_toks"))
+          .withColumn("shard_ix",
+            floor((sum(col("n_toks")).over(w) - col("n_toks")) / 4096L))
+          .orderBy("lang", "doc_id")
+      },
+      s"""WITH t AS (SELECT doc_id, lang, len($tokSql)::BIGINT AS n_toks FROM documents)
+         |SELECT doc_id, lang, n_toks,
+         |  ((sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING) - n_toks) // 4096)::BIGINT AS shard_ix
+         |FROM t ORDER BY lang, doc_id""".stripMargin),
+
+    // tf-idf top terms per document (keyword extraction): corpus df +
+    // per-doc tf, score = tf * ln(N/df), top 3 by (score desc, term) —
+    // score is one multiply of identically-derived doubles, so ranking is
+    // engine-independent
+    "q_tfidf" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+          .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+            round(col("score"), 6).as("score"))
+          .orderBy("doc_id", "rk")
+      },
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+         |SELECT doc_id, rk, term, score FROM (
+         |  SELECT doc_id, term,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * ln(n_docs / df) DESC, term) AS rk,
+         |    round(tf * ln(n_docs / df), 6) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
     // ---- multimodal plumbing ----
     "q_mm_meta" -> Q(
       (s, d) => Multimodal.withBlob(Tables.documents(s, d), "text")
