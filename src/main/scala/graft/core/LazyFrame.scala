@@ -30,22 +30,31 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
 
   private def spark: SparkSession = source.sparkSession
 
+  /** Frames persisted by this index, for reopen()-time cleanup. */
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
   /** Sorted order-key rows stamped with (partition id, local position);
-    * persisted — this IS the index storage, O(rows · keyWidth) bytes. */
+    * persisted during the build (dropped once `idx` is materialized).
+    * Correctness does not depend on the cache: the in-partition sort under
+    * a TOTAL key order makes local positions deterministic even on
+    * recompute — the persist only avoids re-running the range shuffle. */
   private lazy val keyed: DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    source.select(order.map(col): _*)
+    val k = source.select(order.map(col): _*)
       .repartitionByRange(parts, order.map(col): _*)
       .sortWithinPartitions(order.map(col): _*)
       .select(col("*"), spark_partition_id().as("__pid"),
-        // low 33 bits = position within the sorted partition (stable once
-        // persisted; partitions beyond 2^33 rows would need a wider split)
+        // low 33 bits = position within the sorted partition (partitions
+        // beyond 2^33 rows would need a wider split)
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)).as("__loc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(k)
+    k
   }
 
   /** Per-partition cumulative offsets (the counting job — also materializes
-    * the persisted index) and the total row count. */
+    * the persisted keys) and the total row count. */
   private lazy val offsetsAndTotal: (Seq[Long], Long) = {
     val counts = keyed.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -61,15 +70,29 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
   def nrow: Long = offsetsAndTotal._2
 
   /** The index frame: (orderKeys..., row_id), 1-based rank under the total
-    * order. A projection over the persisted keys — never recomputed. */
-  lazy val idx: DataFrame = keyed.select(
-    order.map(col) :+
-      (element_at(typedlit(offsets), col("__pid") + 1) + col("__loc") + 1L).as(ROW_ID): _*)
+    * order. `row_id` is MATERIALIZED into the persisted cache so Spark's
+    * per-batch min/max statistics prune cached batches for row-id range
+    * predicates (rowsRange/head/tail touch ~one batch — the distributed
+    * analogue of the reference's O(1) newline seek). The intermediate key
+    * frame is dropped after this materializes. */
+  lazy val idx: DataFrame = {
+    val out = keyed.select(
+      order.map(col) :+
+        (element_at(typedlit(offsets), col("__pid") + 1) + col("__loc") + 1L).as(ROW_ID): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    persistedFrames.add(out)
+    keyed.unpersist()
+    out
+  }
 
   /** Force the build (open-time indexing, like the reference's first pass). */
-  def materialize(): Unit = { offsetsAndTotal; () }
+  def materialize(): Unit = { idx; () }
 
-  def unpersist(): Unit = { keyed.unpersist(); () }
+  def unpersist(): Unit = {
+    var f = persistedFrames.poll()
+    while (f != null) { f.unpersist(); f = persistedFrames.poll() }
+  }
 }
 
 /** A lazy, read-only, row-addressable frame over a file — the Spark-native

@@ -181,6 +181,38 @@ object AdvancedQueries {
         | count(*) AS n_lines
         |FROM dd GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
 
+    // -- numeric histogram: fixed-width integer bucketing (profiling
+    //    pass over a fact column; bucket id is integer arithmetic, so
+    //    engine-independent) --
+    "q_histogram" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          Norm.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket"),
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // -- second-moment aggregates: stddev/corr/covar (rounded: one-pass
+    //    co-moment accumulation differs across engines in the last ulps) --
+    "q_corr_stats" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty,
+        | round(var_samp(l_discount), 6) AS var_disc,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+
     // -- null-handling scalar surface --
     "q_scalar_null" -> Q(
       (s, d) => Tables.lineitem(s, d)
