@@ -190,7 +190,8 @@ object Dedup {
     * broadcast build side, and replaces O(diameter) Spark jobs with one. */
   val SmallGraphMaxEdges: Long = 4L * 1000 * 1000
 
-  def dupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 50,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     // Materialize the (possibly expensive) pair computation ONCE before the
     // symmetric union reads it twice; localCheckpoint (not cache) because
     // iterative plans grow exponentially in lineage — checkpointing
@@ -198,7 +199,7 @@ object Dedup {
     val spark = pairs.sparkSession
     val p0 = pairs.select(col("da"), col("db")).localCheckpoint()
     val nEdges = p0.count()
-    if (nEdges <= SmallGraphMaxEdges) {
+    if (nEdges <= smallGraphMaxEdges) {
       // Small-graph fast path: exact union-find on the driver, one job in,
       // one tiny frame out. At 100 TB the pair set only exceeds this when
       // the corpus is pathologically duplicated — then the loop below runs.

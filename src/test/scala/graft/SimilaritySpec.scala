@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.{Scored, TopKAggregator}
+import graft.operators.{Dedup, Similarity}
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Measured properties of the approximate-similarity operators: LSH
+  * precision/recall against the exact tiled join, connected-components
+  * path equivalence, and the bounded top-k accumulator's invariants. */
+class SimilaritySpec extends SparkSpec {
+
+  test("hyperplane LSH: precision 1 (verified), recall measured vs exact") {
+    val emb = Tables.embeddings(spark, sf0)
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verification inside the operator ⇒ precision is exactly 1
+    assert(lsh.subsetOf(exact))
+    // recall is a parameter property, not a correctness property: at
+    // cos≈0.4 (θ≈66°) with 12 bits × 8 tables it is LOW by design — the
+    // harness embeddings have no high-similarity structure for LSH to
+    // exploit (measured: pairs are continuous through the threshold).
+    // The exact path for this regime is the tiled join; LSH earns its
+    // keep only when near-duplicate structure exists.
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    info(f"LSH recall at tau=0.4: $recall%.3f (${lsh.size}/${exact.size})")
+    // planted EXACT duplicates (identical vectors ⇒ identical buckets in
+    // every table) are always found: recall 1 at cos=1 regardless of params
+    val dup = emb.limit(3).select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val withDups = emb.select("vec_id", "embedding").union(dup)
+    val found = Similarity.lshCosinePairs(withDups, "vec_id", "embedding", 0.99)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = emb.limit(3).select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000L)).toSet
+    assert(want.subsetOf(found), s"missing planted duplicates: ${want.diff(found)}")
+  }
+
+  test("dupClusters: iterative min-label path ≡ driver union-find path") {
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, sf0), "doc_id", "text", 3, 0.8)
+    val viaUnionFind = Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIterative = Dedup.dupClusters(pairs, smallGraphMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaUnionFind.nonEmpty && viaIterative == viaUnionFind)
+  }
+
+  test("TopKAggregator: buffers stay sorted and bounded; merge keeps global best") {
+    val agg = new TopKAggregator(3)
+    val xs = Seq(0.1, 0.9, 0.5, 0.9, 0.3, 0.7).zipWithIndex
+      .map { case (c, i) => Scored(i.toLong, c) }
+    val buf = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.map(_.cos) == List(0.9, 0.9, 0.7))
+    assert(buf.map(_.vid) == List(1L, 3L, 5L)) // cos ties break by vid asc
+    // merge of two independently-reduced halves equals reduce of the whole
+    val (l, r) = xs.splitAt(3)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == buf)
+  }
+}
