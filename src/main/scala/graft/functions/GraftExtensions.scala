@@ -45,5 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("graft_distinct_bytes", IntegerType, "distinctBytes", Seq(BinaryType)),
       fn("graft_fake_dim", IntegerType, "fakeDim", Seq(BinaryType, IntegerType))
     ).foreach(ext.injectFunction)
+    // similarity cross joins plan as tiled equi-joins, not BNLJ
+    ext.injectOptimizerRule(_ => graft.plans.TiledSimilarityJoin)
   }
 }
