@@ -53,6 +53,29 @@ object AdvancedQueries {
         | ON a.user_id = b.user_id AND a.ts >= b.ts
         |ORDER BY a.event_id""".stripMargin),
 
+    // -- forward as-of join: each event ↔ the user's NEXT click (>=) —
+    //    the label-attribution / time-to-event lookup; same one-shuffle
+    //    window plan as backward, ordered descending --
+    "q_asof_forward" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        AsOfJoin(
+          left = ev.select(col("event_id"), col("user_id"), col("ts")),
+          right = clicks, key = "user_id", leftTs = "ts", rightTs = "ts",
+          payloadCols = Map("event_id" -> "next_click_id"), forward = true)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("next_click_id"))
+          .orderBy("event_id")
+      },
+      """SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
+        | (SELECT b.event_id FROM events b
+        |   WHERE b.user_id = a.user_id AND b.event_type = 'click'
+        |     AND b.ts >= a.ts
+        |   ORDER BY b.ts LIMIT 1) AS next_click_id
+        |FROM events a ORDER BY a.event_id""".stripMargin),
+
     // -- salted join == plain join (the oracle IS the unsalted answer) --
     "q_join_salted" -> Q(
       (s, d) => {

@@ -33,10 +33,17 @@ object AsOfJoin {
     * @param leftTs    event-time column in `left`
     * @param rightTs   event-time column in `right`
     * @param payloadCols columns of `right` to attach (renamed as given)
+    * @param forward   false (default): most recent right row with
+    *                  `rightTs <= leftTs` (DuckDB ASOF semantics);
+    *                  true: EARLIEST right row with `rightTs >= leftTs` —
+    *                  the "next event after" lookup (label attribution,
+    *                  time-to-event features). Same single-shuffle window
+    *                  plan, ordered descending.
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      payloadCols: Map[String, String]): DataFrame = {
+      payloadCols: Map[String, String],
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns
     val srcNames = payloadCols.keys.toSeq
     val outNames = srcNames.map(payloadCols)
@@ -50,7 +57,13 @@ object AsOfJoin {
         srcNames.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++:
         leftCols.filterNot(_ == key).map(col)): _*)
 
-    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+    // Backward: ascending time, right-before-left at ties ⇒ inclusive <=.
+    // Forward: descending time, right-before-left at ties ⇒ inclusive >=;
+    // last-seen in descending order is the EARLIEST qualifying right row.
+    val ordering =
+      if (forward) Seq(col("__t").desc, col("__side"))
+      else Seq(col("__t"), col("__side"))
+    val w = Window.partitionBy(col(key)).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Carry a (ts, payload) marker struct rather than the bare payload:
     // the marker is non-null exactly on right rows, so a legitimately-NULL

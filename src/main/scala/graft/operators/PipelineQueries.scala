@@ -95,6 +95,61 @@ object PipelineQueries {
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
 
+    // canonical-selection dedup: keep the HIGHEST-QUALITY member of every
+    // near-dup cluster (not merely the lowest id) — cluster labels from CC
+    // over the verified MinHash pairs, quality from the scoring operator,
+    // argmax per cluster via a window. The full composition is oracled:
+    // recursive-CTE clusters × the quality formula × the same window.
+    "q_dedup_best" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val clusters = Dedup.dupClusters(
+          Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.8))
+        val quality = TA.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        clusters.join(quality, "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+          .where(col("rk") === 1)
+          .select(col("cluster"), col("doc_id").as("best_doc"),
+            col("quality").as("best_quality"), col("n_members"))
+          .orderBy("cluster")
+      },
+      s"""WITH RECURSIVE pairs AS (${jaccardSql(0.8).replace("ORDER BY da, db", "")}),
+         |sym AS (SELECT da AS a, db AS b FROM pairs
+         |        UNION SELECT db AS a, da AS b FROM pairs),
+         |reach AS (
+         |  SELECT a AS src, b AS dst FROM sym
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+         |),
+         |clusters AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src),
+         |t AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+         |  CAST(${hitsSql("toks", TA.langMarkers("en"))} AS BIGINT) AS n_stopwords
+         | FROM t),
+         |q AS (SELECT doc_id,
+         |  round(least(n_words/100.0, 1.0) * 0.5
+         |    + CASE WHEN n_words > 0 THEN least(n_stopwords*10.0/n_words, 1.0) ELSE 0.0 END * 0.3
+         |    + (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 0.2,
+         |    6) AS quality
+         | FROM f)
+         |SELECT cluster, best_doc, best_quality, n_members FROM (
+         |  SELECT c.cluster, c.doc_id AS best_doc, q.quality AS best_quality,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |      ORDER BY q.quality DESC, c.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY c.cluster) AS n_members
+         |  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+         |WHERE rk = 1 ORDER BY cluster""".stripMargin),
+
     // corpus vocabulary: top terms by document frequency
     "q_vocab" -> Q(
       (s, d) => {
