@@ -236,6 +236,54 @@ object AdvancedQueries {
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
 
+    // -- array function surface (arrays emitted as joined strings — the
+    //    compare harness can't sort raw array columns) --
+    "q_scalar_array" -> Q(
+      (s, d) => {
+        val words = split(col("p_name"), " ")
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            size(words).cast("long").as("n_words"),
+            array_join(sort_array(words), "|").as("sorted_words"),
+            array_join(sort_array(array_distinct(words)), "|").as("distinct_words"),
+            array_join(slice(sort_array(words), 1, 2), "|").as("first2"),
+            array_contains(words, "green").as("has_green"),
+            element_at(words, 1).as("head_word"),
+            array_join(reverse(sort_array(words)), "|").as("rev_sorted"))
+          .orderBy("p_partkey")
+      },
+      """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+        |SELECT p_partkey,
+        | len(words)::BIGINT AS n_words,
+        | array_to_string(list_sort(words), '|') AS sorted_words,
+        | array_to_string(list_sort(list_distinct(words)), '|') AS distinct_words,
+        | array_to_string(list_sort(words)[1:2], '|') AS first2,
+        | list_contains(words, 'green') AS has_green,
+        | words[1] AS head_word,
+        | array_to_string(list_reverse_sort(words), '|') AS rev_sorted
+        |FROM w ORDER BY p_partkey""".stripMargin),
+
+    // -- regex scalar surface (patterns restricted to the POSIX-ish subset
+    //    both engines' dialects agree on) --
+    "q_scalar_regex" -> Q(
+      (s, d) => Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_upper"),
+          size(split(col("p_name"), "[aeiou]+")).cast("long").as("vowel_runs_plus1"),
+          col("p_name").rlike("^[a-z]").as("starts_lower"),
+          regexp_replace(col("p_type"), "[AEIOU]", "_").as("masked"))
+        .orderBy("p_partkey"),
+      """SELECT p_partkey,
+        | coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+        | coalesce(regexp_extract(p_type, '([A-Z]+)', 1), '') AS first_upper,
+        | len(string_split_regex(p_name, '[aeiou]+'))::BIGINT AS vowel_runs_plus1,
+        | regexp_matches(p_name, '^[a-z]') AS starts_lower,
+        | regexp_replace(p_type, '[AEIOU]', '_', 'g') AS masked
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
     // -- null-handling scalar surface --
     "q_scalar_null" -> Q(
       (s, d) => Tables.lineitem(s, d)

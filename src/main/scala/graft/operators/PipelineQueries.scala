@@ -48,6 +48,18 @@ object PipelineQueries {
   private def hitsSql(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  /** Verified MinHash near-dup pairs, one computation per (session, dir):
+    * q_dedup_minhash, q_dedup_clusters and q_dedup_best all consume the
+    * same pair set — like one open per file in the reference, the
+    * expensive shingle→sign→band scan runs once and the (tiny) verified
+    * pairs are checkpointed for reuse. */
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def minhashPairs08(s: org.apache.spark.sql.SparkSession, d: String) =
+    pairsCache.getOrElseUpdate((s, d),
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+        .localCheckpoint())
+
   val all: Map[String, Q] = Map(
 
     // ---- deduplication ----
@@ -72,8 +84,7 @@ object PipelineQueries {
       jaccardSql(0.8)),
 
     "q_dedup_minhash" -> Q(
-      (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
-        .orderBy("da", "db"),
+      (s, d) => minhashPairs08(s, d).orderBy("da", "db"),
       jaccardSql(0.8)),
 
     // cluster canonicalization over the verified near-dup pairs (MinHash
@@ -81,9 +92,7 @@ object PipelineQueries {
     // this tau, see jaccardSql note); oracle is a recursive-CTE transitive
     // closure + min label over the exact pairs
     "q_dedup_clusters" -> Q(
-      (s, d) => Dedup.dupClusters(
-        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8))
-        .orderBy("doc_id"),
+      (s, d) => Dedup.dupClusters(minhashPairs08(s, d)).orderBy("doc_id"),
       s"""WITH RECURSIVE pairs AS (${jaccardSql(0.8).replace("ORDER BY da, db", "")}),
          |sym AS (SELECT da AS a, db AS b FROM pairs
          |        UNION SELECT db AS a, da AS b FROM pairs),
@@ -104,8 +113,7 @@ object PipelineQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
-        val clusters = Dedup.dupClusters(
-          Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.8))
+        val clusters = Dedup.dupClusters(minhashPairs08(s, d))
         val quality = TA.qualityFeatures(docs, "doc_id", "text")
           .select(col("doc_id"), col("quality"))
         val w = Window.partitionBy(col("cluster"))
