@@ -488,23 +488,8 @@ object PipelineQueries {
     // shuffle — chunk boundaries are pure integer arithmetic on both
     // engines
     "q_chunk" -> Q(
-      (s, d) => {
-        val c = 64
-        val stride = 48
-        val n = size(col("t"))
-        val nChunks = when(n > 0,
-          lit(1) + floor((greatest(n - c, lit(0)) + stride - 1) / stride)).otherwise(0)
-        Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("t"))
-          .select(col("doc_id"), col("t"), nChunks.cast("int").as("nc"))
-          .select(col("doc_id"), col("t"),
-            posexplode(sequence(lit(0), col("nc") - 1)))
-          .select(col("doc_id"), col("pos").cast("long").as("chunk_ix"),
-            // chunk token count is arithmetic, not a second slice
-            least(lit(c), size(col("t")) - col("col") * stride).cast("long").as("n_toks"),
-            concat_ws(" ", slice(col("t"), col("col") * stride + 1, lit(c))).as("chunk"))
-          .orderBy("doc_id", "chunk_ix")
-      },
+      (s, d) => TA.chunk(Tables.documents(s, d), "doc_id", "text", 64, 48)
+        .orderBy("doc_id", "chunk_ix"),
       s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
          |ck AS (
          |  SELECT doc_id, t,

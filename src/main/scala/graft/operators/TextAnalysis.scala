@@ -37,6 +37,29 @@ object TextAnalysis {
       .otherwise("es")
   }
 
+  /** Sliding token-window chunking (embedding-pipeline preprocessing):
+    * windows of `c` tokens at stride `stride` (overlap = c − stride).
+    * Per-row transform + posexplode, zero shuffle; a doc with fewer than
+    * one token yields no chunks. Output: (doc_id, chunk_ix, n_toks, chunk).
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      c: Int, stride: Int): DataFrame = {
+    val n = size(col("t"))
+    val nChunks = when(n > 0,
+      lit(1) + floor((greatest(n - c, lit(0)) + stride - 1) / stride)).otherwise(0)
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), nChunks.cast("int").as("nc"))
+      .select(col("doc_id"), col("t"),
+        // guard nc=0: sequence(0,-1) would DESCEND and fabricate chunks
+        posexplode(when(col("nc") > 0, sequence(lit(0), col("nc") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_ix"),
+        // chunk token count is arithmetic, not a second slice
+        least(lit(c), size(col("t")) - col("col") * stride).cast("long").as("n_toks"),
+        concat_ws(" ", slice(col("t"), col("col") * stride + 1, lit(c))).as("chunk"))
+  }
+
   /** Quality features + a deterministic composite score in [0,1]. */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

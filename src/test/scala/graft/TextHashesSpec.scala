@@ -65,6 +65,25 @@ class TextHashesSpec extends SparkSpec {
     assert((b0 +: others).distinct.size > 1)
   }
 
+  test("md5-60 kernels: SQL-replayable hash, empty-input edges") {
+    // md5Hash60 == ('0x' || substr(md5(s),1,15))::BIGINT — pin one value
+    // computed independently (md5("hello") = 5d41402abc4b2a76...)
+    assert(TextHashes.md5Hash60(UTF8String.fromString("hello")) ==
+      java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+    // empty token array: simhash 0, winnow empty — the SQL left-join
+    // coalesce path mirrors both
+    assert(TextHashes.simhash60(arr(Seq.empty)) == 0L)
+    assert(TextHashes.winnow60(arr(Seq.empty), 4, 5).numElements() == 0)
+    assert(TextHashes.winnow60(arr(Seq("a", "b", "c", "d")), 4, 5).numElements() == 1)
+    // byte features on empty payloads
+    assert(TextHashes.byteEntropy(Array.emptyByteArray) == 0.0)
+    assert(TextHashes.distinctBytes(Array.emptyByteArray) == 0)
+    assert(TextHashes.fakeDim(Array.emptyByteArray, 0) == 64)
+    assert(TextHashes.fakeDim(Array[Byte](0x7F.toByte), 0) == 64 + 0x7F)
+    // entropy of a uniform 256-byte payload is exactly 8 bits/byte
+    assert(TextHashes.byteEntropy((0 until 256).map(_.toByte).toArray) == 8.0)
+  }
+
   test("property: minhash sig of a superset never exceeds the subset sig elementwise") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 100) {
