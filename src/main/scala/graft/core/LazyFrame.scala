@@ -168,16 +168,29 @@ final class LazyFrame private (
   /** Index side of an extraction join: broadcast while small (row count is
     * already known from the index build — no extra job), shuffle join at
     * scale. 8M rows ≈ low hundreds of MB of key+id — past that a broadcast
-    * stops being free on a real cluster. */
-  private def idxSide: DataFrame =
-    if (index.nrow <= LazyFrame.BroadcastIndexMaxRows) broadcast(index.idx) else index.idx
+    * stops being free on a real cluster. Key columns are renamed so the
+    * join condition can be written NULL-SAFE: a row with an NA in an
+    * order-key column still owns its line number (nulls participate in the
+    * total order — they sort first), so extraction must not drop it the
+    * way a plain equi-join would. */
+  private def idxSide: DataFrame = {
+    val renamed = index.idx.toDF(rowOrder.map(c => s"__ik_$c") :+ ROW_ID: _*)
+    if (index.nrow <= LazyFrame.BroadcastIndexMaxRows) broadcast(renamed) else renamed
+  }
+
+  /** Null-safe equi-join of a frame carrying the order-key columns against
+    * the (renamed) index side; EqualNullSafe keys still hash-join. */
+  private def joinIndex(base: DataFrame): DataFrame = {
+    val idx = idxSide
+    val cond = rowOrder.map(c => base(c) <=> idx(s"__ik_$c")).reduce(_ && _)
+    base.join(idx, cond)
+  }
 
   /** The frame with its pinned 1-based `row_id`: FileScan ⋈ index on the
     * order key. Filters composed on top push to the scan side (data
     * predicates) or the index side (row-id predicates). */
   lazy val withRowId: DataFrame =
-    src.join(idxSide, rowOrder)
-      .select((outCols :+ col(ROW_ID)): _*)
+    joinIndex(src).select((outCols :+ col(ROW_ID)): _*)
 
   /** Force-build the row-id index (the reference builds its newline index
     * at open and reuses it for every extraction, `R/lazy.frame.R:47-50`).
@@ -227,14 +240,14 @@ final class LazyFrame private (
     * only ids surface — mirroring the C `WHICH` kernel returning hit
     * arrays, not rows (`src/lazy.frame.c:617-698`). */
   def which(pred: Column): DataFrame =
-    src.where(pred).join(idxSide, rowOrder)
+    joinIndex(src.where(pred))
       .select(col(ROW_ID)).orderBy(col(ROW_ID))
 
   /** Fused filter+extract — the reference idiom `x[x[,c] OP v, ]`
     * (vignette `inst/doc/lazy.frame.Rnw:272-281`): pushdown scan of the
     * matching rows, ids attached from the index. */
   def filter(pred: Column): DataFrame =
-    applyAttrs(src.where(pred).join(idxSide, rowOrder)
+    applyAttrs(joinIndex(src.where(pred))
       .select((outCols :+ col(ROW_ID)): _*))
 
   /** Filter without row ids — pure pushdown path (no index join); use when
@@ -249,7 +262,7 @@ final class LazyFrame private (
   /** `print.lazy.frame`: header + head + "(N more rows)" (`R/lazy.frame.R:255-261`). */
   def printFrame(n: Int = 6): String = {
     val rows = head(n).collect()
-    val cols = visible :+ ROW_ID
+    val cols = (visible ++ rowNamesCol.map(_ => "row_names")) :+ ROW_ID
     val more = math.max(0L, nrow - n)
     val body = rows.map(_.toSeq.map(v => if (v == null) "NA" else v.toString).mkString("\t"))
     (s"A lazy frame with $nrow rows and $ncol columns" +:
@@ -275,6 +288,13 @@ final class LazyFrame private (
   def renameColumns(newNames: Seq[String]): LazyFrame = {
     require(newNames.length == ncol, "names length must match ncol")
     val clean = LazyFrame.makeNames(newNames)
+    // a new name colliding with a HIDDEN column (projected-away order key,
+    // row-names source) would create duplicate names in the internal frame
+    // and break every later extraction — fail fast instead
+    val hidden = src.columns.filterNot(visible.contains)
+    val collisions = clean.filter(hidden.contains)
+    require(collisions.isEmpty,
+      s"new names collide with internal order-key/row-names columns: ${collisions.mkString(", ")}")
     val mapping = visible.zip(clean).toMap
     val renamedSrc = src.columns.foldLeft(src) { (d, c) =>
       if (mapping.contains(c)) d.withColumnRenamed(c, mapping(c)) else d
@@ -375,7 +395,7 @@ object LazyFrame {
       dec: Char = '.',
       rowNames: Option[Int] = None): LazyFrame = {
 
-    val probe = CsvProbe.probe(spark, path, sep, skip, naStrings, dec)
+    val probe = CsvProbe.probe(spark, path, sep, skip, naStrings, dec, quote)
     val hasHeader = header.getOrElse(probe.headerDetected)
     val finalSchema = schema.getOrElse(
       if (hasHeader) probe.schemaWithHeaderNames else probe.schemaGenericNames)

@@ -197,9 +197,18 @@ object Dedup {
     // iterative plans grow exponentially in lineage — checkpointing
     // truncates the logical plan each round.
     val spark = pairs.sparkSession
-    val p0 = pairs.select(col("da"), col("db")).localCheckpoint()
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // normalize integral id types to long so both paths emit one schema;
+    // non-integral ids (strings, etc.) skip the typed fast path below
+    val sel = pairs.select(col("da"), col("db"))
+    val integral = sel.schema.forall(f =>
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
+    val normalized =
+      if (integral) sel.select(col("da").cast("long").as("da"), col("db").cast("long").as("db"))
+      else sel
+    val p0 = normalized.localCheckpoint()
     val nEdges = p0.count()
-    if (nEdges <= smallGraphMaxEdges) {
+    if (integral && nEdges <= smallGraphMaxEdges) {
       // Small-graph fast path: exact union-find on the driver, one job in,
       // one tiny frame out. At 100 TB the pair set only exceeds this when
       // the corpus is pathologically duplicated — then the loop below runs.
