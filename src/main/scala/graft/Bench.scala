@@ -3,6 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Headline queries surfaced in the stdout JSON line — one or two
+    * representatives per operator family (the totals still cover EVERY
+    * registered query; this only bounds the line length). */
+  val headline: Set[String] = Set(
+    "q1_agg", "lf_filter_extract", "lf_filter_eq_str",
+    "q_join_star", "q_join_salted", "q_window_rank", "q_cube",
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_clusters",
+    "q_dedup_embed", "q_ann_topk_agg", "q_ann_lsh",
+    "q_lang_id", "q_tfidf", "q_chunk", "q_mm_features",
+    "q_stream_tumbling", "q_stream_join", "q_stream_stateful")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,12 +49,21 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
+    // Full per-query timings go to stderr (the local tuning loop reads
+    // them); stdout gets ONE COMPACT JSON line — total over every query,
+    // but only the headline per-query map, rounded — because the driver
+    // keeps just the last ~2000 output chars and a line carrying all 80+
+    // queries at full double precision gets truncated past parseability.
+    results.foreach { case (k, v, ok) =>
+      System.err.println(f"[bench] $k%-24s ${v}%9.3f s${if (ok) "" else "  FAILED"}")
+    }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.collect { case (k, v, true) if Bench.headline(k) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.count(_._3)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

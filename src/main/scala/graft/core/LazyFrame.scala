@@ -296,9 +296,12 @@ final class LazyFrame private (
     require(collisions.isEmpty,
       s"new names collide with internal order-key/row-names columns: ${collisions.mkString(", ")}")
     val mapping = visible.zip(clean).toMap
-    val renamedSrc = src.columns.foldLeft(src) { (d, c) =>
-      if (mapping.contains(c)) d.withColumnRenamed(c, mapping(c)) else d
-    }
+    // one atomic select, not a withColumnRenamed fold: a fold applies
+    // renames sequentially, so a new name equal to another column's OLD
+    // name (e.g. swapping two columns) would collide mid-fold and rename
+    // both; aliasing every column in a single projection cannot
+    val renamedSrc = src.select(src.columns.map(c =>
+      col(c).as(mapping.getOrElse(c, c))): _*)
     val order = rowOrder.map(o => mapping.getOrElse(o, o))
     // renaming an order-key column invalidates the shared index's key names;
     // rebuild lazily against the renamed source

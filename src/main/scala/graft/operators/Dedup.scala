@@ -72,10 +72,19 @@ object Dedup {
     * df aggregation, one rank window (both shuffle narrow rows), one
     * prefix self-join, one verification join against the persisted sets. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, tau: Double): DataFrame = {
+      k: Int, tau: Double): DataFrame =
+    ngramJaccardPairsFrom(
+      shingleSets(docs, idCol, textCol, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      tau)
+
+  /** [[ngramJaccardPairs]] over a precomputed `(doc_id, ss, n)` shingle-set
+    * frame (caller owns its persistence — the frame is read by the prefix
+    * pass and both sides of the verification join, so it should be
+    * persisted). Lets the caller share ONE tokenize→shingle scan between
+    * this and [[minhashPairsFrom]]. */
+  def ngramJaccardPairsFrom(sets: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = shingleSets(docs, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("doc_id"), col("n"), explode(col("ss")).as("h"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefix = sh.join(dfreq, "h")
@@ -103,31 +112,41 @@ object Dedup {
     * signature → 32 band buckets → bucket-join candidates → exact Jaccard
     * filter. Output: (da, db, jac), same contract as [[ngramJaccardPairs]].
     */
-  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, tau: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+  /** One tokenize→shingle scan producing BOTH the MinHash signature and the
+    * distinct shingle-hash set: `(doc_id, sig, ss, n)`, persisted. This is
+    * the shared expensive pass — [[minhashPairsFrom]] reads `sig` for
+    * banding and `ss` for verification; [[ngramJaccardPairsFrom]] reads
+    * `ss`/`n` — so callers running several dedup flavors over the same
+    * corpus pay the scan once. Size is bounded: per doc one signature
+    * (numHashes longs) + the distinct shingle hashes — a few KB per
+    * document, independent of raw document length. */
+  def shingleSigSets(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int = 128): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val rows = numHashes / bands
-    // Everything per-row until the band bucket join: signature AND shingle
-    // set are computed inside the scan stage, zero shuffle (MinHash is
-    // multiplicity-insensitive, so no distinct needed before signing).
-    //
-    // Persisted: `sets` feeds the band table AND both sides of the exact
-    // verification join — without it the tokenize→shingle→128-hash scan
-    // (the dominant cost) runs three times. Size is bounded: per doc one
-    // signature (numHashes longs) + the distinct shingle hashes — a few KB
-    // per document, independent of raw document length.
-    val sets = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .select(col("doc_id"), shingles(col("t"), k).as("sharr"))
       .select(col("doc_id"),
         minhashSig(col("sharr"), numHashes).as("sig"),
         array_distinct(transform(col("sharr"), s => xxhash64(s))).as("ss"))
       .select(col("doc_id"), col("sig"), col("ss"), size(col("ss")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tau: Double, numHashes: Int = 128, bands: Int = 32): DataFrame =
+    minhashPairsFrom(shingleSigSets(docs, idCol, textCol, k, numHashes), tau, bands)
+
+  /** [[minhashPairs]] over a precomputed [[shingleSigSets]] frame. */
+  def minhashPairsFrom(sets: DataFrame, tau: Double, bands: Int = 32): DataFrame = {
+    // Everything per-row until the band bucket join: signature AND shingle
+    // set were computed inside the scan stage, zero shuffle (MinHash is
+    // multiplicity-insensitive, so no distinct was needed before signing).
+    // Rows-per-band derives from the signature the sets frame carries.
     val sig = sets.select(col("doc_id"), col("sig"))
+    val rows = (size(col("sig")) / bands).cast("int")
     val bandTbl = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + lit(1), lit(rows))))))
+        b => hash(slice(col("sig"), b * rows + lit(1), rows)))))
       .toDF("doc_id", "band", "bh")
       .repartition(col("band"), col("bh")) // one exchange, reused by both join sides
     val cand = bandTbl.as("a")
@@ -241,20 +260,34 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    var prevSum = Option.empty[Long]
+    var prevSum = Option.empty[java.math.BigDecimal]
     while (!converged && rounds < maxRounds) {
       val viaEdges = edges.join(labels, edges("b") === labels("node"))
         .select(col("a").as("node"), col("lbl"))
-      val next = labels.select(col("node"), col("lbl")).union(viaEdges)
+      val prev = labels
+      val next = prev.select(col("node"), col("lbl")).union(viaEdges)
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      // Convergence via Σ labels: min-label propagation is monotonically
-      // non-increasing per node, so an unchanged sum ⟺ no label changed —
-      // one cheap aggregation per round instead of a self-join + count.
-      val s = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      if (integral) {
+        // Convergence via Σ labels: min-label propagation is monotonically
+        // non-increasing per node, so an unchanged sum ⟺ no label changed —
+        // one cheap aggregation per round instead of a self-join + count.
+        // Summed as decimal(38,0): a long sum overflows (ANSI: throws) once
+        // node count × id magnitude nears 2^63, which real corpora reach.
+        val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))
+          .collect()(0).getDecimal(0)
+        converged = prevSum.exists(_.compareTo(s) == 0)
+        prevSum = Some(s)
+      } else {
+        // Non-integral ids (strings, ...): Σ isn't defined, so compare
+        // directly — converged ⟺ no node's label changed this round. One
+        // narrow checkpointed-frame join probed with limit-1 semantics.
+        converged = next.as("n")
+          .join(prev.withColumnRenamed("lbl", "prev_lbl"), "node")
+          .where(col("lbl") =!= col("prev_lbl"))
+          .isEmpty
+      }
       labels = next
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
       rounds += 1
     }
     // Returning unconverged labels would be silently WRONG for components

@@ -27,10 +27,9 @@ object ParityQueries {
     * on coincidental tie-breaking). */
   private[graft] val rowOrderKey: Seq[String] =
     Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
-  private val frames =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LazyFrame]
+  private val frames = new graft.core.SessionCache[LazyFrame]
   private def li(s: SparkSession, d: String): LazyFrame =
-    frames.getOrElseUpdate((s, d),
+    frames.getOrElseUpdate(s, d)(
       LazyFrame.parquet(s, s"$d/lineitem.parquet", rowOrderKey).cached())
 
   /** Shared projection: all lineitem columns, timestamp stringified. */

@@ -48,17 +48,29 @@ object PipelineQueries {
   private def hitsSql(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
-  /** Verified MinHash near-dup pairs, one computation per (session, dir):
-    * q_dedup_minhash, q_dedup_clusters and q_dedup_best all consume the
-    * same pair set — like one open per file in the reference, the
-    * expensive shingle→sign→band scan runs once and the (tiny) verified
-    * pairs are checkpointed for reuse. */
-  private val pairsCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  /** Near-dup machinery shared across the dedup queries, one computation
+    * per (session, dir) — like one open per file in the reference:
+    *
+    *   - the expensive tokenize→shingle→sign scan ([[Dedup.shingleSigSets]])
+    *     runs once and feeds BOTH the MinHash and the exact-PPJoin pipeline;
+    *   - each (tiny) verified pair set is checkpointed for reuse;
+    *   - q_dedup_clusters / q_dedup_best consume the EXACT pair set, the
+    *     same one their recursive-CTE oracles close over (LSH recall at
+    *     this tau is ~1 but probabilistic — the oracle-checked cluster
+    *     queries must not depend on it, ADVICE r2).
+    *
+    * Session-scoped caches evict when the owning session ends. */
+  private val setsCache = new graft.core.SessionCache[org.apache.spark.sql.DataFrame]
+  private val pairsCache = new graft.core.SessionCache[org.apache.spark.sql.DataFrame]
+  private def sets3(s: org.apache.spark.sql.SparkSession, d: String) =
+    setsCache.getOrElseUpdate(s, d)(
+      Dedup.shingleSigSets(Tables.documents(s, d), "doc_id", "text", 3))
   private def minhashPairs08(s: org.apache.spark.sql.SparkSession, d: String) =
-    pairsCache.getOrElseUpdate((s, d),
-      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
-        .localCheckpoint())
+    pairsCache.getOrElseUpdate(s, s"mh:$d")(
+      Dedup.minhashPairsFrom(sets3(s, d), 0.8).localCheckpoint())
+  private def exactPairs08(s: org.apache.spark.sql.SparkSession, d: String) =
+    pairsCache.getOrElseUpdate(s, s"ng:$d")(
+      Dedup.ngramJaccardPairsFrom(sets3(s, d), 0.8).localCheckpoint())
 
   val all: Map[String, Q] = Map(
 
@@ -79,20 +91,18 @@ object PipelineQueries {
         |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin),
 
     "q_dedup_ngram" -> Q(
-      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
-        .orderBy("da", "db"),
+      (s, d) => exactPairs08(s, d).orderBy("da", "db"),
       jaccardSql(0.8)),
 
     "q_dedup_minhash" -> Q(
       (s, d) => minhashPairs08(s, d).orderBy("da", "db"),
       jaccardSql(0.8)),
 
-    // cluster canonicalization over the verified near-dup pairs (MinHash
-    // candidates, exact-Jaccard verified — equal to the exact pair set at
-    // this tau, see jaccardSql note); oracle is a recursive-CTE transitive
-    // closure + min label over the exact pairs
+    // cluster canonicalization over the EXACT verified near-dup pairs (the
+    // same pair set the recursive-CTE oracle closes over — deliberately not
+    // the LSH pairs, whose recall is ~1 only probabilistically)
     "q_dedup_clusters" -> Q(
-      (s, d) => Dedup.dupClusters(minhashPairs08(s, d)).orderBy("doc_id"),
+      (s, d) => Dedup.dupClusters(exactPairs08(s, d)).orderBy("doc_id"),
       s"""WITH RECURSIVE pairs AS (${jaccardSql(0.8).replace("ORDER BY da, db", "")}),
          |sym AS (SELECT da AS a, db AS b FROM pairs
          |        UNION SELECT db AS a, da AS b FROM pairs),
@@ -106,14 +116,14 @@ object PipelineQueries {
 
     // canonical-selection dedup: keep the HIGHEST-QUALITY member of every
     // near-dup cluster (not merely the lowest id) — cluster labels from CC
-    // over the verified MinHash pairs, quality from the scoring operator,
+    // over the exact verified pairs, quality from the scoring operator,
     // argmax per cluster via a window. The full composition is oracled:
     // recursive-CTE clusters × the quality formula × the same window.
     "q_dedup_best" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
-        val clusters = Dedup.dupClusters(minhashPairs08(s, d))
+        val clusters = Dedup.dupClusters(exactPairs08(s, d))
         val quality = TA.qualityFeatures(docs, "doc_id", "text")
           .select(col("doc_id"), col("quality"))
         val w = Window.partitionBy(col("cluster"))
