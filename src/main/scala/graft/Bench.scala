@@ -21,6 +21,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // streaming state partitions sized to the single-file harness input,
+      // not the 32-way batch shuffle width (see EventStreams doc)
+      .config("graft.streaming.shufflePartitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,6 +21,25 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Optional override for the shuffle/state partition count of streaming
+    * runs (`graft.streaming.shufflePartitions`). A streaming query's state
+    * partition count is frozen from `spark.sql.shuffle.partitions` at start;
+    * it should be sized to key cardinality and throughput, NOT inherit the
+    * batch shuffle width — every state partition is a state-store instance
+    * that must load + commit each micro-batch, so an oversized count turns
+    * into per-batch fixed overhead (32 partitions × 4 join stores over a
+    * single-file source is pure waste). Unset → leave the session conf
+    * alone (cluster-sized default). */
+  private def withStatePartitions[T](spark: SparkSession)(f: => T): T =
+    spark.conf.getOption("graft.streaming.shufflePartitions") match {
+      case None => f
+      case Some(n) =>
+        val key = "spark.sql.shuffle.partitions"
+        val old = spark.conf.get(key)
+        spark.conf.set(key, n)
+        try f finally spark.conf.set(key, old)
+    }
+
   /** events schema as stored (ts is TIMESTAMP(NANOS) parquet → long). */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -109,14 +128,16 @@ object EventStreams {
     * per key. */
   def runUpdatesToBatch(spark: SparkSession, agg: DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stateful_").toString
-    val q = agg.writeStream
-      .outputMode("update")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(dir); ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(dir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.schema(agg.schema).parquet(dir)
   }
 
@@ -156,26 +177,30 @@ object EventStreams {
   /** Run an append-mode stream (dedup, stream-stream join) to completion
     * against the finite input (memory sink, AvailableNow). */
   def runAppendToBatch(spark: SparkSession, out: DataFrame, name: String): DataFrame = {
-    val q = out.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
   /** Run a streaming aggregation to completion against the finite input and
     * return the final result (memory sink, complete mode, AvailableNow). */
   def runToBatch(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 }
