@@ -168,6 +168,29 @@ object PipelineQueries {
          |  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
          |WHERE rk = 1 ORDER BY cluster""".stripMargin),
 
+    // incremental ingest dedup: an incoming batch (doc_id >= 250) is
+    // anti-joined on content digest against the already-ingested corpus
+    // (doc_id < 250) — the "is this document NEW" gate every continuous
+    // training-data pipeline runs. Scale shape: only 16-byte digests
+    // shuffle (never documents), and LeftAnti broadcasts when the seen
+    // side is a digest table small enough; at larger scale it degrades to
+    // a shuffled anti-join on the digest key.
+    "q_dedup_novel" -> Q(
+      (s, d) => {
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id"), TA.contentFingerprint(col("text")).as("fp"))
+        fp.where(col("doc_id") >= 250)
+          .join(fp.where(col("doc_id") < 250).select(col("fp")), Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("fp"))
+          .orderBy("doc_id")
+      },
+      """WITH fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents)
+        |SELECT doc_id, fp FROM fp
+        |WHERE doc_id >= 250
+        |  AND fp NOT IN (SELECT fp FROM fp WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin),
+
     // corpus vocabulary: top terms by document frequency
     "q_vocab" -> Q(
       (s, d) => {

@@ -101,6 +101,39 @@ object RelationalQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
 
+    // -- range (interval-containment) join: shipments landing inside a
+    //    30-day window after each sampled order's date. Bin-replicated
+    //    equi-join (RangeJoin) — the naive BETWEEN predicate would force a
+    //    BroadcastNestedLoopJoin, O(|points|·|intervals|); binning turns it
+    //    into a broadcastable equi-join + exact residual filter. Day
+    //    numbers via NTZ-timestamp → date → days-since-epoch: no timezone
+    //    enters on either engine. --
+    "q_range_join" -> Q(
+      (s, d) => {
+        val day = (c: org.apache.spark.sql.Column) =>
+          datediff(c.cast("date"), lit("1970-01-01")).cast("long")
+        val iv = Tables.orders(s, d)
+          .where(col("o_orderkey") % 1000 < 7)
+          .select(col("o_orderkey"), day(col("o_orderdate")).as("s_day"))
+          .withColumn("e_day", col("s_day") + 30)
+        val pts = Tables.lineitem(s, d)
+          .select(day(col("l_shipdate")).as("p_day"), col("l_quantity"))
+        RangeJoin.pointInInterval(pts, "p_day", iv, "s_day", "e_day", 32)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_ship"), Norm.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      """WITH iv AS (
+        |  SELECT o_orderkey, datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s_day,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 30 AS e_day
+        |  FROM orders WHERE o_orderkey % 1000 < 7),
+        |p AS (SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS p_day,
+        |             l_quantity FROM lineitem)
+        |SELECT o_orderkey, count(*) AS n_ship,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM iv JOIN p ON p.p_day BETWEEN iv.s_day AND iv.e_day
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin),
+
     // -- semi / anti joins (EXISTS / NOT EXISTS) --
     "q_join_semi" -> Q(
       (s, d) => {

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** RangeJoin: the bin-replicated equi-join must equal the naive
+  * cross-join-filter semantics for any data and any bin width, and must
+  * not plan a BroadcastNestedLoopJoin. */
+class RangeJoinSpec extends SparkSpec {
+
+  private def brute(points: Seq[Long], intervals: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+    (for {
+      p <- points
+      (id, s, e) <- intervals
+      if p >= s && p <= e
+    } yield (p, id)).toSet
+
+  private def run(points: Seq[Long], intervals: Seq[(Long, Long, Long)],
+      binWidth: Long): Set[(Long, Long)] = {
+    import spark.implicits._
+    val p = points.toDF("p")
+    val iv = intervals.toDF("id", "s", "e")
+    RangeJoin.pointInInterval(p, "p", iv, "s", "e", binWidth)
+      .select(col("p"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("randomized equivalence with brute force, several bin widths") {
+    val rnd = new scala.util.Random(7)
+    val points = Seq.fill(300)(rnd.nextInt(1000).toLong)
+    val intervals = (1 to 60).map { id =>
+      val s = rnd.nextInt(1000).toLong
+      (id.toLong, s, s + rnd.nextInt(80).toLong)
+    }
+    val expected = brute(points, intervals)
+    assert(expected.nonEmpty)
+    for (w <- Seq(1L, 7L, 32L, 1000L))
+      assert(run(points, intervals, w) === expected, s"binWidth=$w")
+  }
+
+  test("inclusive bounds, zero-length intervals, bin-boundary points") {
+    // interval exactly one point wide on a bin boundary; points straddling it
+    val intervals = Seq((1L, 32L, 32L), (2L, 31L, 33L))
+    val points = Seq(30L, 31L, 32L, 33L, 34L)
+    assert(run(points, intervals, 32L) === brute(points, intervals))
+  }
+
+  test("empty candidate bins produce no rows and no NPEs") {
+    assert(run(Seq(5L), Seq((1L, 100L, 200L)), 32L).isEmpty)
+  }
+
+  test("plan contains no BroadcastNestedLoopJoin") {
+    import spark.implicits._
+    val p = (1L to 100L).toDF("p")
+    val iv = Seq((1L, 10L, 40L), (2L, 50L, 90L)).toDF("id", "s", "e")
+    val plan = RangeJoin.pointInInterval(p, "p", iv, "s", "e", 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
