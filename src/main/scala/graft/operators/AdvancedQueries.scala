@@ -31,6 +31,31 @@ object AdvancedQueries {
 
   val all: Map[String, Q] = Map(
 
+    // -- unpivot/melt: wide numeric columns → long (metric, value) rows —
+    //    per-row explode, zero shuffle before the aggregation --
+    "q_unpivot" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            col("l_quantity").cast("double").as("quantity"),
+            col("l_extendedprice").cast("double").as("extendedprice"),
+            col("l_tax").cast("double").as("tax"))
+        li.unpivot(Array(col("l_orderkey")),
+            Array(col("quantity"), col("extendedprice"), col("tax")),
+            "metric", "value")
+          .groupBy("metric")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec)).cast("double").as("sum_value"))
+          .orderBy("metric")
+      },
+      """SELECT metric, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT l_orderkey, 'quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, 'tax', l_tax FROM lineitem)
+        |GROUP BY metric ORDER BY metric""".stripMargin),
+
     // -- as-of join: each event ↔ the user's most recent click (<=) --
     "q_asof_join" -> Q(
       (s, d) => {

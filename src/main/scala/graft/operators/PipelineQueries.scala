@@ -191,6 +191,64 @@ object PipelineQueries {
         |  AND fp NOT IN (SELECT fp FROM fp WHERE doc_id < 250)
         |ORDER BY doc_id""".stripMargin),
 
+    // the novelty gate's scale path: the seen corpus compressed to a Bloom
+    // filter (built as a bit_or aggregation, broadcast at probe time) —
+    // mightContain=false PROVES new, only might-contain rows would need the
+    // exact anti-join. Differential oracle: DuckDB replays the md5-60 bit
+    // positions, the word-wise bit_or build, the probe, and the exact
+    // answer next to it (bloom_new ⇒ exact_new: no false negatives).
+    "q_bloom_novel" -> Q(
+      (s, d) => {
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id"), TA.contentFingerprint(col("text")).as("fp"))
+        val bloom = BloomFilter.build(fp.where(col("doc_id") < 250), "fp")
+        val seen = fp.where(col("doc_id") < 250).select(col("fp").as("seen_fp")).distinct()
+        BloomFilter.mightContain(fp.where(col("doc_id") >= 250), bloom, "fp")
+          .join(seen, col("fp") === col("seen_fp"), "left")
+          .select(col("doc_id"), (!col("mightContain")).as("bloom_new"),
+            col("seen_fp").isNull.as("exact_new"))
+          .orderBy("doc_id")
+      },
+      """WITH fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents),
+        |posh AS (
+        |  SELECT doc_id, fp,
+        |    ('0x' || substr(md5('bloom' || k.k::VARCHAR || '_' || fp), 1, 15))::BIGINT % 4096 AS p
+        |  FROM fp CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k),
+        |bloom AS (
+        |  SELECT p // 63 AS w, bit_or(1::BIGINT << (p % 63)::INT) AS bits
+        |  FROM posh WHERE doc_id < 250 GROUP BY 1),
+        |probe AS (
+        |  SELECT ph.doc_id,
+        |    bool_and((coalesce(b.bits, 0) & (1::BIGINT << (ph.p % 63)::INT)) <> 0) AS member
+        |  FROM posh ph LEFT JOIN bloom b ON ph.p // 63 = b.w
+        |  WHERE ph.doc_id >= 250 GROUP BY 1)
+        |SELECT p.doc_id, NOT p.member AS bloom_new,
+        |  f.fp NOT IN (SELECT fp FROM fp WHERE doc_id < 250) AS exact_new
+        |FROM probe p JOIN fp f USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // fixed-size per-stratum sample: exactly k docs per lang, chosen by a
+    // deterministic seedless hash order (reproducible on any cluster, no
+    // RNG state) — the "n examples per language" training-mix primitive.
+    // Complements q_sample_stratified (rate-based thinning).
+    "q_sample_group" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        GraftFunctions.register(s)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5Hash60(concat(lit("gsmp_"), col("doc_id").cast("string"))), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+          .orderBy("lang", "rk")
+      },
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5('gsmp_' || doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin),
+
     // corpus vocabulary: top terms by document frequency
     "q_vocab" -> Q(
       (s, d) => {
