@@ -31,6 +31,33 @@ object AdvancedQueries {
 
   val all: Map[String, Q] = Map(
 
+    // -- RANGE-frame window: rolling 7-day spend per customer — the frame
+    //    is bounded by the ORDER VALUE (days), not row count, so same-day
+    //    peers aggregate together and gaps shrink the frame. One shuffle on
+    //    the partition key, day numbers via NTZ→date (timezone-free). --
+    "q_window_range" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01")).as("day"),
+          col("o_totalprice"))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-6, Window.currentRow)
+        o.withColumn("rolling_7d",
+            sum(col("o_totalprice").cast(dec)).over(w).cast("double"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("day").cast("long").as("day"), col("rolling_7d"))
+          .orderBy("o_orderkey")
+      },
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |  o_totalprice FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+        |FROM o ORDER BY o_orderkey""".stripMargin),
+
     // -- unpivot/melt: wide numeric columns → long (metric, value) rows —
     //    per-row explode, zero shuffle before the aggregation --
     "q_unpivot" -> Q(

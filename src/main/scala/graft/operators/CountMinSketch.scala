@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch build + probe as DataFrame aggregations — approximate
+  * frequency estimation for heavy-hitter / vocabulary-pruning passes where
+  * the exact per-term count table itself is too large to materialize.
+  *
+  * At 100 TB the exact token-frequency table can run to billions of rows;
+  * a CMS compresses it to `depth × width` counters (d=4, w=2¹⁴ → 512 KB —
+  * broadcastable) with a ONE-SIDED error: estimates never undercount, and
+  * overcount by ≤ εN (ε = e/w) with probability 1 − e^(−d). Build is one
+  * shuffle of (row, col) pairs pre-combined map-side; probe broadcasts the
+  * counter table and takes the min across the d rows.
+  *
+  * Hashes are the md5-60 family (`"cms<row>_" + key`), deterministic and
+  * seedless, so the DuckDB oracle replays the ENTIRE sketch — every
+  * counter, every probe, every min — next to the exact counts
+  * (Cormode & Muthukrishnan, J.Algorithms 2005, for the structure; the
+  * md5-60 derivation is this repo's oracle-replayable convention).
+  */
+object CountMinSketch {
+
+  /** Counter column for one row of the sketch: md5-60("cms<r>_" + key) mod width. */
+  private def bucket(key: Column, r: Int, width: Int): Column =
+    pmod(md5Hash60(concat(lit(s"cms${r}_"), key.cast("string"))), lit(width.toLong))
+
+  /** Build the sketch from (possibly weighted) keys: one output row per
+    * touched counter, `(r, c, cnt)` — map-side partial aggregation, then a
+    * single narrow shuffle on (r, c). */
+  def build(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 16384): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(posexplode(array((0 until depth).map(r =>
+        bucket(col(keyCol), r, width)): _*)).as(Seq("r", "c")))
+      .groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Estimate each probe key's frequency: min over the d counters the key
+    * hashes to. The sketch table is broadcast; the probe side never
+    * shuffles (beyond its own final aggregation). Missing counters are
+    * zero (key definitely unseen). */
+  def estimate(probe: DataFrame, sketch: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 16384): DataFrame = {
+    GraftFunctions.register(probe.sparkSession)
+    val cols = probe.columns
+    probe.select(cols.map(col) :+ posexplode(array((0 until depth).map(r =>
+        bucket(col(keyCol), r, width)): _*)).as(Seq("__r", "__c")): _*)
+      .join(broadcast(sketch),
+        col("__r") === col("r") && col("__c") === col("c"), "left")
+      .groupBy(cols.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -249,6 +249,42 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin),
 
+    // Count-Min-sketched term frequencies for the exact top-20 terms, next
+    // to their exact counts — the heavy-hitter primitive when the exact
+    // frequency table is too large to materialize. One-sided error
+    // (est ≥ exact always; ≤ εN over with prob 1-e^-d). Differential
+    // oracle: DuckDB rebuilds every counter from the md5-60 buckets and
+    // replays the min-over-rows probe.
+    "q_cms_freq" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(explode(tokens(col("text"))).as("term"))
+        val sketch = CountMinSketch.build(toks, "term")
+        val top = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+        CountMinSketch.estimate(top, sketch, "term")
+          .select(col("term"), col("exact_cnt"), col("est"))
+          .orderBy("term")
+      },
+      s"""WITH toks AS (SELECT unnest($tokSql) AS term FROM documents),
+         |cnt AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1),
+         |top AS (SELECT term, exact_cnt FROM cnt
+         |        ORDER BY exact_cnt DESC, term LIMIT 20),
+         |sk AS (
+         |  SELECT r, c, count(*) AS cnt FROM (
+         |    SELECT r.r,
+         |      ('0x' || substr(md5('cms' || r.r::VARCHAR || '_' || term), 1, 15))::BIGINT % 16384 AS c
+         |    FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r)
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT t.term, min(coalesce(s.cnt, 0)) AS est FROM (
+         |    SELECT term, r.r,
+         |      ('0x' || substr(md5('cms' || r.r::VARCHAR || '_' || term), 1, 15))::BIGINT % 16384 AS c
+         |    FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r) t
+         |  LEFT JOIN sk s ON t.r = s.r AND t.c = s.c
+         |  GROUP BY 1)
+         |SELECT top.term, top.exact_cnt, est.est
+         |FROM top JOIN est USING (term) ORDER BY term""".stripMargin),
+
     // corpus vocabulary: top terms by document frequency
     "q_vocab" -> Q(
       (s, d) => {

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.CountMinSketch
+import org.apache.spark.sql.functions._
+
+/** CountMinSketch: estimates are one-sided (never undercount — the property
+  * heavy-hitter pruning relies on), exact when the sketch is collision-free,
+  * zero for unseen keys, and the probe broadcasts the counter table. */
+class CountMinSketchSpec extends SparkSpec {
+
+  test("one-sided error: est >= exact for every key; unseen keys estimate 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // zipf-ish: key k appears ~ 1000/k times
+    val keys = (1 to 50).flatMap(k => Seq.fill(1000 / k)(s"term_$k"))
+    val df = rnd.shuffle(keys).toDF("k")
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sketch = CountMinSketch.build(df, "k", depth = 4, width = 512)
+    val probes = ((1 to 50).map(k => s"term_$k") ++ Seq("never_seen_a", "never_seen_b")).toDF("k")
+    val est = CountMinSketch.estimate(probes, sketch, "k", depth = 4, width = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k undercounted: ${est(k)} < $n")
+    }
+    assert(est("never_seen_a") === 0L && est("never_seen_b") === 0L)
+    // total overcount is bounded in expectation; sanity-check it's not wild
+    val over = exact.map { case (k, n) => est(k) - n }.sum
+    assert(over < keys.size, s"total overcount $over")
+  }
+
+  test("probe plan broadcasts the sketch") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => s"k${i % 10}").toDF("k")
+    val plan = CountMinSketch.estimate(df.distinct(), CountMinSketch.build(df, "k"), "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
