@@ -31,6 +31,45 @@ object AdvancedQueries {
 
   val all: Map[String, Q] = Map(
 
+    // -- gap-fill / resample: daily per-type event counts on a complete
+    //    date spine (missing days appear with n=0) + forward-filled last
+    //    observed daily sum. The spine is generated from the data's own
+    //    bounds (one tiny agg, broadcast both ways) — no driver loop; the
+    //    fill is last_value(IGNORE NULLS) over the spine order. --
+    "q_gapfill" -> Q(
+      (s, d) => {
+        val day = expr("ts_ns div 86400000000000").as("day")
+        val daily = Tables.events(s, d)
+          .select(day, col("event_type"), col("value"))
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec)).cast("double").as("day_sum"))
+        val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+        val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+          .crossJoin(daily.select("event_type").distinct())
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("day_sum"), ignoreNulls = true).over(w).as("carried_sum"))
+          .orderBy("event_type", "day")
+      },
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, value FROM events),
+        |daily AS (SELECT day, event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_sum
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM daily)
+        |SELECT s.day, t.event_type, coalesce(d.n, 0) AS n,
+        |  last_value(d.day_sum IGNORE NULLS) OVER (
+        |    PARTITION BY t.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_sum
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+        |ORDER BY t.event_type, s.day""".stripMargin),
+
     // -- RANGE-frame window: rolling 7-day spend per customer — the frame
     //    is bounded by the ORDER VALUE (days), not row count, so same-day
     //    peers aggregate together and gaps shrink the frame. One shuffle on

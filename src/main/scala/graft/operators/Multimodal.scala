@@ -29,6 +29,32 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("digest")))
 
+  /** Deterministic frame sampling over a binary payload — the video/audio
+    * pipeline primitive (sample N frames per clip for feature extraction):
+    * frame k of F starts at byte `floor(n_bytes·k/F)`; the "frame" here is
+    * the 16-byte window at that offset (a real decoder would seek codec
+    * frame boundaries — same stub splice point as [[extractFeatures]]).
+    * Per-row `posexplode`, zero shuffle; emits the window hex-encoded plus
+    * an md5 frame digest (the per-frame dedup key). Everything — offsets,
+    * window clipping at payload end, digest-of-hex — is replayed by the
+    * SQL oracle. */
+  def frameSample(docs: DataFrame, idCol: String, blobCol: String, frames: Int = 4): DataFrame = {
+    val withOff = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("__b"),
+        length(col(blobCol)).cast("long").as("n_bytes"))
+      .where(col("n_bytes") > 0)
+      .select(col("doc_id"), col("n_bytes"), col("__b"),
+        posexplode(transform(sequence(lit(0), lit(frames - 1)),
+          k => floor(col("n_bytes") * k / lit(frames)).cast("long") + 1))
+          .as(Seq("frame_ix", "off")))
+    withOff
+      .withColumn("frame_hex",
+        hex(call_function("substring", col("__b"), col("off").cast("int"), lit(16))))
+      .select(col("doc_id"), col("frame_ix").cast("long").as("frame_ix"),
+        col("off"), col("frame_hex"),
+        md5(col("frame_hex").cast("binary")).as("frame_digest"))
+  }
+
   /** Feature extraction over the binary column: byte histogram → distinct
     * count + Shannon entropy (TextHashes kernels, inside codegen) plus the
     * stubbed decode dims. Every feature is also reproducible by the SQL

@@ -553,6 +553,40 @@ object PipelineQueries {
          |FROM toks JOIN uni USING (t) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // bigram LM surprisal under the corpus's own bigram distribution:
+    // P(w|p) = c(p,w)/c(p·) — bits/bigram. Bigrams are built ROW-LOCALLY
+    // (transform over the token array, no self-join); two count
+    // aggregations, then per-doc mean. Complements the unigram q_lm_score
+    // (repetitive token-soup scores low here even when unigrams look fine).
+    "q_lm_bigram" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .where(size(col("t")) >= 2)
+        val big = toks.select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS p, t[i] AS w))")).as("b"))
+          .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+        val cb = big.groupBy("p", "w").agg(count(lit(1)).cast("double").as("cb"))
+        val cp = big.groupBy("p").agg(count(lit(1)).cast("double").as("cp"))
+        big.join(cb, Seq("p", "w")).join(cp, Seq("p"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(-avg(log(col("cb") / col("cp")) / math.log(2.0)), 6)
+              .as("bits_per_bigram"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, t[i] AS p, t[i+1] AS w
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |        FROM toks WHERE len(t) >= 2)),
+         |cb AS (SELECT p, w, count(*)::DOUBLE AS cb FROM big GROUP BY 1, 2),
+         |cp AS (SELECT p, count(*)::DOUBLE AS cp FROM big GROUP BY 1)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  round(-avg(ln(cb / cp) / ln(2)), 6) AS bits_per_bigram
+         |FROM big JOIN cb USING (p, w) JOIN cp USING (p)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // int8 embedding quantization (per-vector symmetric scale): emit the
     // scale and the reconstruction MSE. Spark side is an ORDERED
     // functions.aggregate fold; the oracle replays it with list_reduce
@@ -695,6 +729,28 @@ object PipelineQueries {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // deterministic frame sampling (4 frames/payload): offsets, end-of-blob
+    // clipping and the per-frame digest all replayed by the oracle over the
+    // hex encoding of the same bytes
+    "q_mm_frames" -> Q(
+      (s, d) => Multimodal.frameSample(
+        Multimodal.withBlob(Tables.documents(s, d), "text"), "doc_id", "payload", 4)
+        .orderBy("doc_id", "frame_ix"),
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text))::BIGINT AS nb
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, nb, k.k AS frame_ix,
+        |         floor(nb * k.k / 4.0)::BIGINT + 1 AS off
+        |  FROM hx CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+        |  WHERE nb > 0)
+        |SELECT f.doc_id, f.frame_ix, f.off,
+        |  substr(hx.h, ((f.off - 1) * 2 + 1)::INT, 32) AS frame_hex,
+        |  md5(substr(hx.h, ((f.off - 1) * 2 + 1)::INT, 32)) AS frame_digest
+        |FROM f JOIN hx USING (doc_id)
+        |ORDER BY doc_id, frame_ix""".stripMargin),
 
     // byte-level features over the binary payload, differential oracle:
     // DuckDB explodes the payload's hex pairs into byte values and replays
