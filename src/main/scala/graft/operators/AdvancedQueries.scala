@@ -31,6 +31,67 @@ object AdvancedQueries {
 
   val all: Map[String, Q] = Map(
 
+    // -- column profiling: per-column stats (count/nulls/distinct/min/max)
+    //    for a column set in ONE aggregation pass over the table (all
+    //    metrics partial-agg before a single exchange), reshaped to one
+    //    row per column via explode — the schema-inspection primitive a
+    //    data catalog runs over every ingested table. --
+    "q_profile" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val a = li.agg(
+          count(lit(1)).as("n"),
+          count(col("l_quantity")).as("q_cnt"), countDistinct(col("l_quantity")).as("q_nd"),
+          min(col("l_quantity")).cast("double").as("q_mn"), max(col("l_quantity")).cast("double").as("q_mx"),
+          count(col("l_extendedprice")).as("e_cnt"), countDistinct(col("l_extendedprice")).as("e_nd"),
+          min(col("l_extendedprice")).cast("double").as("e_mn"), max(col("l_extendedprice")).cast("double").as("e_mx"),
+          count(col("l_returnflag")).as("r_cnt"), countDistinct(col("l_returnflag")).as("r_nd"),
+          min(col("l_returnflag")).as("r_mn"), max(col("l_returnflag")).as("r_mx"),
+          count(col("l_linestatus")).as("s_cnt"), countDistinct(col("l_linestatus")).as("s_nd"),
+          min(col("l_linestatus")).as("s_mn"), max(col("l_linestatus")).as("s_mx"))
+        val nullD = lit(null).cast("double")
+        val nullS = lit(null).cast("string")
+        a.select(explode(array(
+            struct(lit("l_quantity").as("col_name"), col("n"),
+              (col("n") - col("q_cnt")).as("n_nulls"), col("q_nd").as("n_distinct"),
+              col("q_mn").as("min_num"), col("q_mx").as("max_num"),
+              nullS.as("min_str"), nullS.as("max_str")),
+            struct(lit("l_extendedprice").as("col_name"), col("n"),
+              (col("n") - col("e_cnt")).as("n_nulls"), col("e_nd").as("n_distinct"),
+              col("e_mn").as("min_num"), col("e_mx").as("max_num"),
+              nullS.as("min_str"), nullS.as("max_str")),
+            struct(lit("l_returnflag").as("col_name"), col("n"),
+              (col("n") - col("r_cnt")).as("n_nulls"), col("r_nd").as("n_distinct"),
+              nullD.as("min_num"), nullD.as("max_num"),
+              col("r_mn").as("min_str"), col("r_mx").as("max_str")),
+            struct(lit("l_linestatus").as("col_name"), col("n"),
+              (col("n") - col("s_cnt")).as("n_nulls"), col("s_nd").as("n_distinct"),
+              nullD.as("min_num"), nullD.as("max_num"),
+              col("s_mn").as("min_str"), col("s_mx").as("max_str")))).as("p"))
+          .select(col("p.*"))
+          .orderBy("col_name")
+      },
+      """WITH a AS (SELECT count(*) AS n,
+        |  count(l_quantity) AS q_cnt, count(DISTINCT l_quantity) AS q_nd,
+        |  CAST(min(l_quantity) AS DOUBLE) AS q_mn, CAST(max(l_quantity) AS DOUBLE) AS q_mx,
+        |  count(l_extendedprice) AS e_cnt, count(DISTINCT l_extendedprice) AS e_nd,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS e_mn, CAST(max(l_extendedprice) AS DOUBLE) AS e_mx,
+        |  count(l_returnflag) AS r_cnt, count(DISTINCT l_returnflag) AS r_nd,
+        |  min(l_returnflag) AS r_mn, max(l_returnflag) AS r_mx,
+        |  count(l_linestatus) AS s_cnt, count(DISTINCT l_linestatus) AS s_nd,
+        |  min(l_linestatus) AS s_mn, max(l_linestatus) AS s_mx
+        | FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_name, n, n - q_cnt AS n_nulls, q_nd AS n_distinct,
+        |    q_mn AS min_num, q_mx AS max_num, NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', n, n - e_cnt, e_nd, e_mn, e_mx, NULL, NULL FROM a
+        |  UNION ALL
+        |  SELECT 'l_returnflag', n, n - r_cnt, r_nd, NULL::DOUBLE, NULL::DOUBLE, r_mn, r_mx FROM a
+        |  UNION ALL
+        |  SELECT 'l_linestatus', n, n - s_cnt, s_nd, NULL::DOUBLE, NULL::DOUBLE, s_mn, s_mx FROM a)
+        |ORDER BY col_name""".stripMargin),
+
     // -- gap-fill / resample: daily per-type event counts on a complete
     //    date spine (missing days appear with n=0) + forward-filled last
     //    observed daily sum. The spine is generated from the data's own
