@@ -316,6 +316,43 @@ object RelationalQueries {
         | TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
         |FROM lineitem""".stripMargin),
 
+    // -- from-scratch HyperLogLog, FULL differential oracle: DuckDB
+    //    rebuilds the md5-60 hashes, buckets, bin()-length ranks, register
+    //    maxima, the exact integer harmonic sum, and the bias-corrected
+    //    estimate — the algorithm is cross-engine checked (vs
+    //    q_approx_distinct, where only the builtin sketch's BOUND is) --
+    "q_hll_distinct" -> Q(
+      (s, d) => {
+        val est = HyperLogLog.estimate(
+          HyperLogLog.registers(Tables.orders(s, d), "o_custkey"))
+        val exact = Tables.orders(s, d)
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        est.crossJoin(exact)
+      },
+      s"""WITH h AS (
+         |  SELECT ('0x' || substr(md5('hll_' || o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM orders),
+         |parts AS (SELECT h >> 52 AS bucket, h & ((1::BIGINT << 52) - 1) AS low FROM h),
+         |rho AS (SELECT bucket,
+         |          CASE WHEN low = 0 THEN 53 ELSE 53 - length(bin(low)) END AS rho
+         |        FROM parts),
+         |obs AS (SELECT bucket, max(rho) AS mj FROM rho GROUP BY 1),
+         |regs AS (
+         |  SELECT s.bucket, coalesce(obs.mj, 0) AS mj
+         |  FROM (SELECT unnest(range(0, 256)) AS bucket) s LEFT JOIN obs USING (bucket)),
+         |agg AS (
+         |  SELECT count(*) AS m,
+         |    sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END)::BIGINT AS v_empty,
+         |    sum(1::BIGINT << (53 - mj)::INT)::BIGINT AS sum_int
+         |  FROM regs)
+         |SELECT m, v_empty,
+         |  round(CASE WHEN v_empty > 0
+         |              AND ${HyperLogLog.AlphaMM} / (sum_int / 9007199254740992.0) <= 640.0
+         |             THEN 256.0 * ln(256.0 / v_empty)
+         |             ELSE ${HyperLogLog.AlphaMM} / (sum_int / 9007199254740992.0) END, 4) AS est,
+         |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct
+         |FROM agg""".stripMargin),
+
     // -- scalar string functions --
     "q_scalar_string" -> Q(
       (s, d) => Tables.part(s, d)
