@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer-lattice k-means — the offline coarse-quantizer
+  * build an IVF index needs (SURVEY §2.4 similarity family; `ivfTopK`
+  * probes a coarse cell, and THIS is how the cells get built without a
+  * stand-in). Lloyd iterations, made bit-reproducible on any engine:
+  *
+  *   - vectors quantize to an integer lattice (`round(x·1000)` per dim, as
+  *     double arithmetic) — distances become EXACT integer sums, immune to
+  *     float accumulation order;
+  *   - init is the k smallest `vec_id`s (deterministic, no RNG);
+  *   - assignment ties break by centroid id (window over (dist, cid));
+  *   - centroid update is `round(Σx / n)` per dimension — one IEEE double
+  *     division of exact integers, identically rounded everywhere.
+  *
+  * Scale shape per iteration: one broadcast of k centroids (k·dim longs),
+  * one window over (vec, k) scored rows partitioned by vec_id, one
+  * (cid, dim)-keyed aggregation — no driver-side math at all. A real
+  * deployment samples vectors for the codebook build; the fit is the same.
+  */
+object KMeansQuant {
+
+  /** Integer-lattice view of the vectors: `(vec_id, v: array<long>)`. */
+  def quantize(emb: DataFrame, idCol: String, vecCol: String, scale: Int = 1000): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("v"))
+
+  /** Squared L2 between two integer vectors — exact (fits a long for
+    * realistic dims/scales). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Assign every vector to its nearest centroid: `(vec_id, v, cid, dist)`;
+    * ties on distance break by centroid id. */
+  def assign(q: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), sqDist(col("v"), col("cv")).as("dist"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Recompute integer centroids from an assignment: per (cid, dim),
+    * `round(mean)` back onto the lattice. Clusters that lost every member
+    * drop out (standard Lloyd behavior; deterministic here). */
+  def update(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg(round(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cv"))
+
+  /** Run `iters` Lloyd iterations from the deterministic init; returns the
+    * final assignment `(vec_id, v, cid, dist)`. */
+  def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      scale: Int = 1000): DataFrame = {
+    val q = quantize(emb, idCol, vecCol, scale)
+    var cents = q.where(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    var assigned = assign(q, cents)
+    (1 until iters).foreach { _ =>
+      cents = update(assigned)
+      assigned = assign(q, cents)
+    }
+    assigned
+  }
+}

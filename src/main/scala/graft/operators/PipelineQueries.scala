@@ -439,6 +439,45 @@ object PipelineQueries {
          |              JOIN embeddings eb ON eb.vec_id = c.vb)
          |WHERE cos >= 0.4 ORDER BY va, vb""".stripMargin),
 
+    // deterministic integer-lattice k-means (k=8, 2 Lloyd iterations) —
+    // the offline coarse-quantizer build behind IVF, differentially
+    // oracled end-to-end: quantization, exact integer distances, tie-broken
+    // assignment, round(mean) centroid updates, final per-cluster inertia
+    // are all replayed by DuckDB
+    "q_ann_kmeans" -> Q(
+      (s, d) => KMeansQuant.fit(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+        .orderBy("cid"),
+      {
+        def step(n: Int, cents: String) =
+          s"""d$n AS (
+             |  SELECT q.vec_id, q.v, c.cid,
+             |    CAST(list_sum(list_transform(range(1, 65),
+             |      i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS dist
+             |  FROM q CROSS JOIN $cents c),
+             |a$n AS (
+             |  SELECT vec_id, v, cid, dist FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |    FROM d$n)
+             |  WHERE rn = 1)""".stripMargin
+        s"""WITH q AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           |  FROM embeddings),
+           |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM q WHERE vec_id < 8),
+           |${step(1, "c0")},
+           |u1 AS (
+           |  SELECT cid, i.i,
+           |    CAST(round(CAST(sum(v[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+           |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+           |  GROUP BY 1, 2),
+           |c1 AS (SELECT cid, list(c ORDER BY i) AS cv FROM u1 GROUP BY 1),
+           |${step(2, "c1")}
+           |SELECT cid, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
+           |FROM a2 GROUP BY 1 ORDER BY cid""".stripMargin
+      }),
+
     // ---- text analysis ----
     "q_lang_id" -> Q(
       (s, d) => Tables.documents(s, d)
