@@ -45,6 +45,36 @@ object PipelineQueries {
 
   private val tokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB replay of KMeansQuant.fit(k=8, iters=2, scale=1000) over the
+    * embeddings table: CTE chain ending in `a2` = the final assignment
+    * `(vec_id, v, cid, dist)`. Shared by q_ann_kmeans / q_ann_ivf_kmeans. */
+  private val kmeansCtes: String = {
+    def step(n: Int, cents: String) =
+      s"""d$n AS (
+         |  SELECT q.vec_id, q.v, c.cid,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS dist
+         |  FROM q CROSS JOIN $cents c),
+         |a$n AS (
+         |  SELECT vec_id, v, cid, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d$n)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM q WHERE vec_id < 8),
+       |${step(1, "c0")},
+       |u1 AS (
+       |  SELECT cid, i.i,
+       |    CAST(round(CAST(sum(v[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+       |  GROUP BY 1, 2),
+       |c1 AS (SELECT cid, list(c ORDER BY i) AS cv FROM u1 GROUP BY 1),
+       |${step(2, "c1")}""".stripMargin
+  }
   private def hitsSql(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
@@ -71,6 +101,12 @@ object PipelineQueries {
   private def exactPairs08(s: org.apache.spark.sql.SparkSession, d: String) =
     pairsCache.getOrElseUpdate(s, s"ng:$d")(
       Dedup.ngramJaccardPairsFrom(sets3(s, d), 0.8).localCheckpoint())
+  /** One k-means fit per (session, dir): q_ann_kmeans and q_ann_ivf_kmeans
+    * consume the same assignment (tiny: vec_id, v, cid, dist). */
+  private def kmeansFit(s: org.apache.spark.sql.SparkSession, d: String) =
+    pairsCache.getOrElseUpdate(s, s"km:$d")(
+      KMeansQuant.fit(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
+        .localCheckpoint())
 
   val all: Map[String, Q] = Map(
 
@@ -445,38 +481,49 @@ object PipelineQueries {
     // assignment, round(mean) centroid updates, final per-cluster inertia
     // are all replayed by DuckDB
     "q_ann_kmeans" -> Q(
-      (s, d) => KMeansQuant.fit(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
+      (s, d) => kmeansFit(s, d)
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
         .orderBy("cid"),
-      {
-        def step(n: Int, cents: String) =
-          s"""d$n AS (
-             |  SELECT q.vec_id, q.v, c.cid,
-             |    CAST(list_sum(list_transform(range(1, 65),
-             |      i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS dist
-             |  FROM q CROSS JOIN $cents c),
-             |a$n AS (
-             |  SELECT vec_id, v, cid, dist FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-             |    FROM d$n)
-             |  WHERE rn = 1)""".stripMargin
-        s"""WITH q AS (
-           |  SELECT vec_id, list_transform(embedding,
-           |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-           |  FROM embeddings),
-           |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM q WHERE vec_id < 8),
-           |${step(1, "c0")},
-           |u1 AS (
-           |  SELECT cid, i.i,
-           |    CAST(round(CAST(sum(v[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
-           |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
-           |  GROUP BY 1, 2),
-           |c1 AS (SELECT cid, list(c ORDER BY i) AS cv FROM u1 GROUP BY 1),
-           |${step(2, "c1")}
-           |SELECT cid, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
-           |FROM a2 GROUP BY 1 ORDER BY cid""".stripMargin
-      }),
+      s"""$kmeansCtes
+         |SELECT cid, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
+         |FROM a2 GROUP BY 1 ORDER BY cid""".stripMargin),
+
+    // IVF over the FITTED codebook (no label stand-in): every vector lives
+    // in its k-means cell; a query probes its own cell's inverted list.
+    // Same algorithm replayed by the oracle, so the (by-design approximate)
+    // cell-probe answer is still an exact cross-engine match.
+    "q_ann_ivf_kmeans" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cells = kmeansFit(s, d).select(col("vec_id"), col("cid"))
+        val e = emb.join(cells, "vec_id")
+        val qs = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+        qs.join(e.select(col("vec_id").as("vid"), col("embedding").as("ve"), col("cid")), "cid")
+          .where(col("vid") =!= col("qid"))
+          .select(col("qid"), col("vid"), cosineSim(col("qe"), col("ve")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("qid"), col("vid"), col("cos"))
+          .orderBy("qid", "vid")
+      },
+      s"""$kmeansCtes,
+         |cells AS (SELECT vec_id, cid FROM a2),
+         |qs AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qe, c.cid
+         |  FROM embeddings e JOIN cells c USING (vec_id) WHERE e.vec_id < 10),
+         |cn AS (
+         |  SELECT qs.qid, e.vec_id AS vid, ${cosSql("qs.qe", "e.embedding")} AS cos
+         |  FROM qs JOIN cells c2 ON c2.cid = qs.cid
+         |          JOIN embeddings e ON e.vec_id = c2.vec_id AND e.vec_id <> qs.qid)
+         |SELECT qid, vid, cos FROM (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+         |  FROM cn)
+         |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
 
     // ---- text analysis ----
     "q_lang_id" -> Q(
