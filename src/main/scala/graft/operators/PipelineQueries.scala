@@ -495,6 +495,7 @@ object PipelineQueries {
     // cell-probe answer is still an exact cross-engine match.
     "q_ann_ivf_kmeans" -> Q(
       (s, d) => {
+        GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
         val cells = kmeansFit(s, d).select(col("vec_id"), col("cid"))
         val e = emb.join(cells, "vec_id")
@@ -587,6 +588,48 @@ object PipelineQueries {
     // winnowing fingerprints (k=4 token grams, window w=5), differential
     // oracle: DuckDB rebuilds the md5-60 gram hashes and the per-window
     // minima; the selected VALUE set equals the rightmost-min formulation
+    // MOSS-style near-dup candidates from winnowing fingerprints: docs
+    // sharing ≥ 5 selected fingerprints (inverted index on the fingerprint
+    // value — same join shape as the shingle index, but over the ~1/w
+    // winnowed subsample, so the index is a fraction of the full shingle
+    // table's size; Schleimer/Wilkerson/Aiken SIGMOD'03)
+    "q_winnow_pairs" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val fps = Tables.documents(s, d)
+          .select(col("doc_id"), explode(winnow60(tokens(col("text")), 4, 5)).as("fp"))
+          .distinct()
+        fps.as("a")
+          .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .groupBy("da", "db")
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 5)
+          .orderBy("da", "db")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, i,
+         |    ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT AS gh,
+         |    ng
+         |  FROM (SELECT doc_id, t, len(t) - 3 AS ng,
+         |          unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS i
+         |        FROM toks)),
+         |win AS (
+         |  SELECT doc_id, ng, p, least(p + 4, ng) AS hi
+         |  FROM (SELECT doc_id, ng,
+         |          unnest(range(1, greatest(ng - 4, 1) + 1)) AS p
+         |        FROM (SELECT DISTINCT doc_id, ng FROM g))),
+         |wmin AS (
+         |  SELECT w.doc_id, w.p, min(g.gh) AS fp
+         |  FROM win w JOIN g ON g.doc_id = w.doc_id AND g.i BETWEEN w.p AND w.hi
+         |  GROUP BY w.doc_id, w.p),
+         |wfp AS (SELECT DISTINCT doc_id, fp FROM wmin)
+         |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+         |FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5
+         |ORDER BY da, db""".stripMargin),
+
     "q_winnow_fp" -> Q(
       (s, d) => {
         GraftFunctions.register(s)
