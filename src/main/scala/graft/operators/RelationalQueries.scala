@@ -101,6 +101,73 @@ object RelationalQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
 
+    // -- TPC-H Q5 shape: 6-table join (2 fact-fact + co-nation supplier
+    //    condition + 2 broadcast dims) — the join-ordering/strategy
+    //    showcase: Catalyst reorders, dims broadcast, fact joins shuffle
+    //    once each on their keys, AQE re-splits skew at runtime --
+    "q_tpch_q5" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d); val su = Tables.supplier(s, d)
+        val n = Tables.nation(s, d); val r = Tables.region(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .where(r("r_name") === "ASIA" &&
+            o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            o("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(n("n_name"))
+          .agg(revenueCol.as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      s"""SELECT n_name, $revenue AS revenue, count(*) AS n_items
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // -- TPC-H Q10 shape: returned-item revenue per customer for a
+    //    quarter, top 20 — join + partial agg + TakeOrdered (per-partition
+    //    heaps, never a global sort) --
+    "q_tpch_q10" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d); val n = Tables.nation(s, d)
+        li.where(col("l_returnflag") === "R")
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .where(o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            o("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(c("c_custkey"), c("c_name"), n("n_name"))
+          .agg(revenueCol.as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+          .orderBy("c_custkey")
+      },
+      s"""SELECT c_custkey, c_name, n_name, revenue, n_items FROM (
+         |  SELECT c_custkey, c_name, n_name, $revenue AS revenue,
+         |         count(*) AS n_items
+         |  FROM lineitem
+         |   JOIN orders ON l_orderkey = o_orderkey
+         |   JOIN customer ON o_custkey = c_custkey
+         |   JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY c_custkey, c_name, n_name
+         |  ORDER BY revenue DESC, c_custkey LIMIT 20)
+         |ORDER BY c_custkey""".stripMargin),
+
     // -- range (interval-containment) join: shipments landing inside a
     //    30-day window after each sampled order's date. Bin-replicated
     //    equi-join (RangeJoin) — the naive BETWEEN predicate would force a
