@@ -55,6 +55,20 @@ class PlanSpec extends SparkSpec {
       s"dimension join does not broadcast:\n$plan")
   }
 
+  test("tpch q5: dims broadcast, no cartesian product in the 6-table join") {
+    val plan = formatted(RelationalQueries.all("q_tpch_q5").fn(spark, sf0))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"6-table join degenerated:\n$plan")
+  }
+
+  test("range join plans as an equi-join on the bin key (no BNLJ)") {
+    val plan = formatted(RelationalQueries.all("q_range_join").fn(spark, sf0))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to BNLJ:\n$plan")
+    assert(plan.contains("Join"), s"expected a join:\n$plan")
+  }
+
   test("lf which: only ids surface and the predicate still reaches the scan") {
     val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", ParityQueries.rowOrderKey)
     val which = lf.which(col("l_quantity") > 30.0)
