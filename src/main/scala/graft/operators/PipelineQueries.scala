@@ -107,6 +107,16 @@ object PipelineQueries {
     pairsCache.getOrElseUpdate(s, s"km:$d")(
       KMeansQuant.fit(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
         .localCheckpoint())
+  /** One winnowing pass per (session, dir): the (doc_id, fp) fingerprint
+    * table feeds both the per-doc query and the overlap-pair join. */
+  private def winnowFps(s: org.apache.spark.sql.SparkSession, d: String) =
+    pairsCache.getOrElseUpdate(s, s"wf:$d") {
+      GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(winnow60(tokens(col("text")), 4, 5)).as("fp"))
+        .distinct()
+        .localCheckpoint()
+    }
 
   val all: Map[String, Q] = Map(
 
@@ -595,10 +605,7 @@ object PipelineQueries {
     // table's size; Schleimer/Wilkerson/Aiken SIGMOD'03)
     "q_winnow_pairs" -> Q(
       (s, d) => {
-        GraftFunctions.register(s)
-        val fps = Tables.documents(s, d)
-          .select(col("doc_id"), explode(winnow60(tokens(col("text")), 4, 5)).as("fp"))
-          .distinct()
+        val fps = winnowFps(s, d)
         fps.as("a")
           .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -631,13 +638,7 @@ object PipelineQueries {
          |ORDER BY da, db""".stripMargin),
 
     "q_winnow_fp" -> Q(
-      (s, d) => {
-        GraftFunctions.register(s)
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(winnow60(tokens(col("text")), 4, 5)).as("fp"))
-          .orderBy("doc_id", "fp")
-      },
+      (s, d) => winnowFps(s, d).orderBy("doc_id", "fp"),
       s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
          |g AS (
          |  SELECT doc_id, i,
