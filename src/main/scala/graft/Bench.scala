@@ -8,10 +8,11 @@ object Bench {
     * registered query; this only bounds the line length). */
   val headline: Set[String] = Set(
     "q1_agg", "lf_filter_extract", "lf_filter_eq_str",
-    "q_join_star", "q_join_salted", "q_window_rank", "q_cube",
+    "q_tpch_q5", "q_join_star", "q_join_salted", "q_range_join",
+    "q_window_rank", "q_cube", "q_hll_distinct",
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_clusters",
-    "q_dedup_embed", "q_ann_topk_agg", "q_ann_lsh",
-    "q_lang_id", "q_tfidf", "q_chunk", "q_mm_features",
+    "q_dedup_embed", "q_bloom_novel", "q_ann_topk_agg", "q_ann_lsh",
+    "q_ann_kmeans", "q_lang_id", "q_tfidf", "q_gapfill",
     "q_stream_tumbling", "q_stream_join", "q_stream_stateful")
 
   def main(args: Array[String]): Unit = {

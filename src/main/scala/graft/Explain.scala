@@ -12,8 +12,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("lf_filter_eq_str", "lf_rows_range", "q1_agg", "q_join_star",
-        "q_dedup_ngram", "q_dedup_minhash", "q_dedup_embed", "q_ann_topk_agg",
-        "q_topk")
+        "q_tpch_q5", "q_range_join", "q_dedup_ngram", "q_dedup_minhash",
+        "q_dedup_embed", "q_bloom_novel", "q_ann_topk_agg", "q_topk")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
