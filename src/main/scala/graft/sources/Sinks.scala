@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Sink surface for the pipeline extensions. The LazyFrame parity surface
+  * stays READ-ONLY like the reference ("File frames are read-only.",
+  * `/root/reference/R/lazy.frame.R:121-124`); these sinks are for the
+  * training-data pipeline outputs.
+  *
+  * Shapes and why they scale:
+  *   - partitioned parquet: one directory per partition value — readers
+  *     prune whole shards at planning time (`PartitionFilters`), the
+  *     standard layout for corpus shards keyed by lang/source/date;
+  *   - bucketed table: co-bucketing both sides of a recurring equi-join
+  *     key eliminates its shuffle on every later join (BucketingSpec
+  *     proves the joint read is exchange-free);
+  *   - streaming parquet: append-mode with a checkpoint — exactly-once
+  *     file output for watermark-closed windows.
+  */
+object Sinks {
+
+  /** Batch write, one directory per `partitionCols` value combination.
+    * Choose low-cardinality keys (lang, source, date) — thousands of
+    * partitions, not millions; high-cardinality layout belongs in
+    * bucketing. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table: later equi-joins/aggregations on
+    * `bucketCol` between co-bucketed tables read shuffle-free. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
+  /** Streaming append to partitioned parquet with checkpointing; returns
+    * the started query (caller awaits/stops). `AvailableNow` drains the
+    * current input and terminates — swap the trigger for continuous
+    * ingest. */
+  def streamToParquet(df: DataFrame, path: String, checkpoint: String,
+      partitionCols: Seq[String] = Nil): StreamingQuery = {
+    val w = df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
+  }
+}
