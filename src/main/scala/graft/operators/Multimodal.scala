@@ -55,6 +55,26 @@ object Multimodal {
         md5(col("frame_hex").cast("binary")).as("frame_digest"))
   }
 
+  /** Resize planning over the (stub-)decoded dimensions: fit the media
+    * into a `target`×`target` box preserving aspect ratio — the arithmetic
+    * every image/video preprocessing stage runs before the actual decoder
+    * resample (which lives behind the same stub splice point as decode).
+    * Output dims are `max(1, floor(dim·s))` with `s = target/max(w,h)`
+    * (never upscale: `s` capped at 1) — pure integer/double arithmetic,
+    * replayed exactly by the SQL oracle. */
+  def resizePlan(docs: DataFrame, idCol: String, blobCol: String, target: Int = 64): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val w = GF.fakeDim(col(blobCol), 0).cast("double")
+    val h = GF.fakeDim(col(blobCol), 1).cast("double")
+    val s = least(lit(1.0), lit(target.toDouble) / greatest(w, h))
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      w.cast("int").as("src_w"), h.cast("int").as("src_h"),
+      round(s, 6).as("scale"),
+      greatest(lit(1L), floor(w * s)).cast("int").as("out_w"),
+      greatest(lit(1L), floor(h * s)).cast("int").as("out_h"))
+  }
+
   /** Feature extraction over the binary column: byte histogram → distinct
     * count + Shannon entropy (TextHashes kernels, inside codegen) plus the
     * stubbed decode dims. Every feature is also reproducible by the SQL

@@ -882,6 +882,47 @@ object PipelineQueries {
         |FROM f JOIN hx USING (doc_id)
         |ORDER BY doc_id, frame_ix""".stripMargin),
 
+    // resize planning over the stub-decoded dims: aspect-preserving fit
+    // into 64×64, never upscaling — the oracle replays the fake-dim bytes
+    // and the scale arithmetic exactly
+    "q_mm_resize" -> Q(
+      (s, d) => Multimodal.resizePlan(
+        Multimodal.withBlob(Tables.documents(s, d), "text"), "doc_id", "payload", 64)
+        .orderBy("doc_id"),
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text))::BIGINT AS nb
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id,
+        |    (64 + CASE WHEN nb > 0 THEN ('0x' || substr(h, 1, 2))::BIGINT & 127 ELSE 0 END)::DOUBLE AS w,
+        |    (64 + CASE WHEN nb > 1 THEN ('0x' || substr(h, 3, 2))::BIGINT & 127 ELSE 0 END)::DOUBLE AS hh
+        |  FROM hx),
+        |r AS (SELECT doc_id, w, hh, least(1.0, 64.0 / greatest(w, hh)) AS s FROM dims)
+        |SELECT doc_id, w::INT AS src_w, hh::INT AS src_h, round(s, 6) AS scale,
+        |  greatest(1, floor(w * s))::INT AS out_w,
+        |  greatest(1, floor(hh * s))::INT AS out_h
+        |FROM r ORDER BY doc_id""".stripMargin),
+
+    // PII audit: per-document inventory of email / long-digit-run / URL
+    // matches — the counting counterpart of q_scrub's masking (audit
+    // first, scrub second); per-row regex, zero shuffle
+    "q_pii_audit" -> Q(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit("[0-9]{7,}"), lit(0)))
+          .cast("long").as("n_long_digit_runs"),
+        size(regexp_extract_all(col("text"), lit("https?://[^ ]+"), lit(0)))
+          .cast("long").as("n_urls"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))::BIGINT AS n_emails,
+        | len(regexp_extract_all(text, '[0-9]{7,}'))::BIGINT AS n_long_digit_runs,
+        | len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT AS n_urls
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // byte-level features over the binary payload, differential oracle:
     // DuckDB explodes the payload's hex pairs into byte values and replays
     // the histogram → distinct count + entropy (identical ln-ratio
