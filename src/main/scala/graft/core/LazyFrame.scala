@@ -361,6 +361,12 @@ object LazyFrame {
   def parquet(spark: SparkSession, path: String, rowOrder: Seq[String]): LazyFrame =
     fromDataFrame(spark.read.parquet(path), rowOrder)
 
+  /** Open an ORC table with a pinned row order (footer schema, like
+    * parquet — metadata-only open; predicate pushdown and column pruning
+    * reach the ORC reader the same way). */
+  def orc(spark: SparkSession, path: String, rowOrder: Seq[String]): LazyFrame =
+    fromDataFrame(spark.read.orc(path), rowOrder)
+
   /** Open a delimited text file, plain or .gz (Spark decodes gz
     * transparently, like the reference's zlib vtable,
     * `src/lazy.frame.c:43-74`). Schema and header are probed from a ≤5-row

@@ -52,6 +52,16 @@ class JsonlSpec extends SparkSpec {
     assert(row2.map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("ORC round-trip: LazyFrame.orc opens with row addressing and pushdown") {
+    import graft.core.LazyFrame
+    val dir = Files.createTempDirectory("graft_orc_").toString + "/t"
+    Jsonl.read(spark, writeTemp("d.jsonl", docs)).write.mode("overwrite").orc(dir)
+    val lf = LazyFrame.orc(spark, dir, Seq("id"))
+    assert(lf.nrow == 3)
+    assert(lf.filter(col("score") > 0).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("partitioned sink round-trips and prunes") {
     val out = Files.createTempDirectory("graft_sinks_").toString + "/part"
     val df = Jsonl.read(spark, writeTemp("d.jsonl", docs))
