@@ -300,7 +300,7 @@ final class LazyFrame private (
     // renames sequentially, so a new name equal to another column's OLD
     // name (e.g. swapping two columns) would collide mid-fold and rename
     // both; aliasing every column in a single projection cannot
-    val renamedSrc = src.select(src.columns.map(c =>
+    val renamedSrc = src.select(src.columns.toSeq.map(c =>
       col(c).as(mapping.getOrElse(c, c))): _*)
     val order = rowOrder.map(o => mapping.getOrElse(o, o))
     // renaming an order-key column invalidates the shared index's key names;

@@ -20,7 +20,7 @@ object AdvancedQueries {
   def saltedJoin(salts: Int)(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
       leftKey: String, rightKey: String): org.apache.spark.sql.DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(left.columns.toSeq.map(col): _*), lit(salts)).cast("int"))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(saltedRight,

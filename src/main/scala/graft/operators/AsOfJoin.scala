@@ -44,7 +44,7 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       payloadCols: Map[String, String],
       forward: Boolean = false): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toSeq
     val srcNames = payloadCols.keys.toSeq
     val outNames = srcNames.map(payloadCols)
 
