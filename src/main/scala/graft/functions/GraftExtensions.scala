@@ -47,5 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ).foreach(ext.injectFunction)
     // similarity cross joins plan as tiled equi-joins, not BNLJ
     ext.injectOptimizerRule(_ => graft.plans.TiledSimilarityJoin)
+    // pure band-predicate joins (p BETWEEN s AND e) plan as bin equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)
   }
 }
