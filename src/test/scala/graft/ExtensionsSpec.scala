@@ -37,4 +37,21 @@ class ExtensionsSpec extends SparkSpec {
     val out = Dedup.dupClusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == 10 && out.forall(_._2 == 1L))
   }
+
+  test("dupClusters: iterative loop path (fast path disabled), decimal Σ convergence") {
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("da", "db")
+    val out = Dedup.dupClusters(pairs, smallGraphMaxEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 10 && out.forall(_._2 == 1L))
+  }
+
+  test("dupClusters: string ids take the changed-count convergence branch") {
+    // non-integral ids can't use Σ-labels (ADVICE r2: sum over strings
+    // crashed); chain forces several propagation rounds
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("da", "db")
+    val out = Dedup.dupClusters(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
 }

@@ -27,4 +27,35 @@ class MultimodalSpec extends SparkSpec {
       e >= 0.0 && e <= 8.0 && r.getLong(1) > 0 && r.getInt(4) >= 64 && r.getInt(5) >= 64
     })
   }
+
+  test("frameSample: short payloads clip at the end, empty payloads drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny"), (2L, ""), (3L, "x" * 100)).toDF("doc_id", "text")
+    val out = Multimodal.frameSample(
+        Multimodal.withBlob(docs, "text"), "doc_id", "payload", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // empty payload contributes no frames; others exactly 4 each
+    assert(out.count(_._1 == 2L) == 0)
+    assert(out.count(_._1 == 1L) == 4 && out.count(_._1 == 3L) == 4)
+    // "tiny" = 4 bytes: offsets 1,2,3,4 (1-based), windows clip to the end
+    val tiny = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(tiny.map(_._3).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(tiny.head._4 == "74696E79") // hex("tiny"), clipped at 4 bytes
+    assert(tiny.last._4 == "79")       // last frame = final byte only
+  }
+
+  test("resizePlan: aspect preserved, never upscales, dims at least 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdef"), (2L, "z")).toDF("doc_id", "text")
+    val out = Multimodal.resizePlan(
+        Multimodal.withBlob(docs, "text"), "doc_id", "payload", 64)
+      .collect()
+    out.foreach { r =>
+      val (sw, sh) = (r.getInt(1), r.getInt(2))
+      val (ow, oh) = (r.getInt(4), r.getInt(5))
+      val s = r.getDouble(3)
+      assert(s <= 1.0 && ow >= 1 && oh >= 1 && ow <= 64 && oh <= 64)
+      assert(ow <= sw && oh <= sh) // never upscale
+    }
+  }
 }
