@@ -228,6 +228,36 @@ object AdvancedQueries {
         |   ORDER BY b.ts LIMIT 1) AS next_click_id
         |FROM events a ORDER BY a.event_id""".stripMargin),
 
+    // -- nearest as-of join: each event ↔ the user's click with the
+    //    SMALLEST |Δt|, either direction — the feature-store lookup
+    //    backward/forward as-of can't express alone. One user-keyed join +
+    //    min(struct(|Δ|, ts, id)) per event: lexicographic struct-min makes
+    //    ties (equal distance before/after, equal timestamps) fully
+    //    deterministic, matching the oracle's ORDER BY abs, ts, id LIMIT 1.
+    //    Left join keeps click-less users with a NULL lookup. --
+    "q_asof_nearest" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val left = ev.select(col("event_id"), col("user_id"), col("ts"), col("ts_ns"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts_ns").as("c_ts_ns"),
+            col("event_id").as("c_event_id"))
+        left.join(clicks, col("user_id") === col("c_user"), "left")
+          .groupBy(col("event_id"), col("user_id"), col("ts"))
+          .agg(min(struct(abs(col("ts_ns") - col("c_ts_ns")).as("d"),
+            col("c_ts_ns").as("t"), col("c_event_id").as("id"))).as("best"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("best.id").as("nearest_click_id"))
+          .orderBy("event_id")
+      },
+      """SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
+        | (SELECT b.event_id FROM events b
+        |   WHERE b.user_id = a.user_id AND b.event_type = 'click'
+        |   ORDER BY abs(epoch_us(b.ts) - epoch_us(a.ts)), b.ts, b.event_id
+        |   LIMIT 1) AS nearest_click_id
+        |FROM events a ORDER BY a.event_id""".stripMargin),
+
     // -- salted join == plain join (the oracle IS the unsalted answer) --
     "q_join_salted" -> Q(
       (s, d) => {
