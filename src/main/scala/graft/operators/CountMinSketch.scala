@@ -28,15 +28,30 @@ object CountMinSketch {
   private def bucket(key: Column, r: Int, width: Int): Column =
     pmod(md5Hash60(concat(lit(s"cms${r}_"), key.cast("string"))), lit(width.toLong))
 
-  /** Build the sketch from (possibly weighted) keys: one output row per
-    * touched counter, `(r, c, cnt)` — map-side partial aggregation, then a
-    * single narrow shuffle on (r, c). */
+  /** Build the sketch from raw keys (one occurrence per row): one output
+    * row per touched counter, `(r, c, cnt)` — map-side partial
+    * aggregation, then a single narrow shuffle on (r, c). */
   def build(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 16384): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     df.select(posexplode(array((0 until depth).map(r =>
         bucket(col(keyCol), r, width)): _*)).as(Seq("r", "c")))
       .groupBy(col("r"), col("c"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Build from a pre-aggregated `(key, weight)` table — identical sketch
+    * to [[build]] over the raw occurrences when `weightCol` carries their
+    * counts, at the cost of the (usually already materialized) aggregate
+    * instead of a second raw scan. Also the entry point for genuinely
+    * weighted frequencies. */
+  def buildWeighted(df: DataFrame, keyCol: String, weightCol: String,
+      depth: Int = 4, width: Int = 16384): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(weightCol).as("__w"),
+        posexplode(array((0 until depth).map(r =>
+          bucket(col(keyCol), r, width)): _*)).as(Seq("r", "c")))
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("__w")).as("cnt"))
   }
 
   /** Estimate each probe key's frequency: min over the d counters the key

@@ -303,10 +303,14 @@ object PipelineQueries {
     // replays the min-over-rows probe.
     "q_cms_freq" -> Q(
       (s, d) => {
-        val toks = Tables.documents(s, d).select(explode(tokens(col("text"))).as("term"))
-        val sketch = CountMinSketch.build(toks, "term")
-        val top = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
-          .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+        // ONE tokenize scan: the exact count table feeds both the top-20
+        // selection and the (weighted) sketch build — identical counters
+        // to building from raw occurrences
+        val cnt = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        val sketch = CountMinSketch.buildWeighted(cnt, "term", "exact_cnt")
+        val top = cnt.orderBy(col("exact_cnt").desc, col("term")).limit(20)
         CountMinSketch.estimate(top, sketch, "term")
           .select(col("term"), col("exact_cnt"), col("est"))
           .orderBy("term")

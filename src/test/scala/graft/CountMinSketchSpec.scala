@@ -28,6 +28,17 @@ class CountMinSketchSpec extends SparkSpec {
     assert(over < keys.size, s"total overcount $over")
   }
 
+  test("buildWeighted over the count table equals build over raw occurrences") {
+    import spark.implicits._
+    val raw = (1 to 500).map(i => s"t${i % 37}").toDF("k")
+    val cnt = raw.groupBy("k").agg(count(lit(1)).as("w"))
+    val a = CountMinSketch.build(raw, "k", depth = 4, width = 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val b = CountMinSketch.buildWeighted(cnt, "k", "w", depth = 4, width = 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("probe plan broadcasts the sketch") {
     import spark.implicits._
     val df = (1 to 100).map(i => s"k${i % 10}").toDF("k")
