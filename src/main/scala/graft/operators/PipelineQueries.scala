@@ -107,6 +107,15 @@ object PipelineQueries {
     pairsCache.getOrElseUpdate(s, s"km:$d")(
       KMeansQuant.fit(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
         .localCheckpoint())
+  /** One tokenize pass per (session, dir): the exploded `(doc_id, term)`
+    * stream feeds the vocab/tf-idf/LM-score/CMS queries — each would
+    * otherwise re-run the regex tokenizer over the corpus (and q_lm_score
+    * reads it twice within its own plan). */
+  private def tokStream(s: org.apache.spark.sql.SparkSession, d: String) =
+    pairsCache.getOrElseUpdate(s, s"tok:$d")(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .localCheckpoint())
   /** One winnowing pass per (session, dir): the (doc_id, fp) fingerprint
     * table feeds both the per-doc query and the overlap-pair join. */
   private def winnowFps(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -306,8 +315,7 @@ object PipelineQueries {
         // ONE tokenize scan: the exact count table feeds both the top-20
         // selection and the (weighted) sketch build — identical counters
         // to building from raw occurrences
-        val cnt = Tables.documents(s, d)
-          .select(explode(tokens(col("text"))).as("term"))
+        val cnt = tokStream(s, d)
           .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
         val sketch = CountMinSketch.buildWeighted(cnt, "term", "exact_cnt")
         val top = cnt.orderBy(col("exact_cnt").desc, col("term")).limit(20)
@@ -338,8 +346,7 @@ object PipelineQueries {
     // corpus vocabulary: top terms by document frequency
     "q_vocab" -> Q(
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+        val toks = tokStream(s, d).select("doc_id", "term").distinct()
         toks.groupBy("term").agg(count(lit(1)).as("df"))
           .orderBy(col("df").desc, col("term")).limit(20)
           .orderBy("term")
@@ -668,8 +675,7 @@ object PipelineQueries {
     // aggregation (broadcast back), per-doc mean of -log2 p(t).
     "q_lm_score" -> Q(
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val toks = tokStream(s, d).withColumnRenamed("term", "t")
         val uni = toks.groupBy("t").agg(count(lit(1)).cast("double").as("c"))
         val tot = uni.agg(sum(col("c")).as("tt"))
         toks.join(broadcast(uni), "t").crossJoin(broadcast(tot))
@@ -694,12 +700,18 @@ object PipelineQueries {
     // (repetitive token-soup scores low here even when unigrams look fine).
     "q_lm_bigram" -> Q(
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("t"))
-          .where(size(col("t")) >= 2)
-        val big = toks.select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS p, t[i] AS w))")).as("b"))
-          .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+        // checkpointed: the bigram table feeds the bigram counts, the
+        // prefix counts AND the final per-doc join — without it the
+        // tokenize→explode scan runs three times (the r1 minhash lesson)
+        val big = pairsCache.getOrElseUpdate(s, s"bg:$d") {
+          Tables.documents(s, d)
+            .select(col("doc_id"), tokens(col("text")).as("t"))
+            .where(size(col("t")) >= 2)
+            .select(col("doc_id"), explode(expr(
+              "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS p, t[i] AS w))")).as("b"))
+            .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+            .localCheckpoint()
+        }
         val cb = big.groupBy("p", "w").agg(count(lit(1)).cast("double").as("cb"))
         val cp = big.groupBy("p").agg(count(lit(1)).cast("double").as("cp"))
         big.join(cb, Seq("p", "w")).join(cp, Seq("p"))
@@ -827,7 +839,7 @@ object PipelineQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
-        val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val tf = tokStream(s, d)
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
         val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
