@@ -69,6 +69,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected a join:\n$plan")
   }
 
+  test("per-row kernel queries are one projection over the file scan, no RDD round-trip") {
+    // the text/multimodal feature extractors must stay a single projection
+    // directly over the FileScan — an RDD round-trip (Scan ExistingRDD)
+    // would sever pushdown/pruning (r1 verdict's Multimodal finding).
+    // (Codegen markers aren't assertable pre-AQE-finalization, and
+    // higher-order functions run interpreted by design.)
+    for (q <- Seq("q_text_quality", "q_mm_features", "q_token_count")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf0)
+      val simple = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(simple.contains("FileScan"), s"$q does not scan the file directly:\n$simple")
+      assert(!simple.contains("ExistingRDD"), s"$q round-trips through an RDD:\n$simple")
+    }
+  }
+
   test("lf which: only ids surface and the predicate still reaches the scan") {
     val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", ParityQueries.rowOrderKey)
     val which = lf.which(col("l_quantity") > 30.0)
