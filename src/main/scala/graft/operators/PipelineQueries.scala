@@ -223,6 +223,27 @@ object PipelineQueries {
          |  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
          |WHERE rk = 1 ORDER BY cluster""".stripMargin),
 
+    // provenance-priority dedup: when the same content arrives from
+    // several sources (multi-crawl merges), the canonical copy is chosen
+    // by source precedence then id — one window over the content digest,
+    // only digests shuffle
+    "q_dedup_priority" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("h")).orderBy(col("source"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(md5(col("text").cast("binary")).as("h"), col("source"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("h"), col("source"), col("doc_id"))
+          .orderBy("h")
+      },
+      """SELECT h, source, doc_id FROM (
+        |  SELECT md5(text) AS h, source, doc_id,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY source, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY h""".stripMargin),
+
     // incremental ingest dedup: an incoming batch (doc_id >= 250) is
     // anti-joined on content digest against the already-ingested corpus
     // (doc_id < 250) — the "is this document NEW" gate every continuous
