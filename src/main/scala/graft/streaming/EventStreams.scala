@@ -141,6 +141,19 @@ object EventStreams {
     spark.read.schema(agg.schema).parquet(dir)
   }
 
+  /** Streaming read of the documents corpus (file source over the shared
+    * dir, schema pinned from the batch footer — no inference pass). The
+    * ingest-side transforms (quality gating, scrubbing, tokenizing) are the
+    * same per-row expressions as batch; Structured Streaming's
+    * batch/stream parity means one definition serves both. */
+  def readDocumentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
+
   /** Streaming exact deduplication: the first-seen row per `keys` survives
     * (`dropDuplicates` keyed state). This is the streaming ingest side of
     * the dedup family: content digests (or here, key columns) dedupe

@@ -53,6 +53,36 @@ object StreamingQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin),
 
+    // streaming ingest quality gate: documents stream in, the per-row
+    // quality filter (>= 20 tokens AND < 20% punctuation) admits or drops
+    // each AS IT ARRIVES, per-lang admission counts aggregate in complete
+    // mode — the filter-at-ingest pipeline shape (same per-row expressions
+    // as batch; the oracle recomputes the gate in SQL)
+    "q_stream_quality" -> Q(
+      (s, d) => {
+        import graft.functions.GraftFunctions.tokens
+        val gated = EventStreams.readDocumentsStream(s, d)
+          .withColumn("n_words", size(tokens(col("text"))).cast("long"))
+          .withColumn("n_punct",
+            size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long"))
+          .where(col("n_words") >= 20 &&
+            col("n_punct") * 5 < length(col("text")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_admitted"),
+            sum(col("n_words")).as("sum_words"))
+        val out = EventStreams.runToBatch(s, gated, s"squality_${System.nanoTime()}")
+        out.orderBy("lang")
+      },
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_words,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::BIGINT AS n_punct,
+        |    length(text) AS n_chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_admitted, sum(n_words)::BIGINT AS sum_words
+        |FROM t WHERE n_words >= 20 AND n_punct * 5 < n_chars
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
     // streaming ingest dedup: first row per (user, type) survives; the
     // per-type survivor count equals batch COUNT(DISTINCT user)
     "q_stream_dedup" -> Q(
