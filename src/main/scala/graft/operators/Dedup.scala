@@ -123,7 +123,12 @@ object Dedup {
   def shingleSigSets(docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int = 128): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    // spread the CPU-heavy tokenize/shingle/sign work across the cluster
+    // even when the source arrives in few coarse splits (one shuffle of the
+    // raw text, paid once per corpus, vs single-task hashing)
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.repartition(parts)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .select(col("doc_id"), shingles(col("t"), k).as("sharr"))
       .select(col("doc_id"),
         minhashSig(col("sharr"), numHashes).as("sig"),

@@ -111,9 +111,16 @@ object PipelineQueries {
     * stream feeds the vocab/tf-idf/LM-score/CMS queries — each would
     * otherwise re-run the regex tokenizer over the corpus (and q_lm_score
     * reads it twice within its own plan). */
+  /** Documents with the CPU-heavy per-row text work spread across tasks:
+    * the corpus arrives as one small parquet split locally (and as coarse
+    * splits generally), which would serialize tokenizer/hash kernels on a
+    * single task — one cheap shuffle of the raw text first. */
+  private def docsSpread(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
   private def tokStream(s: org.apache.spark.sql.SparkSession, d: String) =
     pairsCache.getOrElseUpdate(s, s"tok:$d")(
-      Tables.documents(s, d)
+      docsSpread(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .localCheckpoint())
   /** One winnowing pass per (session, dir): the (doc_id, fp) fingerprint
@@ -121,7 +128,7 @@ object PipelineQueries {
   private def winnowFps(s: org.apache.spark.sql.SparkSession, d: String) =
     pairsCache.getOrElseUpdate(s, s"wf:$d") {
       GraftFunctions.register(s)
-      Tables.documents(s, d)
+      docsSpread(s, d)
         .select(col("doc_id"), explode(winnow60(tokens(col("text")), 4, 5)).as("fp"))
         .distinct()
         .localCheckpoint()
@@ -725,7 +732,7 @@ object PipelineQueries {
         // prefix counts AND the final per-doc join — without it the
         // tokenize→explode scan runs three times (the r1 minhash lesson)
         val big = pairsCache.getOrElseUpdate(s, s"bg:$d") {
-          Tables.documents(s, d)
+          docsSpread(s, d)
             .select(col("doc_id"), tokens(col("text")).as("t"))
             .where(size(col("t")) >= 2)
             .select(col("doc_id"), explode(expr(
