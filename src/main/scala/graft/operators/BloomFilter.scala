@@ -47,18 +47,25 @@ object BloomFilter {
 
   /** Probe: adds `mightContain` to every row of `probe` — true iff all k
     * bits are set. The (≤ bits/64)-row filter table is broadcast; the probe
-    * side never shuffles. */
+    * side never shuffles. Row identity is preserved via a per-row id (fully
+    * duplicate probe rows each get their own output row), and the filter
+    * side's columns are renamed `__bloom_*` so a probe frame that already
+    * has `w`/`bits` columns can't collide. */
   def mightContain(probe: DataFrame, bloom: DataFrame, keyCol: String,
       bits: Int = 4096, k: Int = 3): DataFrame = {
     GraftFunctions.register(probe.sparkSession)
     val cols = probe.columns
-    val pos = probe.withColumn("__p", explode(positions(col(keyCol), bits, k)))
-    pos.join(broadcast(bloom), floor(col("__p") / WordBits).cast("long") === col("w"), "left")
+    val bloomT = bloom.select(col("w").as("__bloom_w"), col("bits").as("__bloom_bits"))
+    val pos = probe.withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__p", explode(positions(col(keyCol), bits, k)))
+    pos.join(broadcast(bloomT),
+        floor(col("__p") / WordBits).cast("long") === col("__bloom_w"), "left")
       .withColumn("__hit",
-        (coalesce(col("bits"), lit(0L))
+        (coalesce(col("__bloom_bits"), lit(0L))
           .bitwiseAND(call_function("shiftleft",
             lit(1L), pmod(col("__p"), lit(WordBits)).cast("int"))) =!= 0L))
-      .groupBy(cols.map(col): _*)
+      .groupBy((col("__rid") +: cols.map(col)): _*)
       .agg(bool_and(col("__hit")).as("mightContain"))
+      .drop("__rid")
   }
 }

@@ -57,16 +57,24 @@ object CountMinSketch {
   /** Estimate each probe key's frequency: min over the d counters the key
     * hashes to. The sketch table is broadcast; the probe side never
     * shuffles (beyond its own final aggregation). Missing counters are
-    * zero (key definitely unseen). */
+    * zero (key definitely unseen). Row identity is preserved via a per-row
+    * id (fully duplicate probe rows each get their own output row), and
+    * the sketch side's columns are renamed `__cms_*` so a probe frame that
+    * already has `r`/`c`/`cnt` columns can't collide. */
   def estimate(probe: DataFrame, sketch: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 16384): DataFrame = {
     GraftFunctions.register(probe.sparkSession)
     val cols = probe.columns
-    probe.select(cols.map(col) :+ posexplode(array((0 until depth).map(r =>
-        bucket(col(keyCol), r, width)): _*)).as(Seq("__r", "__c")): _*)
-      .join(broadcast(sketch),
-        col("__r") === col("r") && col("__c") === col("c"), "left")
-      .groupBy(cols.map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val sketchT = sketch.select(
+      col("r").as("__cms_r"), col("c").as("__cms_c"), col("cnt").as("__cms_cnt"))
+    probe.withColumn("__rid", monotonically_increasing_id())
+      .select(col("__rid") +: cols.map(col) :+
+        posexplode(array((0 until depth).map(r =>
+          bucket(col(keyCol), r, width)): _*)).as(Seq("__r", "__c")): _*)
+      .join(broadcast(sketchT),
+        col("__r") === col("__cms_r") && col("__c") === col("__cms_c"), "left")
+      .groupBy((col("__rid") +: cols.map(col)): _*)
+      .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("est"))
+      .drop("__rid")
   }
 }

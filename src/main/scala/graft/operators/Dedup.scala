@@ -70,7 +70,15 @@ object Dedup {
     * shingles: a shingle appearing in half the corpus lands in almost no
     * prefixes, so its df² pair explosion never happens. Plan shape: one
     * df aggregation, one rank window (both shuffle narrow rows), one
-    * prefix self-join, one verification join against the persisted sets. */
+    * prefix self-join, one verification join against the persisted sets.
+    *
+    * Storage ownership: this convenience wrapper persists the shingle-set
+    * frame internally and never unpersists it — each call pins one
+    * (bounded, few-KB-per-doc) frame for the session lifetime. One-shot
+    * jobs don't care; long-lived sessions deduping MANY distinct corpora
+    * should call [[ngramJaccardPairsFrom]] with a frame whose persistence
+    * they manage (persist → run → unpersist), as the registered queries do
+    * via `SessionCache`. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, tau: Double): DataFrame =
     ngramJaccardPairsFrom(
@@ -119,7 +127,12 @@ object Dedup {
     * `ss`/`n` — so callers running several dedup flavors over the same
     * corpus pay the scan once. Size is bounded: per doc one signature
     * (numHashes longs) + the distinct shingle hashes — a few KB per
-    * document, independent of raw document length. */
+    * document, independent of raw document length.
+    *
+    * Returned frame is persisted MEMORY_AND_DISK; the CALLER owns its
+    * lifecycle (`unpersist()` when the last consumer has materialized).
+    * The registered queries route through `SessionCache`, which memoizes
+    * one frame per session and evicts it on application end. */
   def shingleSigSets(docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int = 128): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
@@ -137,6 +150,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Convenience wrapper; same storage-ownership caveat as
+    * [[ngramJaccardPairs]] — the [[shingleSigSets]] frame it builds stays
+    * persisted for the session. Long-lived multi-corpus sessions should
+    * manage the frame themselves via [[minhashPairsFrom]]. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, tau: Double, numHashes: Int = 128, bands: Int = 32): DataFrame =
     minhashPairsFrom(shingleSigSets(docs, idCol, textCol, k, numHashes), tau, bands)

@@ -60,8 +60,14 @@ object KMeansQuant {
   def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
       scale: Int = 1000): DataFrame = {
     val q = quantize(emb, idCol, vecCol, scale)
-    var cents = q.where(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    // Seed: the k smallest vec_ids, re-labeled 0..k-1 by rank. Selecting
+    // them explicitly (orderBy.limit → TakeOrderedAndProject, k rows to the
+    // driver side of a broadcast) rather than `vec_id < k` keeps the init
+    // correct for sparse or non-zero-based id spaces; for dense 0-based ids
+    // (the harness tables) rank-1 == vec_id, so results are identical.
+    var cents = q.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .cast("int").as("cid"), col("v").as("cv"))
     var assigned = assign(q, cents)
     (1 until iters).foreach { _ =>
       cents = update(assigned)

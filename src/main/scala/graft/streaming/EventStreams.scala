@@ -29,7 +29,14 @@ object EventStreams {
     * that must load + commit each micro-batch, so an oversized count turns
     * into per-batch fixed overhead (32 partitions × 4 join stores over a
     * single-file source is pure waste). Unset → leave the session conf
-    * alone (cluster-sized default). */
+    * alone (cluster-sized default).
+    *
+    * Concurrency: this temporarily mutates the SHARED session conf around
+    * stream start — correct only when streams are started sequentially on
+    * the session (the harness's model). Starting two streams concurrently
+    * from one session can race the save/restore; such callers should set
+    * the conf once at session build (or start streams from
+    * `spark.newSession()` clones) instead of relying on this override. */
   private def withStatePartitions[T](spark: SparkSession)(f: => T): T =
     spark.conf.getOption("graft.streaming.shufflePartitions") match {
       case None => f

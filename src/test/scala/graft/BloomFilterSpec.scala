@@ -22,6 +22,27 @@ class BloomFilterSpec extends SparkSpec {
     assert(fps < 50, s"$fps false positives out of 900")
   }
 
+  test("duplicate probe rows each keep their own output row") {
+    import spark.implicits._
+    val seen = Seq("a", "b").toDF("k")
+    val bloom = BloomFilter.build(seen, "k")
+    // "a" appears 3×, "zzz" 2× — contract: one output row per input row
+    val probe = Seq("a", "a", "a", "zzz", "zzz").toDF("k")
+    val out = BloomFilter.mightContain(probe, bloom, "k").collect()
+    assert(out.length === 5)
+    assert(out.count(r => r.getString(0) == "a" && r.getBoolean(1)) === 3)
+  }
+
+  test("probe frame with colliding w/bits columns still probes correctly") {
+    import spark.implicits._
+    val seen = Seq("a", "b").toDF("k")
+    val bloom = BloomFilter.build(seen, "k")
+    val probe = Seq(("a", 7L, 9L), ("nope", 8L, 10L)).toDF("k", "w", "bits")
+    val out = BloomFilter.mightContain(probe, bloom, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSet === Set(("a", 7L, 9L, true), ("nope", 8L, 10L, false)))
+  }
+
   test("probe plan broadcasts the filter table (no shuffle of the probe side)") {
     import spark.implicits._
     val seen = (1 to 100).map(i => s"k$i").toDF("k")

@@ -39,6 +39,18 @@ class CountMinSketchSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("duplicate probe rows each keep their own output row; colliding r/c/cnt columns are safe") {
+    import spark.implicits._
+    val sketch = CountMinSketch.build(Seq("x", "x", "y").toDF("k"), "k", depth = 4, width = 512)
+    val probe = Seq(("x", 1, 2L, 3L), ("x", 1, 2L, 3L), ("zz", 4, 5L, 6L))
+      .toDF("k", "r", "c", "cnt")
+    val out = CountMinSketch.estimate(probe, sketch, "k", depth = 4, width = 512)
+      .collect().map(r => (r.getString(0), r.getLong(4)))
+    assert(out.length === 3)
+    assert(out.count(_ == ("x", 2L)) === 2)
+    assert(out.contains(("zz", 0L)))
+  }
+
   test("probe plan broadcasts the sketch") {
     import spark.implicits._
     val df = (1 to 100).map(i => s"k${i % 10}").toDF("k")

@@ -30,6 +30,22 @@ class KMeansQuantSpec extends SparkSpec {
     assert(i3 <= i1, s"inertia rose: $i1 -> $i3")
   }
 
+  test("sparse / non-zero-based id spaces still seed k full centroids") {
+    import spark.implicits._
+    // ids 1000, 1007, 1014, … — `vec_id < k` would seed ZERO centroids
+    val sparse = data.withColumn("vec_id", col("vec_id") * 7 + 1000)
+    val fitted = KMeansQuant.fit(sparse, "vec_id", "embedding", 3, 2)
+    assert(fitted.select("cid").distinct().count() === 3)
+    assert(fitted.count() === 90)
+    // identical geometry to the dense-id fit: relabeling ids preserves the
+    // rank-based init, so cluster memberships match exactly
+    val dense = KMeansQuant.fit(data, "vec_id", "embedding", 3, 2)
+      .select(col("vec_id"), col("cid")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sp = fitted.select((col("vec_id") - 1000) / 7, col("cid"))
+      .collect().map(r => r.getDouble(0).toLong -> r.getInt(1)).toMap
+    assert(sp === dense)
+  }
+
   test("fit is deterministic and assignments are nearest-centroid") {
     val a = KMeansQuant.fit(data, "vec_id", "embedding", 3, 2)
     val b = KMeansQuant.fit(data, "vec_id", "embedding", 3, 2)
