@@ -446,18 +446,33 @@ object LazyFrame {
           .schema(readSchema)
           .csv(path))
       } else {
-        // Spark CSV has no skip-N-lines option: emulate the reference's
-        // `internalskip` (R/lazy.frame.R:62-65) by dropping the first
-        // skip(+header) physical lines of the text, then parsing.
+        // Spark CSV has no skip-N-lines option. The reference's
+        // `internalskip` (R/lazy.frame.R:62-65) costs O(1) per read because
+        // its newline index simply starts past the skipped prefix; the
+        // Spark analogue must NOT leave a line-dropping RDD pass in the
+        // frame's lineage — zipWithIndex adds a whole extra counting job to
+        // every extraction, with no pushdown or codegen on the text scan.
+        // So the prefix drop happens ONCE at open: parse the remainder and
+        // spill it to a columnar copy; every extraction then reads parquet
+        // with full pushdown/pruning — strictly better per query than even
+        // the skip=0 text path. The copy lives under
+        // `graft.csv.skipMaterializeDir` (point it at cluster-visible
+        // storage on a real deployment; defaults to the local tmpdir) —
+        // the Spark analogue of the reference's `lazy.frame.tempdir`.
         val raw = spark.read.text(path)
         val dropN = skip + (if (hasHeader) 1 else 0)
         val rdd = raw.rdd.zipWithIndex()
           .filter(_._2 >= dropN).map(_._1)
-        castCustom(spark.createDataFrame(rdd, raw.schema)
+        val parsed = castCustom(spark.createDataFrame(rdd, raw.schema)
           .select(from_csv(col("value"), readSchema,
             Map("sep" -> sep, "quote" -> quote,
               "nullValue" -> naStrings.headOption.getOrElse(""))).as("r"))
           .select("r.*"))
+        val baseDir = spark.conf.getOption("graft.csv.skipMaterializeDir")
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+        val dest = s"$baseDir/graft_skip_${java.util.UUID.randomUUID().toString.take(8)}"
+        parsed.write.parquet(dest)
+        spark.read.parquet(dest)
       }
     val rowNamesCol = rowNames.map { j =>
       require(j >= 1 && j <= finalSchema.length,

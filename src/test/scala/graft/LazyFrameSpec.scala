@@ -50,6 +50,18 @@ class LazyFrameSpec extends SparkSpec {
     assert(lf.nrow == 2L)
   }
 
+  test("csv open with skip: extraction lineage is a columnar copy, no RDD text rescan") {
+    val lines = Seq("# junk line", "x|y", "1|foo", "2|bar")
+    val lf = LazyFrame.csv(spark, writeCsv(lines), sep = "|", skip = 1)
+    // the prefix drop must be paid once at open, not replayed per action:
+    // no zipWithIndex/ExistingRDD in the extraction plan, a parquet scan
+    // (with its pushdown/pruning) in its place
+    val plan = lf.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.toLowerCase.contains("parquet"), plan)
+    assert(lf.nrow == 2L)
+  }
+
   test("csv open: gzip input read transparently (reference zlib vtable)") {
     val f = Files.createTempFile("lfspec", ".csv.gz")
     val out = new GZIPOutputStream(Files.newOutputStream(f))

@@ -83,6 +83,59 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  /** Run `body` with size-based auto-broadcast off — at sf0.001 EVERY table
+    * fits under the threshold and Catalyst broadcasts them all, hiding the
+    * shape the query would take at scale. With the threshold at -1 only the
+    * EXPLICIT broadcast() hints stay broadcast, so the assertion sees the
+    * 100×-scale plan. */
+  private def atScale[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, old)
+  }
+
+  /** Simple-mode plan: each operator appears ONCE (formatted mode repeats
+    * every node in its detail section, which doubles counts). */
+  private def simplePlan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+
+  test("star join at scale: hinted dims broadcast, EXACTLY one shuffled fact-fact join") {
+    atScale {
+      val plan = simplePlan(RelationalQueries.all("q_join_star").fn(spark, sf0))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"star join degenerated:\n$plan")
+      // customer/nation/region are explicit broadcast() hints
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(nBroadcast == 3, s"expected 3 broadcast dim joins, got $nBroadcast:\n$plan")
+      // lineitem ⋈ orders is the only join allowed to shuffle
+      val nShuffled = ("SortMergeJoin".r.findAllIn(plan).size
+        + "ShuffledHashJoin".r.findAllIn(plan).size)
+      assert(nShuffled == 1, s"expected exactly 1 shuffled fact join, got $nShuffled:\n$plan")
+    }
+  }
+
+  test("tpch q5 at scale: only the 3 fact joins shuffle; nation/region broadcast") {
+    atScale {
+      val plan = simplePlan(RelationalQueries.all("q_tpch_q5").fn(spark, sf0))
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(nBroadcast == 2, s"nation/region should broadcast, got $nBroadcast:\n$plan")
+      val nShuffled = ("SortMergeJoin".r.findAllIn(plan).size
+        + "ShuffledHashJoin".r.findAllIn(plan).size)
+      assert(nShuffled == 3, s"expected the 3 fact joins to shuffle, got $nShuffled:\n$plan")
+    }
+  }
+
+  test("salted join: salt is part of the equi-join key, no BNLJ") {
+    import graft.operators.AdvancedQueries
+    val plan = formatted(AdvancedQueries.all("q_join_salted").fn(spark, sf0))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"salted join degenerated:\n$plan")
+    // the whole point of salting: __salt participates in the join keys so
+    // a hot key spreads over `salts` partitions
+    assert(plan.contains("__salt"), s"salt column missing from the plan:\n$plan")
+  }
+
   test("lf which: only ids surface and the predicate still reaches the scan") {
     val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", ParityQueries.rowOrderKey)
     val which = lf.which(col("l_quantity") > 30.0)
