@@ -524,6 +524,92 @@ object PipelineQueries {
          |              JOIN embeddings eb ON eb.vec_id = c.vb)
          |WHERE cos >= 0.4 ORDER BY va, vb""".stripMargin),
 
+    // MEASURED recall of the sub-quadratic LSH path against the exact
+    // tiled pairs, on PLANTED near-duplicates (the harness embeddings are
+    // random, so no natural high-cos pairs exist — VERDICT r3 #6). Each of
+    // the first 64 vectors gets a twin with per-dim ±50% multiplicative
+    // perturbation (signs from md5, replayable), which lands pairs at
+    // cos ≈ 0.89 (θ ≈ 0.15π) — squarely where 12-bit × 8-table LSH recall
+    // is a nontrivial ~0.7, not the degenerate 1.0 of verbatim copies.
+    // Output: one row per EXACT pair ≥ 0.8 with whether LSH found it and
+    // the analytic per-pair recall 1-(1-(1-θ/π)^bits)^tables — the row set
+    // IS the measured-recall table, hash-matched against DuckDB replaying
+    // the whole construction (plant → union → tiled exact → planes →
+    // buckets → verify). This green row blesses lshCosinePairs as the
+    // scale alternative to the Θ(n²) q_dedup_embed.
+    "q_ann_lsh_recall" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        def sgn(i: org.apache.spark.sql.Column) =
+          when(conv(substring(md5(concat(lit("plant_"), col("vec_id").cast("string"),
+            lit("_"), i.cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1, lit(1.0))
+            .otherwise(lit(-1.0))
+        // two-step select: the sgn() md5 key must see the ORIGINAL vec_id —
+        // aliasing `vec_id + 1000000 AS vec_id` in the same projection
+        // would shadow the reference inside the lambda
+        val planted = e.where(col("vec_id") < 64)
+          .select(col("vec_id"),
+            transform(sequence(lit(0), size(col("embedding")) - 1), i =>
+              (element_at(col("embedding"), i + 1).cast("double") *
+                (lit(1.0) + lit(0.5) * sgn(i))).cast("float")).as("embedding"))
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+        val u = e.unionByName(planted)
+        val exact = Dedup.embeddingCosinePairs(u, "vec_id", "embedding", 0.8)
+        val lsh = Similarity.lshCosinePairs(u, "vec_id", "embedding", 0.8)
+          .select(col("va").as("lva"), col("vb").as("lvb"))
+        exact.join(lsh, col("va") === col("lva") && col("vb") === col("lvb"), "left")
+          .select(col("va"), col("vb"), col("cos"),
+            col("lva").isNotNull.as("lsh_found"),
+            round(lit(1.0) - pow(lit(1.0) - pow(lit(1.0) -
+              acos(least(greatest(col("cos"), lit(-1.0)), lit(1.0))) / lit(math.Pi),
+              lit(12.0)), lit(8.0)), 4).as("recall_bound"))
+          .orderBy("va", "vb")
+      },
+      s"""WITH planted AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(range(1, len(embedding)+1), i ->
+         |      CAST(CAST(embedding[i] AS DOUBLE) *
+         |        (1.0 + 0.5 * (CASE WHEN (('0x' || substr(md5('plant_' || vec_id::VARCHAR || '_' || (i-1)::VARCHAR), 1, 1))::BIGINT & 1) = 1
+         |                      THEN 1.0 ELSE -1.0 END)) AS REAL)) AS embedding
+         |  FROM embeddings WHERE vec_id < 64),
+         |u AS (SELECT vec_id, embedding FROM embeddings
+         |      UNION ALL SELECT vec_id, embedding FROM planted),
+         |exact AS (
+         |  SELECT va, vb, cos FROM (
+         |    SELECT a.vec_id AS va, b.vec_id AS vb, ${cosSql("a.embedding", "b.embedding")} AS cos
+         |    FROM u a JOIN u b ON a.vec_id < b.vec_id)
+         |  WHERE cos >= 0.8),
+         |planes AS (
+         |  SELECT t.t, j.j, i.i,
+         |    CASE WHEN (('0x' || substr(md5(t.t::VARCHAR || '_' || j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::BIGINT & 1) = 1
+         |         THEN 1.0 ELSE -1.0 END AS s
+         |  FROM (SELECT unnest(range(0, 8)) AS t) t
+         |  CROSS JOIN (SELECT unnest(range(0, 12)) AS j) j
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+         |dots AS (
+         |  SELECT e.vec_id, p.t, p.j, sum(p.s * e.embedding[p.i + 1]) AS dot
+         |  FROM u e CROSS JOIN planes p
+         |  GROUP BY 1, 2, 3),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |lsh AS (
+         |  SELECT va, vb FROM (
+         |    SELECT c.va, c.vb, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |    FROM cand c JOIN u ea ON ea.vec_id = c.va
+         |                JOIN u eb ON eb.vec_id = c.vb)
+         |  WHERE cos >= 0.8)
+         |SELECT e.va, e.vb, e.cos, (l.va IS NOT NULL) AS lsh_found,
+         |  round(1.0 - power(1.0 - power(1.0 - acos(least(greatest(e.cos, -1.0), 1.0))/pi(), 12.0), 8.0), 4) AS recall_bound
+         |FROM exact e LEFT JOIN lsh l ON e.va = l.va AND e.vb = l.vb
+         |ORDER BY e.va, e.vb""".stripMargin),
+
     // deterministic integer-lattice k-means (k=8, 2 Lloyd iterations) —
     // the offline coarse-quantizer build behind IVF, differentially
     // oracled end-to-end: quantization, exact integer distances, tie-broken

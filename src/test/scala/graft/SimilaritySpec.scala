@@ -37,6 +37,25 @@ class SimilaritySpec extends SparkSpec {
     assert(want.subsetOf(found), s"missing planted duplicates: ${want.diff(found)}")
   }
 
+  test("q_ann_lsh_recall: measured LSH recall meets the analytic expectation") {
+    // the registered query plants 64 near-dup pairs at cos ≈ 0.88 and
+    // reports, per exact pair, whether LSH found it plus the analytic
+    // per-pair recall 1-(1-(1-θ/π)^bits)^tables. The planes are fixed
+    // (md5-derived), so the measured recall is deterministic; it must sit
+    // at (or above) the analytic mean, not catastrophically below —
+    // that's the empirical licence for lshCosinePairs as the scale
+    // alternative to the exact Θ(n²) pairs.
+    val rows = graft.SparkEntry.queries("q_ann_lsh_recall")(spark, sf0).collect()
+    assert(rows.length == 64, s"expected the 64 planted pairs, got ${rows.length}")
+    val found = rows.count(_.getBoolean(3))
+    val recall = found.toDouble / rows.length
+    val meanBound = rows.map(_.getDouble(4)).sum / rows.length
+    assert(recall >= meanBound - 0.15,
+      f"measured recall $recall%.3f far below analytic mean $meanBound%.3f")
+    assert(recall > 0.5 && recall < 1.0,
+      f"recall $recall%.3f outside the informative range — planted pairs degenerate?")
+  }
+
   test("dupClusters: iterative min-label path ≡ driver union-find path") {
     val pairs = Dedup.minhashPairs(Tables.documents(spark, sf0), "doc_id", "text", 3, 0.8)
     val viaUnionFind = Dedup.dupClusters(pairs)
