@@ -1,0 +1,104 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive an r× corpus from a harness SF dir — the empirical scale ladder
+  * (SCALE.md). `runMain graft.ScaleLadder <baseSfDir> <outDir> <r>` writes
+  * the same table layout (`<name>.parquet`, directories) with every FACT
+  * table replicated r times and the dimension tables copied verbatim, so
+  * `Bench` runs unchanged against the derived dir.
+  *
+  * Replication is designed so that per-unit-data workload stays constant —
+  * the measured growth then reflects the ALGORITHM's scaling, not an
+  * artifact of the derivation:
+  *
+  *   - `documents`: replica k > 0 suffixes every alphanumeric token with
+  *     a replica tag (`$0zk`). Intra-replica duplicate structure is
+  *     preserved exactly (same rewrite applied to near-identical texts),
+  *     while cross-replica shingles/minhash/simhash/digests can never
+  *     match — duplicate-pair density per document stays constant. A
+  *     verbatim 16× copy would instead give every doc 16 exact twins and
+  *     inflate candidate pairs by r² BY CONSTRUCTION, which is the wrong
+  *     experiment.
+  *   - `embeddings`: replica k flips each dimension's sign by a
+  *     deterministic md5("flip_k_i") bit. Flipping ~half the coordinates
+  *     of both vectors of a random pair re-randomizes their angle, so
+  *     cross-replica cosines stay near 0 (no spurious ≥ τ pairs for the
+  *     exact-quadratic / LSH paths), while each replica keeps the base
+  *     distribution.
+  *   - `lineitem`/`orders`: l_orderkey/o_orderkey offset by k·10⁷ —
+  *     orders:lineitem multiplicity and the o_custkey fan-in to the FIXED
+  *     dimensions grow linearly, like a real fact-table append.
+  *   - `events`: event_id/user_id offset (new users ⇒ as-of/window key
+  *     cardinality grows linearly; per-key series length constant). `ts`
+  *     stays raw nanos (LongType) so `Tables.events` takes the same
+  *     nanos-as-long path as on the pristine files.
+  *   - dims (`region nation customer supplier part`): verbatim — at 100 TB
+  *     the facts grow, the dimensions don't.
+  */
+object ScaleLadder {
+  private val KEY_OFF = 10_000_000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleLadder <baseSfDir> <outDir> <r>")
+    val Array(base, out, rStr) = args
+    val r = rStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    def replicate(df: DataFrame, k2df: Int => DataFrame): DataFrame =
+      (0 until r).map(k2df).reduce(_ unionByName _)
+
+    // dims verbatim
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      write(Tables.load(spark, base, n), n, 1)
+    }
+
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    write(replicate(li, k => li.withColumn("l_orderkey", col("l_orderkey") + lit(k * KEY_OFF))),
+      "lineitem", 4 * r)
+
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    write(replicate(ord, k => ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * KEY_OFF))),
+      "orders", r)
+
+    // events: read RAW (nanos-as-long) so the derived file keeps ts: int64
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    write(replicate(ev, k => ev
+      .withColumn("event_id", col("event_id") + lit(k * KEY_OFF))
+      .withColumn("user_id", col("user_id") + lit(k * KEY_OFF))),
+      "events", r)
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    write(replicate(docs, k =>
+      if (k == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(k * KEY_OFF))
+        .withColumn("text", regexp_replace(col("text"), "[A-Za-z0-9]+", "$0z" + k))
+        .withColumn("n_chars", length(col("text")))),
+      "documents", 2 * r)
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    def flip(k: Int) = emb
+      .withColumn("vec_id", col("vec_id") + lit(k * KEY_OFF))
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          when(conv(substring(md5(concat(lit(s"flip_${k}_"), i.cast("string"))), 1, 1), 16, 10)
+            .cast("long") % 2 === 1, x).otherwise(-x)))
+    write(replicate(emb, k => if (k == 0) emb else flip(k)), "embeddings", r)
+
+    println(s"""{"scaled": "$out", "r": $r}""")
+    spark.stop()
+  }
+}
