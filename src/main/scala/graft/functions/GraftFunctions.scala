@@ -74,6 +74,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_fake_dim",
       (e: Seq[Expression]) => invoke(IntegerType, "fakeDim", e,
         Seq(BinaryType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bmp_field",
+      (e: Seq[Expression]) => invoke(IntegerType, "bmpField", e,
+        Seq(BinaryType, IntegerType)), "scala_udf")
   }
 
   // Column-API wrappers (register(spark) must have been called in the session)
@@ -91,6 +94,7 @@ object GraftFunctions {
   def byteEntropy(c: Column): Column = call_function("graft_byte_entropy", c)
   def distinctBytes(c: Column): Column = call_function("graft_distinct_bytes", c)
   def fakeDim(c: Column, idx: Int): Column = call_function("graft_fake_dim", c, lit(idx))
+  def bmpField(c: Column, which: Int): Column = call_function("graft_bmp_field", c, lit(which))
 
   /** Lowercase alphanumeric word tokens (both engines: split on
     * `[^a-z0-9]+`, drop empties). */

@@ -351,4 +351,27 @@ object TextHashes {
     * the STUB stand-in for a real media decoder (no codecs in container). */
   def fakeDim(bytes: Array[Byte], idx: Int): Int =
     64 + (if (bytes.length > idx) bytes(idx) & 0x7F else 0)
+
+  /** Real BMP header decode — the first concrete codec behind the decode
+    * splice point (pure JVM, no codec libs needed: BITMAPINFOHEADER is a
+    * fixed little-endian layout). `which`: 0 = biWidth (signed int32 LE at
+    * byte 18), 1 = biHeight (signed int32 LE at 22; NEGATIVE means a
+    * top-down pixel order per the spec — returned raw), 2 = biBitCount
+    * (uint16 LE at 28). Returns [[NOT_BMP]] when the payload lacks the
+    * 'BM' magic or a full 54-byte header — callers fall back to the stub
+    * for other mimes. */
+  final val NOT_BMP: Int = Int.MinValue
+
+  def bmpField(bytes: Array[Byte], which: Int): Int = {
+    if (bytes.length < 54 || bytes(0) != 0x42 || bytes(1) != 0x4D) return NOT_BMP
+    def le32(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    which match {
+      case 0 => le32(18)
+      case 1 => le32(22)
+      case 2 => (bytes(28) & 0xFF) | ((bytes(29) & 0xFF) << 8)
+      case _ => NOT_BMP
+    }
+  }
 }

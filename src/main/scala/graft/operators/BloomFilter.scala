@@ -68,4 +68,29 @@ object BloomFilter {
       .agg(bool_and(col("__hit")).as("mightContain"))
       .drop("__rid")
   }
+
+  /** Collect the filter's set words to a driver map — the broadcastable
+    * form of the filter (≤ bits/63 entries; a billion-key filter at 1% FP
+    * is ~1.2 GB of words, which is what Spark's own bloom-join broadcasts). */
+  def words(bloom: DataFrame): Map[Long, Long] =
+    bloom.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Pure-expression probe against a collected word map: the k bit tests
+    * compile to one per-row conjunction over a literal map — no join, no
+    * aggregation, so it runs INSIDE append-mode streaming plans (the
+    * join+groupBy probe above is illegal there) and is entirely map-side.
+    * Same bit layout as [[build]]/[[mightContain]]; `mightContain = false`
+    * still PROVES the key unseen. */
+  def mightContainLit(probe: DataFrame, bloomWords: Map[Long, Long], keyCol: String,
+      bits: Int = 4096, k: Int = 3): DataFrame = {
+    GraftFunctions.register(probe.sparkSession)
+    val wordMap = typedLit(bloomWords)
+    val tests = (0 until k).map { i =>
+      val p = pmod(md5Hash60(concat(lit(s"bloom${i}_"), col(keyCol).cast("string"))),
+        lit(bits.toLong))
+      coalesce(element_at(wordMap, floor(p / WordBits).cast("long")), lit(0L))
+        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(WordBits)).cast("int"))) =!= 0L
+    }
+    probe.withColumn("mightContain", tests.reduce(_ && _))
+  }
 }

@@ -1,8 +1,8 @@
 package graft.operators
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TextHashes}
 import graft.functions.{GraftFunctions => GF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
@@ -73,6 +73,68 @@ object Multimodal {
       round(s, 6).as("scale"),
       greatest(lit(1L), floor(w * s)).cast("int").as("out_w"),
       greatest(lit(1L), floor(h * s)).cast("int").as("out_h"))
+  }
+
+  /** Little-endian hex of the low 32 bits of `v` (negatives take their
+    * two's-complement image — how a BMP header stores a top-down height). */
+  private def le32hex(v: Column): Column = {
+    val h = lpad(hex(pmod(v.cast("long"), lit(4294967296L))), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  private def le16hex(v: Column): Column = {
+    val h = lpad(hex(v.cast("long")), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Synthesize REAL media payloads (the container ships no sample media):
+    * every third document becomes a valid `image/bmp` — a byte-exact
+    * 54-byte BITMAPINFOHEADER (magic, little-endian size/width/height/
+    * bit-depth, doc_id-derived dims, every 21st stored top-down via a
+    * negative height) followed by the text bytes as pixel data; the rest
+    * stay `text/plain`. Built with hex-string concat + `unhex` so the
+    * whole construction stays inside whole-stage codegen AND is replayable
+    * hex-for-hex by the SQL oracle. */
+  def synthesizeBmp(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val body = col(textCol).cast("binary")
+    val w = lit(16L) + id % 497
+    val hMag = lit(16L) + id % 293
+    val hField = when(id % 21 === 0, -hMag).otherwise(hMag)
+    val bpp = when(id % 2 === 0, lit(24L)).otherwise(lit(8L))
+    val headerHex = concat(
+      lit("424D"), le32hex(lit(54L) + length(body)), lit("0000000036000000"),
+      lit("28000000"), le32hex(w), le32hex(hField), lit("0100"), le16hex(bpp),
+      lit("0" * 48)) // compression..clrImportant: six zero int32 fields
+    docs
+      .withColumn("mime", when(id % 3 === 0, lit("image/bmp")).otherwise(lit("text/plain")))
+      .withColumn("payload",
+        when(id % 3 === 0, unhex(concat(headerHex, hex(body)))).otherwise(body))
+  }
+
+  /** Decode the media column: a REAL pure-JVM BMP header parse
+    * ([[TextHashes.bmpField]] — little-endian width/height/bit-depth,
+    * negative height ⇒ top-down pixel order) for payloads with the 'BM'
+    * magic; every other mime falls back to the documented stub dims.
+    * Codec dispatch is per-row on the bytes themselves (magic sniffing,
+    * not trusting the mime column) and the whole projection stays one
+    * narrow codegen pass — the dispatch shape a real multi-codec decode
+    * stage keeps at 100 TB. */
+  def decode(df: DataFrame, idCol: String, blobCol: String, mimeCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val b = col(blobCol)
+    val wRaw = GF.bmpField(b, 0)
+    val hRaw = GF.bmpField(b, 1)
+    val isBmp = wRaw =!= lit(TextHashes.NOT_BMP)
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(mimeCol).as("mime"),
+      when(isBmp, lit("bmp")).otherwise(lit("stub")).as("codec"),
+      when(isBmp, wRaw).otherwise(GF.fakeDim(b, 0)).as("width"),
+      when(isBmp, abs(hRaw)).otherwise(GF.fakeDim(b, 1)).as("height"),
+      when(isBmp, hRaw < 0).otherwise(lit(false)).as("top_down"),
+      when(isBmp, GF.bmpField(b, 2)).otherwise(lit(0)).as("bit_depth"),
+      length(b).cast("long").as("n_bytes"))
   }
 
   /** Feature extraction over the binary column: byte histogram → distinct

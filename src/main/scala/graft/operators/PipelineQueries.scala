@@ -1080,6 +1080,69 @@ object PipelineQueries {
         |  (64 + CASE WHEN nb > 0 THEN ('0x' || substr(h, 1, 2))::BIGINT & 127 ELSE 0 END)::INT AS fake_width,
         |  (64 + CASE WHEN nb > 1 THEN ('0x' || substr(h, 3, 2))::BIGINT & 127 ELSE 0 END)::INT AS fake_height
         |FROM hx LEFT JOIN feat f USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // REAL codec behind the decode splice point: every 3rd doc becomes a
+    // byte-exact BMP (little-endian BITMAPINFOHEADER, doc_id-derived dims,
+    // every 21st stored top-down via negative height); the JVM kernel
+    // parses width/height/bit-depth back from the BYTES while the oracle
+    // rebuilds the identical header hex and parses the same fields from
+    // hex positions — a differential check of the byte-level parse. Other
+    // mimes keep the documented stub dims.
+    "q_mm_decode" -> Q(
+      (s, d) => {
+        val media = Multimodal.synthesizeBmp(Tables.documents(s, d), "doc_id", "text")
+        Multimodal.decode(media, "doc_id", "payload", "mime").orderBy("doc_id")
+      },
+      """WITH base AS (
+        |  SELECT doc_id, hex(encode(text)) AS th,
+        |         octet_length(encode(text))::BIGINT AS nb
+        |  FROM documents),
+        |parm AS (
+        |  SELECT doc_id, th, nb, doc_id % 3 = 0 AS is_bmp,
+        |    16 + doc_id % 497 AS w,
+        |    CASE WHEN doc_id % 21 = 0 THEN -(16 + doc_id % 293)
+        |         ELSE 16 + doc_id % 293 END AS hf,
+        |    CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 8 END AS bpp
+        |  FROM base),
+        |hx AS (
+        |  SELECT doc_id, th, nb, is_bmp,
+        |    upper(printf('%08x', 54 + nb)) AS xs,
+        |    upper(printf('%08x', w)) AS xw,
+        |    upper(printf('%08x', (4294967296 + hf) % 4294967296)) AS xh,
+        |    upper(printf('%04x', bpp)) AS xb
+        |  FROM parm),
+        |fhx AS (
+        |  SELECT doc_id, th, nb, is_bmp,
+        |    '424D' || substr(xs,7,2)||substr(xs,5,2)||substr(xs,3,2)||substr(xs,1,2)
+        |    || '0000000036000000' || '28000000'
+        |    || substr(xw,7,2)||substr(xw,5,2)||substr(xw,3,2)||substr(xw,1,2)
+        |    || substr(xh,7,2)||substr(xh,5,2)||substr(xh,3,2)||substr(xh,1,2)
+        |    || '0100' || substr(xb,3,2)||substr(xb,1,2)
+        |    || repeat('0', 48) || th AS fh
+        |  FROM hx),
+        |parsed AS (
+        |  SELECT doc_id, th, nb, is_bmp,
+        |    ('0x'||substr(fh,43,2)||substr(fh,41,2)||substr(fh,39,2)||substr(fh,37,2))::BIGINT AS wp,
+        |    ('0x'||substr(fh,51,2)||substr(fh,49,2)||substr(fh,47,2)||substr(fh,45,2))::BIGINT AS hpu,
+        |    ('0x'||substr(fh,59,2)||substr(fh,57,2))::BIGINT AS bp,
+        |    length(fh)::BIGINT // 2 AS full_bytes
+        |  FROM fhx),
+        |sgn AS (
+        |  SELECT *, CASE WHEN hpu >= 2147483648 THEN hpu - 4294967296 ELSE hpu END AS hs
+        |  FROM parsed)
+        |SELECT doc_id,
+        |  CASE WHEN is_bmp THEN 'image/bmp' ELSE 'text/plain' END AS mime,
+        |  CASE WHEN is_bmp THEN 'bmp' ELSE 'stub' END AS codec,
+        |  CASE WHEN is_bmp THEN wp
+        |       ELSE 64 + CASE WHEN nb > 0 THEN ('0x'||substr(th,1,2))::BIGINT & 127 ELSE 0 END
+        |  END::INT AS width,
+        |  CASE WHEN is_bmp THEN abs(hs)
+        |       ELSE 64 + CASE WHEN nb > 1 THEN ('0x'||substr(th,3,2))::BIGINT & 127 ELSE 0 END
+        |  END::INT AS height,
+        |  CASE WHEN is_bmp THEN hs < 0 ELSE false END AS top_down,
+        |  CASE WHEN is_bmp THEN bp ELSE 0 END::INT AS bit_depth,
+        |  CASE WHEN is_bmp THEN full_bytes ELSE nb END AS n_bytes
+        |FROM sgn ORDER BY doc_id""".stripMargin)
   )
 }

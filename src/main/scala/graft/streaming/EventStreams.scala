@@ -161,6 +161,39 @@ object EventStreams {
       .parquet(sfDir)
   }
 
+  /** Streaming novelty gate — the Bloom-fronted ingest pipeline: a filter
+    * built from the SEEN corpus (batch side) is collected to a word map and
+    * compiled into a per-row expression over the incoming document stream
+    * ([[graft.operators.BloomFilter.mightContainLit]] — map-side, no state,
+    * no shuffle). `mightContain = false` PROVES the document is new, so
+    * those rows pass straight through; only the might-contain sliver pays
+    * the exact stream-static anti-join (broadcast left join + null filter —
+    * streaming supports stream-static left outer) against the seen digest
+    * set. Output: one row per admitted (novel) document with its admission
+    * path (`bloom_proved` / `exact_verified`). At 100 TB the sliver is
+    * `FP-rate × batch + true dups`, so the expensive exact join sees a few
+    * percent of the stream. */
+  def noveltyGateStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{BloomFilter, TextAnalysis}
+    val seenDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 250)
+      .select(TextAnalysis.contentFingerprint(col("text")).as("fp"))
+    val bloomWords = BloomFilter.words(BloomFilter.build(seenDocs, "fp"))
+    val seenFp = seenDocs.select(col("fp").as("seen_fp")).distinct()
+    val stream = readDocumentsStream(spark, sfDir)
+      .where(col("doc_id") >= 250)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp"))
+    val gated = BloomFilter.mightContainLit(stream, bloomWords, "fp")
+    val proved = gated.where(!col("mightContain"))
+      .select(col("doc_id"), col("lang"), lit("bloom_proved").as("via"))
+    val verified = gated.where(col("mightContain"))
+      .join(broadcast(seenFp), col("fp") === col("seen_fp"), "left_outer")
+      .where(col("seen_fp").isNull)
+      .select(col("doc_id"), col("lang"), lit("exact_verified").as("via"))
+    proved.unionByName(verified)
+  }
+
   /** Streaming exact deduplication: the first-seen row per `keys` survives
     * (`dropDuplicates` keyed state). This is the streaming ingest side of
     * the dedup family: content digests (or here, key columns) dedupe

@@ -114,6 +114,39 @@ object StreamingQueries {
         | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
         |GROUP BY 1 ORDER BY a.event_id""".stripMargin),
 
+    // Bloom-fronted streaming novelty gate: the seen corpus (doc_id < 250)
+    // compressed to a word map compiled into the stream's plan; proven-new
+    // rows skip the join entirely, the might-contain sliver pays the exact
+    // broadcast anti-join. Differential oracle: DuckDB replays the md5-60
+    // bloom build + probe AND the exact membership, reproducing each row's
+    // admission path.
+    "q_stream_novel" -> Q(
+      (s, d) => {
+        val out = EventStreams.runAppendToBatch(s,
+          EventStreams.noveltyGateStream(s, d), s"snovel_${System.nanoTime()}")
+        out.orderBy("doc_id")
+      },
+      """WITH fp AS (SELECT doc_id, lang,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents),
+        |posh AS (
+        |  SELECT doc_id, fp,
+        |    ('0x' || substr(md5('bloom' || k.k::VARCHAR || '_' || fp), 1, 15))::BIGINT % 4096 AS p
+        |  FROM fp CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k),
+        |bloom AS (
+        |  SELECT p // 63 AS w, bit_or(1::BIGINT << (p % 63)::INT) AS bits
+        |  FROM posh WHERE doc_id < 250 GROUP BY 1),
+        |probe AS (
+        |  SELECT ph.doc_id,
+        |    bool_and((coalesce(b.bits, 0) & (1::BIGINT << (ph.p % 63)::INT)) <> 0) AS member
+        |  FROM posh ph LEFT JOIN bloom b ON ph.p // 63 = b.w
+        |  WHERE ph.doc_id >= 250 GROUP BY 1)
+        |SELECT f.doc_id, f.lang,
+        |  CASE WHEN NOT p.member THEN 'bloom_proved' ELSE 'exact_verified' END AS via
+        |FROM probe p JOIN fp f USING (doc_id)
+        |WHERE NOT p.member
+        |   OR f.fp NOT IN (SELECT fp FROM fp WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin),
+
     "q_stream_session" -> Q(
       (s, d) => EventStreams.sessions(Tables.events(s, d), "6 hours")
         .orderBy("user_id", "session_start_us"),

@@ -44,6 +44,45 @@ class MultimodalSpec extends SparkSpec {
     assert(tiny.last._4 == "79")       // last frame = final byte only
   }
 
+  test("bmpField kernel: little-endian header parse, top-down sign, magic sniff") {
+    import graft.functions.TextHashes
+    import java.nio.{ByteBuffer, ByteOrder}
+    // handcrafted header — independent of the Column-side synthesis
+    def bmp(w: Int, h: Int, bpp: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(54 + 3).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(57).putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(bpp.toShort)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.put(Array[Byte](1, 2, 3))
+      bb.array()
+    }
+    assert(TextHashes.bmpField(bmp(640, 480, 24), 0) == 640)
+    assert(TextHashes.bmpField(bmp(640, 480, 24), 1) == 480)
+    assert(TextHashes.bmpField(bmp(640, 480, 24), 2) == 24)
+    assert(TextHashes.bmpField(bmp(7, -1080, 8), 1) == -1080) // top-down raw
+    assert(TextHashes.bmpField("BMnot-a-real-header".getBytes, 0) == TextHashes.NOT_BMP)
+    assert(TextHashes.bmpField("plain text payload that is longer than fifty-four bytes....".getBytes, 0) == TextHashes.NOT_BMP)
+  }
+
+  test("synthesizeBmp + decode: JVM parse returns the planted dims; stub for text") {
+    import spark.implicits._
+    val docs = Seq((3L, "pixel-bytes-here"), (21L, "topdown"), (4L, "not an image"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decode(
+        Multimodal.synthesizeBmp(docs, "doc_id", "text"), "doc_id", "payload", "mime")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 3: bmp, w=16+3%497=19, h=16+3%293=19, bottom-up, bpp=8 (odd id)
+    assert(out(3L).getString(2) == "bmp" && out(3L).getInt(3) == 19 &&
+      out(3L).getInt(4) == 19 && !out(3L).getBoolean(5) && out(3L).getInt(6) == 8)
+    assert(out(3L).getLong(7) == 54L + "pixel-bytes-here".length)
+    // doc 21: divisible by 21 → stored top-down (negative height field)
+    assert(out(21L).getString(2) == "bmp" && out(21L).getBoolean(5) &&
+      out(21L).getInt(4) == 16 + 21 % 293)
+    // doc 4: text/plain → stub dims, no decode
+    assert(out(4L).getString(2) == "stub" && out(4L).getString(1) == "text/plain" &&
+      out(4L).getInt(3) >= 64 && out(4L).getInt(6) == 0)
+  }
+
   test("resizePlan: aspect preserved, never upscales, dims at least 1") {
     import spark.implicits._
     val docs = Seq((1L, "abcdef"), (2L, "z")).toDF("doc_id", "text")

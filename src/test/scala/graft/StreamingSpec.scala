@@ -44,6 +44,28 @@ class StreamingSpec extends SparkSpec {
     })
   }
 
+  test("novelty gate stream: admits exactly the batch anti-join set, each doc once") {
+    import graft.operators.TextAnalysis
+    val admitted = EventStreams.runAppendToBatch(spark,
+      EventStreams.noveltyGateStream(spark, sf0), s"spec_novel_${System.nanoTime()}")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+
+    // batch ground truth: stream docs whose fingerprint is absent from seen
+    val fp = Tables.documents(spark, sf0)
+      .select(col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fp"))
+    val truth = fp.where(col("doc_id") >= 250)
+      .join(fp.where(col("doc_id") < 250).select("fp"), Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(admitted.map(_._1).toSet == truth)
+    assert(admitted.length == truth.size) // exactly once each
+    // no false negatives: a bloom_proved doc is PROVEN novel (in truth);
+    // both admission paths appear on this data
+    val byVia = admitted.groupBy(_._2)
+    assert(byVia("bloom_proved").forall(d => truth.contains(d._1)))
+    assert(byVia.keySet == Set("bloom_proved", "exact_verified"))
+  }
+
   test("events ns timestamps: exact nanos preserved in ts_ns, ts at us precision") {
     val e = Tables.events(spark, sf0)
     val row = e.select(col("ts_ns"), unix_micros(col("ts")).as("us")).head()
