@@ -9,6 +9,7 @@ object Bench {
   val headline: Set[String] = Set(
     "q1_agg", "lf_filter_extract", "lf_filter_eq_str",
     "q_tpch_q5", "q_join_star", "q_join_salted", "q_range_join",
+    "q_range_join_keyed",
     "q_window_rank", "q_cube", "q_hll_distinct",
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_clusters",
     "q_dedup_embed", "q_bloom_novel", "q_ann_topk_agg", "q_ann_lsh",
@@ -48,37 +49,53 @@ object Bench {
     // spike during one pass (the BENCH_r03 q_join_* contamination) can't
     // masquerade as a regression. SPARK_GRAFT_BENCH_RUNS overrides.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
+    // (name, per-run times of the runs that SUCCEEDED, count of failed runs)
+    val results: Seq[(String, Seq[Double], Int)] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
+          }
         }
+        (name, times, runs - times.size)
       }
-      if (times.isEmpty) (name, 0.0, false) else (name, times.min, true)
-    }
     // Full per-query timings go to stderr (the local tuning loop reads
-    // them); stdout gets ONE COMPACT JSON line — total over every query,
-    // but only the headline per-query map, rounded — because the driver
-    // keeps just the last ~2000 output chars and a line carrying all 80+
-    // queries at full double precision gets truncated past parseability.
-    results.foreach { case (k, v, ok) =>
-      System.err.println(f"[bench] $k%-24s ${v}%9.3f s${if (ok) "" else "  FAILED"}")
+    // them) INCLUDING every individual run — min-of-N hides which run paid
+    // a shared-scan / JIT cost, and attribution shifts inside memoized
+    // families are only diagnosable when both runs are visible in the
+    // artifact. stdout gets ONE COMPACT JSON line — total over every
+    // query, but only the headline per-query map, rounded — because the
+    // driver keeps just the last ~2000 output chars and a line carrying
+    // all 110+ queries at full double precision gets truncated past
+    // parseability.
+    results.foreach { case (k, ts, nf) =>
+      val runsStr = ts.map(t => f"$t%.3f").mkString("[", ", ", "]")
+      val flag = if (ts.isEmpty) "  FAILED"
+                 else if (nf > 0) s"  FLAKY($nf/$runs runs failed)" else ""
+      System.err.println(f"[bench] $k%-24s ${ts.headOption.fold(0.0)(_ => ts.min)}%9.3f s  runs=$runsStr$flag")
     }
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.collect { case (k, v, true) if Bench.headline(k) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val qs = results.collect { case (k, ts, _) if ts.nonEmpty && Bench.headline(k) =>
+      s"\"" + k + "\":" + r3(ts.min)
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, ts, _) if ts.isEmpty => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    // A query that failed on SOME run but succeeded on another is flaky —
+    // previously it silently folded into success; report it separately so
+    // nondeterministic failures can't hide behind min-of-N.
+    val flaky = results.collect { case (k, ts, nf) if ts.nonEmpty && nf > 0 =>
+      s"\"" + k + "\":" + nf
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
     // Host 1-minute loadavg at end of run: a value far above the allotted
     // CPU count means another process contended for the machine and the
     // numbers should be re-run before being believed.
     val loadavg =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
       catch { case _: Throwable => "-1" }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.count(_._3)},"runs_per_query":$runs,"loadavg":$loadavg,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg":$loadavg,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,14 +42,41 @@ object RangeJoin {
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Long): DataFrame =
+    pointInIntervalKeyed(points, pointCol, Nil, intervals, startCol, endCol, Nil, binWidth)
+
+  /** Keyed range join: like [[pointInInterval]], but a point only matches
+    * intervals sharing its key (tenant / user / shard) — the join key becomes
+    * `(key, bin)` instead of `bin` alone.
+    *
+    * This is the 100 TB shape of the operator. The unkeyed join's candidate
+    * set per bin is |points-in-bin| × |intervals-over-bin| over the WHOLE
+    * corpus — if data growth densifies a fixed range axis (more facts in the
+    * same time window), candidate pairs grow quadratically no matter how the
+    * bins are drawn. Keying bounds each bin's occupancy to one key's rows:
+    * when growth adds KEYS (new tenants/users — the normal way a fact table
+    * grows) per-key density is constant, candidate pairs grow linearly, and
+    * the shuffle spreads over |keys|·|bins| reducers instead of |bins|.
+    * Skew moves from "hot bin" to "hot key" — same hazard as any keyed
+    * shuffle, handled by salting/AQE, not by this operator.
+    *
+    * `pointKeys`/`intervalKeys` are matched pairwise (`pointKeys(i) ===
+    * intervalKeys(i)`); empty lists degrade to the unkeyed join.
+    */
+  def pointInIntervalKeyed(
+      points: DataFrame, pointCol: String, pointKeys: Seq[String],
+      intervals: DataFrame, startCol: String, endCol: String, intervalKeys: Seq[String],
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(pointKeys.length == intervalKeys.length,
+      "pointKeys and intervalKeys must pair up")
     val p = points.withColumn("__pbin", floor(col(pointCol) / binWidth))
     val iv = intervals.withColumn("__ibin",
       explode(sequence(floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
-    p.join(iv,
-        col("__pbin") === col("__ibin") &&
-          col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
-      .drop("__pbin", "__ibin")
+    val keyEq = pointKeys.zip(intervalKeys)
+      .map { case (pk, ik) => p(pk) === iv(ik) }
+    val cond = ((col("__pbin") === col("__ibin")) +: keyEq).reduce(_ && _) &&
+      col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
+    p.join(iv, cond).drop("__pbin", "__ibin")
   }
 }

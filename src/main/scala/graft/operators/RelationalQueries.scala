@@ -201,6 +201,42 @@ object RelationalQueries {
         |FROM iv JOIN p ON p.p_day BETWEEN iv.s_day AND iv.e_day
         |GROUP BY 1 ORDER BY o_orderkey""".stripMargin),
 
+    // -- KEYED range join: the 100 TB shape (SCALE.md). Sampled events open
+    //    a 7-day window; other events of the SAME USER falling inside it are
+    //    counted. Join key is (user_id, bin) — per-bin occupancy is bounded
+    //    by one user's rows, so when growth adds users (ScaleLadder offsets
+    //    user_id per replica) candidate pairs grow LINEARLY, closing the
+    //    workload-quadratic growth the unkeyed q_range_join shows when both
+    //    sides densify a fixed time axis. Seconds via integer div of the
+    //    exact nanos (double division corrupts at 1e18). --
+    "q_range_join_keyed" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("sec", expr("ts_ns div 1000000000"))
+        val iv = ev.where(col("event_id") % 20 === 0)
+          .select(col("event_id").as("iv_id"), col("user_id").as("iv_user"),
+            col("sec").as("s_sec"))
+          .withColumn("e_sec", col("s_sec") + lit(604800L))
+        val pts = ev.select(col("user_id"), col("sec").as("p_sec"), col("value"))
+        RangeJoin.pointInIntervalKeyed(
+            pts, "p_sec", Seq("user_id"), iv, "s_sec", "e_sec", Seq("iv_user"),
+            binWidth = 604800L)
+          .groupBy(col("iv_id"))
+          .agg(count(lit(1)).as("n_pts"), Norm.dsum(col("value")).as("sum_value"))
+          .orderBy("iv_id")
+      },
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec, value
+        |  FROM events),
+        |iv AS (SELECT event_id AS iv_id, user_id AS iv_user, sec AS s_sec,
+        |              sec + 604800 AS e_sec
+        |       FROM ev WHERE event_id % 20 = 0)
+        |SELECT iv_id, count(*) AS n_pts,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM iv JOIN ev p
+        |  ON p.user_id = iv.iv_user AND p.sec BETWEEN iv.s_sec AND iv.e_sec
+        |GROUP BY 1 ORDER BY iv_id""".stripMargin),
+
     // -- semi / anti joins (EXISTS / NOT EXISTS) --
     "q_join_semi" -> Q(
       (s, d) => {

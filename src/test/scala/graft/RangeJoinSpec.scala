@@ -57,4 +57,62 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  // ---- keyed variant -------------------------------------------------
+
+  private def bruteKeyed(points: Seq[(Long, Long)],
+      intervals: Seq[(Long, Long, Long, Long)]): Set[(Long, Long, Long)] =
+    (for {
+      (pk, p) <- points
+      (id, ik, s, e) <- intervals
+      if pk == ik && p >= s && p <= e
+    } yield (pk, p, id)).toSet
+
+  private def runKeyed(points: Seq[(Long, Long)],
+      intervals: Seq[(Long, Long, Long, Long)], binWidth: Long): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    val p = points.toDF("pk", "p")
+    val iv = intervals.toDF("id", "ik", "s", "e")
+    RangeJoin.pointInIntervalKeyed(p, "p", Seq("pk"), iv, "s", "e", Seq("ik"), binWidth)
+      .select(col("pk"), col("p"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("keyed: randomized equivalence with brute force, several bin widths") {
+    val rnd = new scala.util.Random(11)
+    val points = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+    val intervals = (1 to 60).map { id =>
+      val s = rnd.nextInt(1000).toLong
+      (id.toLong, rnd.nextInt(8).toLong, s, s + rnd.nextInt(80).toLong)
+    }
+    val expected = bruteKeyed(points, intervals)
+    assert(expected.nonEmpty)
+    // sanity: key must actually restrict vs the unkeyed join on same data
+    assert(expected.size < brute(points.map(_._2), intervals.map(t => (t._1, t._3, t._4))).size)
+    for (w <- Seq(1L, 7L, 32L, 1000L))
+      assert(runKeyed(points, intervals, w) === expected, s"binWidth=$w")
+  }
+
+  test("keyed with empty key list degrades to the unkeyed join") {
+    import spark.implicits._
+    val p = (1L to 50L).toDF("p")
+    val iv = Seq((1L, 10L, 40L), (2L, 35L, 90L)).toDF("id", "s", "e")
+    val keyed = RangeJoin.pointInIntervalKeyed(p, "p", Nil, iv, "s", "e", Nil, 16)
+      .select("p", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unkeyed = RangeJoin.pointInInterval(p, "p", iv, "s", "e", 16)
+      .select("p", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyed === unkeyed && keyed.nonEmpty)
+  }
+
+  test("keyed: join keys include the key column (not a post-filter)") {
+    import spark.implicits._
+    val p = Seq((1L, 5L), (2L, 6L)).toDF("pk", "p")
+    val iv = Seq((1L, 1L, 0L, 10L), (2L, 2L, 0L, 10L)).toDF("id", "ik", "s", "e")
+    val plan = RangeJoin.pointInIntervalKeyed(p, "p", Seq("pk"), iv, "s", "e", Seq("ik"), 8)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the equi-key list must carry pk = ik, so the shuffle spreads over
+    // (key, bin) — grep the optimized join condition
+    assert(plan.contains("pk") && plan.contains("ik"), plan)
+  }
 }
