@@ -455,7 +455,12 @@ object LazyFrame {
         // So the prefix drop happens ONCE at open: parse the remainder and
         // spill it to a columnar copy; every extraction then reads parquet
         // with full pushdown/pruning — strictly better per query than even
-        // the skip=0 text path. The copy lives under
+        // the skip=0 text path. Writing at open (not first read) is
+        // deliberate: open() already pays an O(file) job to build the row
+        // index — exactly like the reference's newline indexer at OPEN
+        // (src/lazy.frame.c:252-298) — so the copy adds no asymptotic cost,
+        // and the content-addressed cache below makes repeat opens O(1).
+        // The copy lives under
         // `graft.csv.skipMaterializeDir` (point it at cluster-visible
         // storage on a real deployment; defaults to the local tmpdir) —
         // the Spark analogue of the reference's `lazy.frame.tempdir`.
@@ -470,8 +475,24 @@ object LazyFrame {
           .select("r.*"))
         val baseDir = spark.conf.getOption("graft.csv.skipMaterializeDir")
           .getOrElse(System.getProperty("java.io.tmpdir"))
-        val dest = s"$baseDir/graft_skip_${java.util.UUID.randomUUID().toString.take(8)}"
-        parsed.write.parquet(dest)
+        // Content-addressed cache dir: the key hashes the resolved file
+        // identity (path + mtime + length) and every option that shapes the
+        // parsed copy, so re-opening the same file reuses ONE copy while an
+        // edited file (new mtime) or different parse options get their own.
+        // Registered dirs are purged by a JVM shutdown hook (or an explicit
+        // purgeSkipCache()) — opens no longer leak storage.
+        val key = skipCacheKey(spark, path, sep, hasHeader, skip, finalSchema,
+          naStrings, quote, dec)
+        val dest = s"$baseDir/graft_skip_$key"
+        registerSkipDir(spark, dest)
+        val destPath = new org.apache.hadoop.fs.Path(dest)
+        val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"))) {
+          // A half-written dir (no _SUCCESS: crashed previous write) is
+          // replaced, never trusted.
+          if (fs.exists(destPath)) fs.delete(destPath, true)
+          parsed.write.parquet(dest)
+        }
         spark.read.parquet(dest)
       }
     val rowNamesCol = rowNames.map { j =>
@@ -482,6 +503,66 @@ object LazyFrame {
     val order = if (rowOrder.nonEmpty) rowOrder else finalSchema.fieldNames.toSeq
     val vis = df.columns.toSeq.filterNot(rowNamesCol.contains)
     new LazyFrame(df, order, vis, Map.empty, new RowIndex(df, order), rowNamesCol)
+  }
+
+  /** Skip-materialize dirs created this session, purged at JVM exit (or by
+    * [[purgeSkipCache]]). Content-addressing means the set stays small: one
+    * entry per distinct (file version, parse options), not per open. */
+  private val skipCacheDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var skipCleanupHook = false
+
+  /** Cache key for a skip>0 materialized copy: file identity (fully-qualified
+    * path + mtime + length — a rewritten file gets a fresh copy) plus every
+    * option that changes the parsed bytes. Unresolvable paths (globs) fall
+    * back to the raw path string: still deterministic, just no mtime
+    * invalidation. */
+  private def skipCacheKey(
+      spark: SparkSession, path: String, sep: String, hasHeader: Boolean,
+      skip: Int, schema: StructType, naStrings: Seq[String], quote: String,
+      dec: Char): String = {
+    val identity = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p)
+      s"${st.getPath}|${st.getModificationTime}|${st.getLen}"
+    } catch { case scala.util.control.NonFatal(_) => path }
+    val material = Seq(identity, sep, hasHeader, skip,
+      schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","),
+      naStrings.mkString(""), quote, dec).mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(material.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def registerSkipDir(spark: SparkSession, dir: String): Unit = {
+    skipCacheDirs.add(dir)
+    if (!skipCleanupHook) LazyFrame.synchronized {
+      if (!skipCleanupHook) {
+        skipCleanupHook = true
+        // Copy the Hadoop conf now: the hook may outlive the SparkContext.
+        val conf = new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration)
+        Runtime.getRuntime.addShutdownHook(new Thread(
+          () => purgeSkipCache(conf), "graft-skip-cache-cleanup"))
+      }
+    }
+  }
+
+  /** Delete every skip-materialize cache dir created this session. Runs
+    * automatically at JVM shutdown; callable earlier for deterministic
+    * teardown (a frame still open over a purged dir will fail on next read —
+    * purge is session-end API, like the reference freeing its index files). */
+  def purgeSkipCache(conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val it = skipCacheDirs.iterator()
+    while (it.hasNext) {
+      val d = it.next()
+      try {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+      it.remove()
+    }
   }
 
   def fromDataFrame(df: DataFrame, rowOrder: Seq[String]): LazyFrame = {

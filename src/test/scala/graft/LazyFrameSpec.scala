@@ -62,6 +62,37 @@ class LazyFrameSpec extends SparkSpec {
     assert(lf.nrow == 2L)
   }
 
+  test("csv skip cache: repeat opens share one content-addressed dir; purge removes it") {
+    val cacheBase = Files.createTempDirectory("lfspec_skipcache")
+    spark.conf.set("graft.csv.skipMaterializeDir", cacheBase.toString)
+    try {
+      val lines = Seq("# junk line", "x|y", "1|foo", "2|bar")
+      val path = writeCsv(lines)
+      def skipDirs: Seq[String] = {
+        val ls = cacheBase.toFile.listFiles()
+        if (ls == null) Nil
+        else ls.map(_.getName).filter(_.startsWith("graft_skip_")).toSeq.sorted
+      }
+      val lf1 = LazyFrame.csv(spark, path, sep = "|", skip = 1)
+      val after1 = skipDirs
+      assert(after1.size == 1, s"one cache dir per (file, options): $after1")
+      val lf2 = LazyFrame.csv(spark, path, sep = "|", skip = 1)
+      assert(skipDirs == after1, "re-open of the same file+options reuses the copy")
+      assert(lf1.nrow == 2L && lf2.nrow == 2L)
+      // different parse options → distinct copy (content-addressed, not per-path)
+      LazyFrame.csv(spark, path, sep = "|", skip = 1, naStrings = Seq("NA", "null"))
+      assert(skipDirs.size == 2, s"distinct options get a distinct dir: $skipDirs")
+      // an edited file (new mtime/length) must not serve the stale copy
+      Files.write(java.nio.file.Paths.get(path),
+        (lines :+ "3|baz").mkString("\n").getBytes("UTF-8"))
+      val lf3 = LazyFrame.csv(spark, path, sep = "|", skip = 1)
+      assert(lf3.nrow == 3L, "rewritten file gets a fresh copy, not the cache")
+      // purge = the shutdown hook's body, invoked deterministically
+      LazyFrame.purgeSkipCache(spark.sparkContext.hadoopConfiguration)
+      assert(skipDirs.isEmpty, "purge deletes every session cache dir")
+    } finally spark.conf.unset("graft.csv.skipMaterializeDir")
+  }
+
   test("csv open: gzip input read transparently (reference zlib vtable)") {
     val f = Files.createTempFile("lfspec", ".csv.gz")
     val out = new GZIPOutputStream(Files.newOutputStream(f))
