@@ -357,9 +357,13 @@ object TextHashes {
     * fixed little-endian layout). `which`: 0 = biWidth (signed int32 LE at
     * byte 18), 1 = biHeight (signed int32 LE at 22; NEGATIVE means a
     * top-down pixel order per the spec — returned raw), 2 = biBitCount
-    * (uint16 LE at 28). Returns [[NOT_BMP]] when the payload lacks the
-    * 'BM' magic or a full 54-byte header — callers fall back to the stub
-    * for other mimes. */
+    * (uint16 LE at 28), 3 = bfSize (uint32 LE at 2 — the DECLARED total
+    * file size; reinterpret the raw bits as unsigned before comparing to
+    * the actual payload length: a declared size exceeding the bytes on
+    * hand means a truncated/corrupt file whose header dims can't be
+    * trusted). Returns [[NOT_BMP]] when the payload lacks the 'BM' magic
+    * or a full 54-byte header — callers fall back to the stub for other
+    * mimes. */
   final val NOT_BMP: Int = Int.MinValue
 
   def bmpField(bytes: Array[Byte], which: Int): Int = {
@@ -371,6 +375,7 @@ object TextHashes {
       case 0 => le32(18)
       case 1 => le32(22)
       case 2 => (bytes(28) & 0xFF) | ((bytes(29) & 0xFF) << 8)
+      case 3 => le32(2)
       case _ => NOT_BMP
     }
   }

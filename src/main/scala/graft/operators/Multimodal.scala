@@ -126,6 +126,9 @@ object Multimodal {
     val wRaw = GF.bmpField(b, 0)
     val hRaw = GF.bmpField(b, 1)
     val isBmp = wRaw =!= lit(TextHashes.NOT_BMP)
+    // bfSize is uint32: reinterpret the raw header bits before comparing,
+    // else a >2 GiB declared size wraps negative and hides the truncation
+    val declared = GF.bmpField(b, 3).cast("long").bitwiseAND(lit(0xFFFFFFFFL))
     df.select(
       col(idCol).cast("long").as("doc_id"),
       col(mimeCol).as("mime"),
@@ -134,6 +137,10 @@ object Multimodal {
       when(isBmp, abs(hRaw)).otherwise(GF.fakeDim(b, 1)).as("height"),
       when(isBmp, hRaw < 0).otherwise(lit(false)).as("top_down"),
       when(isBmp, GF.bmpField(b, 2)).otherwise(lit(0)).as("bit_depth"),
+      // header dims of a truncated file are untrustworthy — say so rather
+      // than silently reporting full dims for missing pixel data
+      when(isBmp, declared > length(b).cast("long")).otherwise(lit(false))
+        .as("truncated"),
       length(b).cast("long").as("n_bytes"))
   }
 

@@ -134,6 +134,74 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** Planted-twin corpus shared by q_ann_lsh_recall and q_dedup_embed_lsh:
+    * the harness embeddings plus, for each of the first 64 vectors, a twin
+    * (id + 1e6) with md5-signed ±50% multiplicative per-dim perturbation —
+    * pairs land at cos ≈ 0.89, where 12-bit × 8-table LSH recall is a
+    * nontrivial ~0.7 (the harness embeddings are random; no natural
+    * high-cos pairs exist). Replayable: signs come from md5 of the ORIGINAL
+    * vec_id, so the oracle rebuilds the exact same floats. */
+  private def plantedTwinCorpus(s: org.apache.spark.sql.SparkSession, d: String) = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def sgn(i: org.apache.spark.sql.Column) =
+      when(conv(substring(md5(concat(lit("plant_"), col("vec_id").cast("string"),
+        lit("_"), i.cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1, lit(1.0))
+        .otherwise(lit(-1.0))
+    // two-step select: the sgn() md5 key must see the ORIGINAL vec_id —
+    // aliasing `vec_id + 1000000 AS vec_id` in the same projection
+    // would shadow the reference inside the lambda
+    val planted = e.where(col("vec_id") < 64)
+      .select(col("vec_id"),
+        transform(sequence(lit(0), size(col("embedding")) - 1), i =>
+          (element_at(col("embedding"), i + 1).cast("double") *
+            (lit(1.0) + lit(0.5) * sgn(i))).cast("float")).as("embedding"))
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    e.unionByName(planted)
+  }
+
+  /** DuckDB CTEs rebuilding [[plantedTwinCorpus]] as `u(vec_id, embedding)`. */
+  private val plantedUnionCtes: String =
+    """planted AS (
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(range(1, len(embedding)+1), i ->
+      |      CAST(CAST(embedding[i] AS DOUBLE) *
+      |        (1.0 + 0.5 * (CASE WHEN (('0x' || substr(md5('plant_' || vec_id::VARCHAR || '_' || (i-1)::VARCHAR), 1, 1))::BIGINT & 1) = 1
+      |                      THEN 1.0 ELSE -1.0 END)) AS REAL)) AS embedding
+      |  FROM embeddings WHERE vec_id < 64),
+      |u AS (SELECT vec_id, embedding FROM embeddings
+      |      UNION ALL SELECT vec_id, embedding FROM planted)""".stripMargin
+
+  /** DuckDB CTEs replaying Similarity.lshCosinePairs(u, tau=0.8) — md5 ±1
+    * planes, 12-bit sign buckets × 8 tables, bucket-collision candidates,
+    * exact cosine verify — ending in `lsh(va, vb)`. */
+  private val lshPairCtes08: String =
+    s"""planes AS (
+       |  SELECT t.t, j.j, i.i,
+       |    CASE WHEN (('0x' || substr(md5(t.t::VARCHAR || '_' || j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::BIGINT & 1) = 1
+       |         THEN 1.0 ELSE -1.0 END AS s
+       |  FROM (SELECT unnest(range(0, 8)) AS t) t
+       |  CROSS JOIN (SELECT unnest(range(0, 12)) AS j) j
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+       |dots AS (
+       |  SELECT e.vec_id, p.t, p.j, sum(p.s * e.embedding[p.i + 1]) AS dot
+       |  FROM u e CROSS JOIN planes p
+       |  GROUP BY 1, 2, 3),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |lsh AS (
+       |  SELECT va, vb FROM (
+       |    SELECT c.va, c.vb, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |    FROM cand c JOIN u ea ON ea.vec_id = c.va
+       |                JOIN u eb ON eb.vec_id = c.vb)
+       |  WHERE cos >= 0.8)""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ---- deduplication ----
@@ -539,22 +607,7 @@ object PipelineQueries {
     // scale alternative to the Θ(n²) q_dedup_embed.
     "q_ann_lsh_recall" -> Q(
       (s, d) => {
-        GraftFunctions.register(s)
-        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        def sgn(i: org.apache.spark.sql.Column) =
-          when(conv(substring(md5(concat(lit("plant_"), col("vec_id").cast("string"),
-            lit("_"), i.cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1, lit(1.0))
-            .otherwise(lit(-1.0))
-        // two-step select: the sgn() md5 key must see the ORIGINAL vec_id —
-        // aliasing `vec_id + 1000000 AS vec_id` in the same projection
-        // would shadow the reference inside the lambda
-        val planted = e.where(col("vec_id") < 64)
-          .select(col("vec_id"),
-            transform(sequence(lit(0), size(col("embedding")) - 1), i =>
-              (element_at(col("embedding"), i + 1).cast("double") *
-                (lit(1.0) + lit(0.5) * sgn(i))).cast("float")).as("embedding"))
-          .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
-        val u = e.unionByName(planted)
+        val u = plantedTwinCorpus(s, d)
         val exact = Dedup.embeddingCosinePairs(u, "vec_id", "embedding", 0.8)
         val lsh = Similarity.lshCosinePairs(u, "vec_id", "embedding", 0.8)
           .select(col("va").as("lva"), col("vb").as("lvb"))
@@ -566,49 +619,50 @@ object PipelineQueries {
               lit(12.0)), lit(8.0)), 4).as("recall_bound"))
           .orderBy("va", "vb")
       },
-      s"""WITH planted AS (
-         |  SELECT vec_id + 1000000 AS vec_id,
-         |    list_transform(range(1, len(embedding)+1), i ->
-         |      CAST(CAST(embedding[i] AS DOUBLE) *
-         |        (1.0 + 0.5 * (CASE WHEN (('0x' || substr(md5('plant_' || vec_id::VARCHAR || '_' || (i-1)::VARCHAR), 1, 1))::BIGINT & 1) = 1
-         |                      THEN 1.0 ELSE -1.0 END)) AS REAL)) AS embedding
-         |  FROM embeddings WHERE vec_id < 64),
-         |u AS (SELECT vec_id, embedding FROM embeddings
-         |      UNION ALL SELECT vec_id, embedding FROM planted),
+      s"""WITH $plantedUnionCtes,
          |exact AS (
          |  SELECT va, vb, cos FROM (
          |    SELECT a.vec_id AS va, b.vec_id AS vb, ${cosSql("a.embedding", "b.embedding")} AS cos
          |    FROM u a JOIN u b ON a.vec_id < b.vec_id)
          |  WHERE cos >= 0.8),
-         |planes AS (
-         |  SELECT t.t, j.j, i.i,
-         |    CASE WHEN (('0x' || substr(md5(t.t::VARCHAR || '_' || j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::BIGINT & 1) = 1
-         |         THEN 1.0 ELSE -1.0 END AS s
-         |  FROM (SELECT unnest(range(0, 8)) AS t) t
-         |  CROSS JOIN (SELECT unnest(range(0, 12)) AS j) j
-         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
-         |dots AS (
-         |  SELECT e.vec_id, p.t, p.j, sum(p.s * e.embedding[p.i + 1]) AS dot
-         |  FROM u e CROSS JOIN planes p
-         |  GROUP BY 1, 2, 3),
-         |buckets AS (
-         |  SELECT vec_id, t,
-         |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
-         |  FROM dots GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-         |  FROM buckets a JOIN buckets b
-         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |lsh AS (
-         |  SELECT va, vb FROM (
-         |    SELECT c.va, c.vb, ${cosSql("ea.embedding", "eb.embedding")} AS cos
-         |    FROM cand c JOIN u ea ON ea.vec_id = c.va
-         |                JOIN u eb ON eb.vec_id = c.vb)
-         |  WHERE cos >= 0.8)
+         |$lshPairCtes08
          |SELECT e.va, e.vb, e.cos, (l.va IS NOT NULL) AS lsh_found,
          |  round(1.0 - power(1.0 - power(1.0 - acos(least(greatest(e.cos, -1.0), 1.0))/pi(), 12.0), 8.0), 4) AS recall_bound
          |FROM exact e LEFT JOIN lsh l ON e.va = l.va AND e.vb = l.vb
          |ORDER BY e.va, e.vb""".stripMargin),
+
+    // The hybrid dedup pipeline the 100 TB path actually runs: LSH bucket
+    // candidates → exact cosine verify (inside lshCosinePairs) → connected
+    // components → min-id canonical label per member. Same planted-twin
+    // corpus as q_ann_lsh_recall: that row blesses the PAIR recall of the
+    // sub-quadratic path; this one blesses the dedup-shaped OUTPUT built
+    // from those pairs (cluster assignment per surviving member), with the
+    // oracle replaying plant → planes → buckets → verify → recursive
+    // closure end-to-end. Unlike q_dedup_clusters (which deliberately
+    // consumes EXACT pairs), the planted twins sit at cos ≈ 0.89 pairwise
+    // with singleton-or-pair components — any LSH miss shows up as a
+    // missing row here AND a lsh_found=false row there, so the two rows
+    // drift together, never silently.
+    "q_dedup_embed_lsh" -> Q(
+      (s, d) => {
+        val u = plantedTwinCorpus(s, d)
+        val pairs = Similarity.lshCosinePairs(u, "vec_id", "embedding", 0.8)
+          .select(col("va").as("da"), col("vb").as("db"))
+        Dedup.dupClusters(pairs)
+          .select(col("doc_id").as("vec_id"), col("cluster"))
+          .orderBy("vec_id")
+      },
+      s"""WITH RECURSIVE $plantedUnionCtes,
+         |$lshPairCtes08,
+         |sym AS (SELECT va AS a, vb AS b FROM lsh
+         |        UNION SELECT vb AS a, va AS b FROM lsh),
+         |reach AS (
+         |  SELECT a AS src, b AS dst FROM sym
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+         |)
+         |SELECT src AS vec_id, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin),
 
     // deterministic integer-lattice k-means (k=8, 2 Lloyd iterations) —
     // the offline coarse-quantizer build behind IVF, differentially
@@ -1089,6 +1143,14 @@ object PipelineQueries {
     // rebuilds the identical header hex and parses the same fields from
     // hex positions — a differential check of the byte-level parse. Other
     // mimes keep the documented stub dims.
+    //
+    // Harness-data assumption (ADVICE r4): the engine dispatches on byte
+    // magic while the oracle dispatches on doc_id % 3 = 0 — equivalent here
+    // only because no harness text/plain payload starts with 'BM' at ≥ 54
+    // bytes (the documents corpus is lowercase word soup; 'BM' never
+    // occurs). A corpus where it could would need the oracle to sniff the
+    // same magic from its synthesized hex. The engine's magic dispatch is
+    // the production-correct behavior; the modulus is oracle shorthand.
     "q_mm_decode" -> Q(
       (s, d) => {
         val media = Multimodal.synthesizeBmp(Tables.documents(s, d), "doc_id", "text")
@@ -1142,6 +1204,7 @@ object PipelineQueries {
         |  END::INT AS height,
         |  CASE WHEN is_bmp THEN hs < 0 ELSE false END AS top_down,
         |  CASE WHEN is_bmp THEN bp ELSE 0 END::INT AS bit_depth,
+        |  CASE WHEN is_bmp THEN (54 + nb) > full_bytes ELSE false END AS truncated,
         |  CASE WHEN is_bmp THEN full_bytes ELSE nb END AS n_bytes
         |FROM sgn ORDER BY doc_id""".stripMargin)
   )

@@ -60,8 +60,33 @@ class MultimodalSpec extends SparkSpec {
     assert(TextHashes.bmpField(bmp(640, 480, 24), 1) == 480)
     assert(TextHashes.bmpField(bmp(640, 480, 24), 2) == 24)
     assert(TextHashes.bmpField(bmp(7, -1080, 8), 1) == -1080) // top-down raw
+    assert(TextHashes.bmpField(bmp(640, 480, 24), 3) == 57)   // declared bfSize
     assert(TextHashes.bmpField("BMnot-a-real-header".getBytes, 0) == TextHashes.NOT_BMP)
     assert(TextHashes.bmpField("plain text payload that is longer than fifty-four bytes....".getBytes, 0) == TextHashes.NOT_BMP)
+  }
+
+  test("decode flags truncated payloads: declared bfSize > bytes on hand") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bmpDeclaring(size: Int, payloadBytes: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(54 + payloadBytes).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      bb.putInt(40).putInt(640).putInt(480).putShort(1).putShort(24)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.put(Array.fill[Byte](payloadBytes)(7))
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, bmpDeclaring(54 + 100, 3), "image/bmp"),  // header claims 100 pixel bytes, 3 present
+      (2L, bmpDeclaring(54 + 3, 3), "image/bmp"),    // intact
+      (3L, "plain text far longer than a bmp header would ever need here".getBytes, "text/plain"))
+      .toDF("doc_id", "payload", "mime")
+    val out = Multimodal.decode(rows, "doc_id", "payload", "mime")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(7), "declared size past the payload must flag truncated")
+    assert(out(1L).getInt(3) == 640, "dims still reported — the flag carries the honesty")
+    assert(!out(2L).getBoolean(7), "intact bmp is not truncated")
+    assert(!out(3L).getBoolean(7), "stub path never claims truncation")
   }
 
   test("synthesizeBmp + decode: JVM parse returns the planted dims; stub for text") {
@@ -74,7 +99,8 @@ class MultimodalSpec extends SparkSpec {
     // doc 3: bmp, w=16+3%497=19, h=16+3%293=19, bottom-up, bpp=8 (odd id)
     assert(out(3L).getString(2) == "bmp" && out(3L).getInt(3) == 19 &&
       out(3L).getInt(4) == 19 && !out(3L).getBoolean(5) && out(3L).getInt(6) == 8)
-    assert(out(3L).getLong(7) == 54L + "pixel-bytes-here".length)
+    assert(out(3L).getLong(8) == 54L + "pixel-bytes-here".length)
+    assert(!out(3L).getBoolean(7), "synthesized bmp declares its exact size")
     // doc 21: divisible by 21 → stored top-down (negative height field)
     assert(out(21L).getString(2) == "bmp" && out(21L).getBoolean(5) &&
       out(21L).getInt(4) == 16 + 21 % 293)
