@@ -39,7 +39,25 @@ import org.apache.spark.sql.functions._
   *     the facts grow, the dimensions don't.
   */
 object ScaleLadder {
-  private val KEY_OFF = 10_000_000L
+  /** Replica key offset for a table family: the next power of 10 past the
+    * largest base key. A FIXED offset silently collides once base keys
+    * reach it (sf ≈ 7 lineitem orderkeys pass 10⁷), merging cross-replica
+    * keys and corrupting the ladder's multiplicity invariants — so the
+    * offset is derived from the data. Families whose keys join each other
+    * (lineitem ⋈ orders) must share ONE offset or the join multiplicity
+    * itself breaks; that is why this takes the max over the whole family. */
+  private def offsetPast(maxKey: Long): Long = {
+    require(maxKey >= 0, s"negative key $maxKey in ladder base")
+    var off = 10_000_000L
+    while (off <= maxKey) off *= 10
+    off
+  }
+
+  private def maxOf(df: DataFrame, cols: String*): Long = {
+    val aggs = cols.map(c => max(col(c)).cast("long"))
+    val top = if (aggs.size == 1) aggs.head else greatest(aggs: _*)
+    df.select(top).collect()(0).getLong(0)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleLadder <baseSfDir> <outDir> <r>")
@@ -65,33 +83,37 @@ object ScaleLadder {
     }
 
     val li = spark.read.parquet(s"$base/lineitem.parquet")
-    write(replicate(li, k => li.withColumn("l_orderkey", col("l_orderkey") + lit(k * KEY_OFF))),
-      "lineitem", 4 * r)
-
     val ord = spark.read.parquet(s"$base/orders.parquet")
-    write(replicate(ord, k => ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * KEY_OFF))),
+    // lineitem and orders JOIN on orderkey — one shared offset for the pair
+    val ordOff = offsetPast(math.max(maxOf(li, "l_orderkey"), maxOf(ord, "o_orderkey")))
+    write(replicate(li, k => li.withColumn("l_orderkey", col("l_orderkey") + lit(k * ordOff))),
+      "lineitem", 4 * r)
+    write(replicate(ord, k => ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * ordOff))),
       "orders", r)
 
     // events: read RAW (nanos-as-long) so the derived file keeps ts: int64
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$base/events.parquet")
+    val evOff = offsetPast(maxOf(ev, "event_id", "user_id"))
     write(replicate(ev, k => ev
-      .withColumn("event_id", col("event_id") + lit(k * KEY_OFF))
-      .withColumn("user_id", col("user_id") + lit(k * KEY_OFF))),
+      .withColumn("event_id", col("event_id") + lit(k * evOff))
+      .withColumn("user_id", col("user_id") + lit(k * evOff))),
       "events", r)
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
+    val docOff = offsetPast(maxOf(docs, "doc_id"))
     write(replicate(docs, k =>
       if (k == 0) docs
       else docs
-        .withColumn("doc_id", col("doc_id") + lit(k * KEY_OFF))
+        .withColumn("doc_id", col("doc_id") + lit(k * docOff))
         .withColumn("text", regexp_replace(col("text"), "[A-Za-z0-9]+", "$0z" + k))
         .withColumn("n_chars", length(col("text")))),
       "documents", 2 * r)
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val embOff = offsetPast(maxOf(emb, "vec_id"))
     def flip(k: Int) = emb
-      .withColumn("vec_id", col("vec_id") + lit(k * KEY_OFF))
+      .withColumn("vec_id", col("vec_id") + lit(k * embOff))
       .withColumn("embedding",
         transform(col("embedding"), (x, i) =>
           when(conv(substring(md5(concat(lit(s"flip_${k}_"), i.cast("string"))), 1, 1), 16, 10)
