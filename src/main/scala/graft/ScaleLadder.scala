@@ -53,10 +53,16 @@ object ScaleLadder {
     off
   }
 
-  private def maxOf(df: DataFrame, cols: String*): Long = {
+  private def maxOf(table: String, df: DataFrame, cols: String*): Long = {
     val aggs = cols.map(c => max(col(c)).cast("long"))
     val top = if (aggs.size == 1) aggs.head else greatest(aggs: _*)
-    df.select(top).collect()(0).getLong(0)
+    val row = df.select(top).collect()(0)
+    // max() over an empty (or all-null) base is null — fail with the table
+    // and columns named, not an NPE from getLong.
+    require(!row.isNullAt(0),
+      s"ladder base table '$table' has no rows (or all-null ${cols.mkString("/")}); " +
+        "cannot derive a replica key offset")
+    row.getLong(0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -85,7 +91,7 @@ object ScaleLadder {
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     val ord = spark.read.parquet(s"$base/orders.parquet")
     // lineitem and orders JOIN on orderkey — one shared offset for the pair
-    val ordOff = offsetPast(math.max(maxOf(li, "l_orderkey"), maxOf(ord, "o_orderkey")))
+    val ordOff = offsetPast(math.max(maxOf("lineitem", li, "l_orderkey"), maxOf("orders", ord, "o_orderkey")))
     write(replicate(li, k => li.withColumn("l_orderkey", col("l_orderkey") + lit(k * ordOff))),
       "lineitem", 4 * r)
     write(replicate(ord, k => ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * ordOff))),
@@ -94,14 +100,14 @@ object ScaleLadder {
     // events: read RAW (nanos-as-long) so the derived file keeps ts: int64
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$base/events.parquet")
-    val evOff = offsetPast(maxOf(ev, "event_id", "user_id"))
+    val evOff = offsetPast(maxOf("events", ev, "event_id", "user_id"))
     write(replicate(ev, k => ev
       .withColumn("event_id", col("event_id") + lit(k * evOff))
       .withColumn("user_id", col("user_id") + lit(k * evOff))),
       "events", r)
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
-    val docOff = offsetPast(maxOf(docs, "doc_id"))
+    val docOff = offsetPast(maxOf("documents", docs, "doc_id"))
     write(replicate(docs, k =>
       if (k == 0) docs
       else docs
@@ -111,7 +117,7 @@ object ScaleLadder {
       "documents", 2 * r)
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    val embOff = offsetPast(maxOf(emb, "vec_id"))
+    val embOff = offsetPast(maxOf("embeddings", emb, "vec_id"))
     def flip(k: Int) = emb
       .withColumn("vec_id", col("vec_id") + lit(k * embOff))
       .withColumn("embedding",

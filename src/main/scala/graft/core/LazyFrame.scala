@@ -484,16 +484,11 @@ object LazyFrame {
         val key = skipCacheKey(spark, path, sep, hasHeader, skip, finalSchema,
           naStrings, quote, dec)
         val dest = s"$baseDir/graft_skip_$key"
-        registerSkipDir(spark, dest)
-        val destPath = new org.apache.hadoop.fs.Path(dest)
-        val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"))) {
-          // A half-written dir (no _SUCCESS: crashed previous write) is
-          // replaced, never trusted.
-          if (fs.exists(destPath)) fs.delete(destPath, true)
-          parsed.write.parquet(dest)
-        }
-        spark.read.parquet(dest)
+        val fs = new org.apache.hadoop.fs.Path(dest)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val served = skipCacheLocks.computeIfAbsent(key, _ => new Object)
+          .synchronized { publishSkipCopy(spark, fs, dest, parsed) }
+        spark.read.parquet(served)
       }
     val rowNamesCol = rowNames.map { j =>
       require(j >= 1 && j <= finalSchema.length,
@@ -505,12 +500,63 @@ object LazyFrame {
     new LazyFrame(df, order, vis, Map.empty, new RowIndex(df, order), rowNamesCol)
   }
 
-  /** Skip-materialize dirs created this session, purged at JVM exit (or by
+  /** Skip-materialize dirs THIS JVM wrote, purged at JVM exit (or by
     * [[purgeSkipCache]]). Content-addressing means the set stays small: one
-    * entry per distinct (file version, parse options), not per open. */
+    * entry per distinct (file version, parse options), not per open. Dirs
+    * merely REUSED (published earlier by another process) are never
+    * registered — purging them would pull a live cache out from under their
+    * owner. */
   private val skipCacheDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Per-content-key monitor: two threads of this JVM opening the same file
+    * concurrently serialize on the key, so exactly one parses and writes and
+    * the other reuses the published dir. */
+  private val skipCacheLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   @volatile private var skipCleanupHook = false
+
+  /** Publish `parsed` at the content-addressed `dest`, returning the dir to
+    * read. Concurrency-safe at two levels: same-JVM racers hold the per-key
+    * lock (see [[skipCacheLocks]]); across JVMs the copy is written to a
+    * private `<dest>.tmp-<uuid>` dir and RENAMED into place. Rename is atomic
+    * (POSIX / HDFS), so no process ever reads a half-written dir and no
+    * process deletes a dir another is mid-write — the failure the old
+    * exists→delete→write sequence allowed. Losing the rename race means a
+    * concurrent process published the same content first: reuse theirs, drop
+    * ours. The shutdown purge only covers dirs this JVM itself published. */
+  private def publishSkipCopy(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dest: String,
+      parsed: DataFrame): String = {
+    import org.apache.hadoop.fs.Path
+    val destPath = new Path(dest)
+    def complete = fs.exists(new Path(dest, "_SUCCESS"))
+    if (complete) return dest
+    val tmp = s"$dest.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    registerSkipDir(spark, tmp) // crash before rename → hook still cleans it
+    parsed.write.parquet(tmp)
+    var attempts = 0
+    while (attempts < 3) {
+      if (complete) { // a concurrent process won while we parsed
+        try fs.delete(new Path(tmp), true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        skipCacheDirs.remove(tmp)
+        return dest
+      }
+      // dest exists but has no _SUCCESS: a stale half-write from a crashed
+      // process (a LIVE writer's partial output lives under its own .tmp-*
+      // name, never at dest). Clear it so the rename can land.
+      if (fs.exists(destPath)) fs.delete(destPath, true)
+      if (fs.rename(new Path(tmp), destPath)) {
+        skipCacheDirs.remove(tmp)
+        registerSkipDir(spark, dest)
+        return dest
+      }
+      attempts += 1
+    }
+    // Could not win the slot (pathological churn): serve our private copy;
+    // it is already registered for purge.
+    tmp
+  }
 
   /** Cache key for a skip>0 materialized copy: file identity (fully-qualified
     * path + mtime + length — a rewritten file gets a fresh copy) plus every
@@ -527,9 +573,14 @@ object LazyFrame {
         .getFileStatus(p)
       s"${st.getPath}|${st.getModificationTime}|${st.getLen}"
     } catch { case scala.util.control.NonFatal(_) => path }
-    val material = Seq(identity, sep, hasHeader, skip,
+    // Every component is length-prefixed before joining: a plain mkString
+    // lets distinct option lists collide to one key (na.strings
+    // Seq("NA","IL") vs Seq("NAI","L")) and serve a copy parsed under
+    // different semantics.
+    def lp(s: String) = s"${s.length}:$s"
+    val material = Seq(identity, sep, hasHeader.toString, skip.toString,
       schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","),
-      naStrings.mkString(""), quote, dec).mkString("|")
+      naStrings.map(lp).mkString(","), quote, dec.toString).map(lp).mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(material.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)

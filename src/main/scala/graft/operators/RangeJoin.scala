@@ -70,13 +70,23 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     require(pointKeys.length == intervalKeys.length,
       "pointKeys and intervalKeys must pair up")
+    // Both inputs are aliased internally and every join-condition column is
+    // resolved THROUGH the alias: `p(pk) === iv(ik)` breaks down when the two
+    // inputs share lineage (Spark's ambiguous-self-join resolution may reject
+    // or misresolve it), and bare `col(pointCol)` is ambiguous whenever the
+    // two sides share a column name. Aliasing makes the operator safe for
+    // self-joins and same-named columns without requiring callers to rename.
     val p = points.withColumn("__pbin", floor(col(pointCol) / binWidth))
+      .alias("__rj_p")
     val iv = intervals.withColumn("__ibin",
       explode(sequence(floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
+      .alias("__rj_i")
+    def pc(c: String) = col(s"__rj_p.`$c`")
+    def ic(c: String) = col(s"__rj_i.`$c`")
     val keyEq = pointKeys.zip(intervalKeys)
-      .map { case (pk, ik) => p(pk) === iv(ik) }
-    val cond = ((col("__pbin") === col("__ibin")) +: keyEq).reduce(_ && _) &&
-      col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
+      .map { case (pk, ik) => pc(pk) === ic(ik) }
+    val cond = ((pc("__pbin") === ic("__ibin")) +: keyEq).reduce(_ && _) &&
+      pc(pointCol) >= ic(startCol) && pc(pointCol) <= ic(endCol)
     p.join(iv, cond).drop("__pbin", "__ibin")
   }
 }

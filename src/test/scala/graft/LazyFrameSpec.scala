@@ -93,6 +93,29 @@ class LazyFrameSpec extends SparkSpec {
     } finally spark.conf.unset("graft.csv.skipMaterializeDir")
   }
 
+  test("csv skip cache: concurrent opens of the same file publish ONE dir, no error") {
+    val cacheBase = Files.createTempDirectory("lfspec_skipcache_conc")
+    spark.conf.set("graft.csv.skipMaterializeDir", cacheBase.toString)
+    try {
+      val path = writeCsv(Seq("# junk", "x|y", "1|foo", "2|bar"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // Two racing opens: the per-key lock serializes the write, the loser
+      // reuses the published dir (atomic-rename publish, never a torn read).
+      val frames = Await.result(Future.sequence(Seq.fill(2)(Future {
+        LazyFrame.csv(spark, path, sep = "|", skip = 1)
+      })), 120.seconds)
+      frames.foreach(lf => assert(lf.nrow == 2L))
+      val names = cacheBase.toFile.listFiles().map(_.getName).toSeq.sorted
+      assert(names.size == 1 && names.head.startsWith("graft_skip_")
+        && !names.head.contains(".tmp-"),
+        s"exactly one published dir, no tmp leftovers: $names")
+      LazyFrame.purgeSkipCache(spark.sparkContext.hadoopConfiguration)
+      assert(cacheBase.toFile.listFiles().isEmpty, "purge covers the dir this JVM wrote")
+    } finally spark.conf.unset("graft.csv.skipMaterializeDir")
+  }
+
   test("csv open: gzip input read transparently (reference zlib vtable)") {
     val f = Files.createTempFile("lfspec", ".csv.gz")
     val out = new GZIPOutputStream(Files.newOutputStream(f))

@@ -115,4 +115,19 @@ class RangeJoinSpec extends SparkSpec {
     // (key, bin) — grep the optimized join condition
     assert(plan.contains("pk") && plan.contains("ik"), plan)
   }
+
+  test("keyed: shared lineage and same-named key columns resolve (self range join)") {
+    import spark.implicits._
+    // Both sides derive from ONE DataFrame and the key column has the SAME
+    // name on both sides — the shape Spark's ambiguous-self-join detection
+    // rejects when the condition is built as p(pk) === iv(ik). The internal
+    // aliasing must make this legal without callers renaming anything.
+    val base = Seq((1L, 5L, 0L, 10L), (1L, 20L, 15L, 25L), (2L, 5L, 6L, 9L))
+      .toDF("k", "v", "s", "e")
+    val out = RangeJoin.pointInIntervalKeyed(
+      base.select("k", "v"), "v", Seq("k"),
+      base.select("k", "s", "e"), "s", "e", Seq("k"), 8)
+    // expected: key 1 → v=5 in [0,10], v=20 in [15,25]; key 2 → v=5 not in [6,9]
+    assert(out.count() == 2L)
+  }
 }
