@@ -16,6 +16,27 @@ object Bench {
     "q_ann_kmeans", "q_lang_id", "q_tfidf", "q_gapfill",
     "q_stream_tumbling", "q_stream_join", "q_stream_stateful")
 
+  /** Named warm-up rows: each is the designated first consumer of a
+    * session-scoped shared artifact (ParityQueries' lineitem row-id index +
+    * cache, the Dedup shingle/sign scan and its two pair-set checkpoints,
+    * the token stream, the winnow fingerprint table, the k-means fit).
+    * Running them ONCE before the measured loop pins those one-time build
+    * costs to explicit rows instead of letting them land on whichever
+    * measured query happens to touch the cache first — the attribution
+    * drift that made the same queries swing 2–6× between BENCH_r05 and
+    * BENCH_r06 with no code change on their paths. */
+  val warmupRows: Seq[String] = Seq(
+    "lf_dim",          // LazyFrame row-id index build + .cached() fill
+    "q_dedup_minhash", // shingleSigSets scan + minhash pair checkpoint
+    "q_dedup_ngram",   // PPJoin exact pair checkpoint (reuses the scan)
+    "q_vocab",         // tokenize pass (tokStream checkpoint)
+    "q_winnow_fp",     // winnowing fingerprint checkpoint
+    "q_ann_kmeans")    // k-means codebook fit
+
+  private def loadavg1: String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+    catch { case _: Throwable => "-1" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,6 +51,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Host 1-minute loadavg BEFORE the run: r6's end-only sample could not
+    // see contention that hit early queries and cleared before the end.
+    val loadPre = loadavg1
+
     // Warm-up: absorb JVM/classloader/codegen startup so per-query numbers
     // measure the queries, not session bootstrap (SURVEY.md §6: the real
     // risk at small SF is fixed overhead). Runs the flagship once at the
@@ -39,16 +64,31 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     } catch { case _: Throwable => () }
 
-    // A failed query surfaces in "failed" (and on stderr) and is excluded
-    // from the total, instead of silently skewing the benchmark.
     // Optional args restrict the run to the named queries (tuning loop).
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
-    // Each query runs twice and reports the min: a transient host-load
-    // spike during one pass (the BENCH_r03 q_join_* contamination) can't
-    // masquerade as a regression. SPARK_GRAFT_BENCH_RUNS overrides.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+
+    // Named shared-setup warm-ups (see warmupRows doc) — timed and reported
+    // as their own rows so the one-time cache builds have a fixed home.
+    // Only for FULL-registry runs: arg-restricted runs (tuning loop, the
+    // scale-ladder rungs) need cold first-touch numbers, and
+    // SPARK_GRAFT_BENCH_WARMUP=0 disables explicitly.
+    val doWarm = args.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    val warm: Seq[(String, Double)] =
+      (if (doWarm) warmupRows.filter(selected.contains) else Seq.empty).map { n =>
+        val t0 = System.nanoTime()
+        try { selected(n)(spark, sfDir).count(); (n, (System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => (n, -1.0) }
+      }
+
+    // Each query runs `runs` times (default 3); the artifact reports BOTH
+    // min (comparable with earlier rounds, robust to one slow pass) and
+    // median (robust to one FAST pass / residual cache effects). A
+    // transient host-load spike during one pass can't masquerade as a
+    // regression. SPARK_GRAFT_BENCH_RUNS overrides.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // (name, per-run times of the runs that SUCCEEDED, count of failed runs)
     val results: Seq[(String, Seq[Double], Int)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -61,25 +101,37 @@ object Bench {
         }
         (name, times, runs - times.size)
       }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     // Full per-query timings go to stderr (the local tuning loop reads
-    // them) INCLUDING every individual run — min-of-N hides which run paid
-    // a shared-scan / JIT cost, and attribution shifts inside memoized
-    // families are only diagnosable when both runs are visible in the
-    // artifact. stdout gets ONE COMPACT JSON line — total over every
-    // query, but only the headline per-query map, rounded — because the
-    // driver keeps just the last ~2000 output chars and a line carrying
-    // all 110+ queries at full double precision gets truncated past
-    // parseability.
+    // them) INCLUDING every individual run — summaries alone hide which run
+    // paid a shared-scan / JIT cost. stdout gets ONE COMPACT JSON line —
+    // total over every query, but only the headline per-query maps, rounded
+    // — because the driver keeps just the last ~2000 output chars and a
+    // line carrying all 110+ queries at full double precision gets
+    // truncated past parseability.
+    warm.foreach { case (k, t) =>
+      System.err.println(f"[bench] warmup:$k%-17s $t%9.3f s")
+    }
     results.foreach { case (k, ts, nf) =>
       val runsStr = ts.map(t => f"$t%.3f").mkString("[", ", ", "]")
       val flag = if (ts.isEmpty) "  FAILED"
                  else if (nf > 0) s"  FLAKY($nf/$runs runs failed)" else ""
-      System.err.println(f"[bench] $k%-24s ${ts.headOption.fold(0.0)(_ => ts.min)}%9.3f s  runs=$runsStr$flag")
+      val (mn, md) = if (ts.isEmpty) (0.0, 0.0) else (ts.min, median(ts))
+      System.err.println(f"[bench] $k%-24s min=$mn%8.3f s  med=$md%8.3f s  runs=$runsStr$flag")
     }
     def r3(v: Double): String = f"$v%.3f"
+    def r2(v: Double): String = f"$v%.2f"
     val qs = results.collect { case (k, ts, _) if ts.nonEmpty && Bench.headline(k) =>
       s"\"" + k + "\":" + r3(ts.min)
     }.mkString("{", ",", "}")
+    val qsMed = results.collect { case (k, ts, _) if ts.nonEmpty && Bench.headline(k) =>
+      s"\"" + k + "\":" + r2(median(ts))
+    }.mkString("{", ",", "}")
+    val warmJson = warm.map { case (k, t) => s"\"" + k + "\":" + r2(t) }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, ts, _) if ts.isEmpty => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     // A query that failed on SOME run but succeeded on another is flaky —
@@ -89,13 +141,8 @@ object Bench {
       s"\"" + k + "\":" + nf
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
-    // Host 1-minute loadavg at end of run: a value far above the allotted
-    // CPU count means another process contended for the machine and the
-    // numbers should be re-run before being believed.
-    val loadavg =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
-      catch { case _: Throwable => "-1" }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg":$loadavg,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
+    val totalMed = results.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
+    println(s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

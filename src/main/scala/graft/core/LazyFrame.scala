@@ -479,15 +479,23 @@ object LazyFrame {
         // identity (path + mtime + length) and every option that shapes the
         // parsed copy, so re-opening the same file reuses ONE copy while an
         // edited file (new mtime) or different parse options get their own.
+        // The dir name also embeds a per-JVM token (see [[jvmToken]]) so no
+        // other process resolves — or deletes — this session's paths.
         // Registered dirs are purged by a JVM shutdown hook (or an explicit
         // purgeSkipCache()) — opens no longer leak storage.
         val key = skipCacheKey(spark, path, sep, hasHeader, skip, finalSchema,
           naStrings, quote, dec)
-        val dest = s"$baseDir/graft_skip_$key"
+        val dest = s"$baseDir/graft_skip_${jvmToken}_$key"
         val fs = new org.apache.hadoop.fs.Path(dest)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val served = skipCacheLocks.computeIfAbsent(key, _ => new Object)
-          .synchronized { publishSkipCopy(spark, fs, dest, parsed) }
+        val lock = skipCacheLocks.computeIfAbsent(key, _ => new Object)
+        val served = lock.synchronized { publishSkipCopy(spark, fs, dest, parsed) }
+        // Publish committed (or an earlier one was reused): every later open
+        // re-validates via the _SUCCESS probe, so the monitor has no further
+        // job — drop it to keep the map bounded over long sessions (edited
+        // files mint a fresh key per mtime). A publish that THROWS keeps its
+        // entry, so a retry still serializes with any thread already waiting.
+        skipCacheLocks.remove(key, lock)
         spark.read.parquet(served)
       }
     val rowNamesCol = rowNames.map { j =>
@@ -500,62 +508,75 @@ object LazyFrame {
     new LazyFrame(df, order, vis, Map.empty, new RowIndex(df, order), rowNamesCol)
   }
 
+  /** Per-JVM token embedded in every skip-cache dir name. Scoping the cache
+    * per JVM removes the cross-process hazards a shared layout carries
+    * wholesale (ADVICE r6): Hadoop `rename` moving a tmp dir INTO a dest
+    * that another process published concurrently, the TOCTOU where a live
+    * complete dir is deleted between a racer's completeness check and its
+    * rename, and a shutdown purge deleting a dir another process is mid-
+    * read. The cost is cross-process reuse — which a tmpdir-backed session
+    * cache should not promise anyway (a cluster deployment wanting shared
+    * parsed copies should materialize a real table, not share a tmp path).
+    * In-JVM reuse — the common case, repeated opens in one session — is
+    * fully intact via content-addressing. */
+  private val jvmToken = java.util.UUID.randomUUID().toString.take(8)
   /** Skip-materialize dirs THIS JVM wrote, purged at JVM exit (or by
     * [[purgeSkipCache]]). Content-addressing means the set stays small: one
-    * entry per distinct (file version, parse options), not per open. Dirs
-    * merely REUSED (published earlier by another process) are never
-    * registered — purging them would pull a live cache out from under their
-    * owner. */
+    * entry per distinct (file version, parse options), not per open. With
+    * [[jvmToken]] scoping, every dir here is exclusively ours — the purge
+    * can never pull a cache out from under another process. (A SIGKILLed
+    * JVM leaks its dirs; they sit under the OS tmpdir and fall to the
+    * platform tmp reaper, the same disposal the reference's tempdir-backed
+    * index files rely on.) */
   private val skipCacheDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   /** Per-content-key monitor: two threads of this JVM opening the same file
     * concurrently serialize on the key, so exactly one parses and writes and
-    * the other reuses the published dir. */
+    * the other reuses the published dir. Entries are dropped after a
+    * successful publish (the _SUCCESS probe re-validates every open), so the
+    * map stays bounded across long sessions with many distinct keys. */
   private val skipCacheLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   @volatile private var skipCleanupHook = false
 
-  /** Publish `parsed` at the content-addressed `dest`, returning the dir to
-    * read. Concurrency-safe at two levels: same-JVM racers hold the per-key
-    * lock (see [[skipCacheLocks]]); across JVMs the copy is written to a
-    * private `<dest>.tmp-<uuid>` dir and RENAMED into place. Rename is atomic
-    * (POSIX / HDFS), so no process ever reads a half-written dir and no
-    * process deletes a dir another is mid-write — the failure the old
-    * exists→delete→write sequence allowed. Losing the rename race means a
-    * concurrent process published the same content first: reuse theirs, drop
-    * ours. The shutdown purge only covers dirs this JVM itself published. */
+  /** Publish `parsed` at the content-addressed, JVM-scoped `dest`, returning
+    * the dir to read. Callers hold the per-key lock (see [[skipCacheLocks]])
+    * and [[jvmToken]] guarantees no other process touches `dest`, so there
+    * is exactly one potential writer: the copy is written to a private
+    * `<dest>.tmp-<uuid>` dir and renamed into place, making a torn `dest`
+    * impossible even under same-JVM crash/retry (a failed write throws
+    * before rename; the tmp dir is registered for purge). The rename result
+    * is verified rather than trusted — Hadoop filesystems can report
+    * success after moving src INTO a dest that reappeared (ADVICE r6), so
+    * the commit shape (`_SUCCESS` at the root, no nested tmp) is checked
+    * explicitly even though per-JVM scoping makes that path unreachable. */
   private def publishSkipCopy(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dest: String,
       parsed: DataFrame): String = {
     import org.apache.hadoop.fs.Path
     val destPath = new Path(dest)
     def complete = fs.exists(new Path(dest, "_SUCCESS"))
-    if (complete) return dest
+    if (complete) return dest // published earlier this session
+    // dest existing here without _SUCCESS means an earlier publish attempt
+    // this session failed mid-commit; nobody else writes under our token,
+    // so clearing it is safe under the key lock.
+    if (fs.exists(destPath)) fs.delete(destPath, true)
     val tmp = s"$dest.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
     registerSkipDir(spark, tmp) // crash before rename → hook still cleans it
     parsed.write.parquet(tmp)
-    var attempts = 0
-    while (attempts < 3) {
-      if (complete) { // a concurrent process won while we parsed
-        try fs.delete(new Path(tmp), true)
-        catch { case scala.util.control.NonFatal(_) => () }
-        skipCacheDirs.remove(tmp)
-        return dest
-      }
-      // dest exists but has no _SUCCESS: a stale half-write from a crashed
-      // process (a LIVE writer's partial output lives under its own .tmp-*
-      // name, never at dest). Clear it so the rename can land.
-      if (fs.exists(destPath)) fs.delete(destPath, true)
-      if (fs.rename(new Path(tmp), destPath)) {
-        skipCacheDirs.remove(tmp)
-        registerSkipDir(spark, dest)
-        return dest
-      }
-      attempts += 1
+    if (!fs.rename(new Path(tmp), destPath)) {
+      // Rename refused (pathological external interference): the private
+      // copy is intact and already registered for purge — serve it.
+      return tmp
     }
-    // Could not win the slot (pathological churn): serve our private copy;
-    // it is already registered for purge.
-    tmp
+    // Verify the commit shape (see doc comment): a nested tmp under dest
+    // would mean rename "succeeded" by moving INTO a recreated dest.
+    val nested = new Path(destPath, new Path(tmp).getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
+    require(complete, s"skip-cache publish did not commit at $dest")
+    skipCacheDirs.remove(tmp)
+    registerSkipDir(spark, dest)
+    dest
   }
 
   /** Cache key for a skip>0 materialized copy: file identity (fully-qualified

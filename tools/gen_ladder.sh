@@ -1,9 +1,19 @@
 #!/bin/bash
-# Regenerate the scale-ladder corpora with the fixed offsetPast generator.
-set -e
-cd /root/repo
-for r in 4 16 64; do
-  rm -rf target/ladder/x$r
-  sbt -batch "runMain graft.ScaleLadder /root/testdata/sf0.1 target/ladder/x$r $r" 2>&1 | tail -2
+# Regenerate the scale-ladder corpora (SCALE.md) with the offsetPast
+# generator (ScaleLadder.scala). Usage:
+#   tools/gen_ladder.sh [baseSfDir] [factor...]
+# Defaults: baseSfDir = /root/testdata/sf0.1, factors = 4 16 64.
+# All rungs run in ONE sbt invocation (one JVM warm-up, not one per rung).
+set -eo pipefail
+cd "$(dirname "$0")/.."
+base="${1:-/root/testdata/sf0.1}"
+shift 2>/dev/null || true
+factors=("$@")
+[ ${#factors[@]} -eq 0 ] && factors=(4 16 64)
+cmds=()
+for r in "${factors[@]}"; do
+  rm -rf "target/ladder/x$r"
+  cmds+=("runMain graft.ScaleLadder $base target/ladder/x$r $r")
 done
-echo LADDER_DONE
+sbt -batch "${cmds[@]}"
+echo "LADDER_DONE ${factors[*]}"
