@@ -61,6 +61,43 @@ object ParityQueries {
     (s, d) => proj(li(s, d).filter(pred)).orderBy("row_id"),
     s"$lfCte SELECT $projSql FROM lf WHERE $sqlPred ORDER BY row_id")
 
+  /** Deterministic CSV fixture for the end-to-end csv-open oracle row
+    * (`lf_csv_open`): the harness tables are parquet, so the CSV surface —
+    * probe, header autodetect, skip, na.strings, quoting, the
+    * skip-materialize cache — had unit tests but no DuckDB twin until now
+    * (VERDICT r6 #6). Both engines read the same file at a FIXED path:
+    * Spark through `LazyFrame.csv`, DuckDB through `read_csv` with the
+    * equivalent options. Content is pure formula (no RNG), written
+    * atomically and only when absent/different so the file's mtime — part
+    * of the skip-cache key — stays stable across a Bench run. */
+  private[graft] val csvFixturePath = "/tmp/graft_lf_fixture.csv"
+  private def ensureCsvFixture(): String = {
+    val sb = new StringBuilder
+    sb ++= "# graft csv fixture — skipped line 1\n"
+    sb ++= "# skipped line 2\n"
+    sb ++= "id,val,name\n"
+    (1 to 60).foreach { i =>
+      val name =
+        if (i % 7 == 0) "NA"                    // na.strings → null
+        else if (i % 5 == 0) s""""x, y$i""""    // quoted field with sep inside
+        else s"n$i"
+      sb ++= s"$i,${i / 4.0},$name\n"           // i/4.0: exact binary doubles
+    }
+    val bytes = sb.toString.getBytes("UTF-8")
+    val p = java.nio.file.Paths.get(csvFixturePath)
+    val same = java.nio.file.Files.exists(p) &&
+      java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p), bytes)
+    if (!same) {
+      val tmp = java.nio.file.Files.createTempFile(
+        p.getParent, "graft_lf_fixture", ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    csvFixturePath
+  }
+
   val scatteredIds: Seq[Long] = Seq(5L, 15L, 25L, 999L, 1000L, 4999L, 6000L, 999999999L)
 
   val all: Map[String, Q] = Map(
@@ -111,6 +148,24 @@ object ParityQueries {
         .rowsRange(1, 100).orderBy("row_id"),
       s"""$lfCte SELECT l_orderkey, l_linenumber, l_quantity, row_id FROM lf
          | WHERE row_id <= 100 ORDER BY row_id""".stripMargin),
+
+    // -- csv open end-to-end (R/lazy.frame.R:37-108): probe + header
+    //    autodetect + skip=2 + na.strings + quoted separators, through the
+    //    skip-materialize path, against DuckDB read_csv on the SAME file --
+    "lf_csv_open" -> Q(
+      (s, _) => {
+        val path = ensureCsvFixture()
+        LazyFrame.csv(s, path, skip = 2, rowOrder = Seq("id"))
+          .filter(col("id").isNotNull)
+          .select("id", "val", "name", "row_id")
+          .orderBy("row_id")
+      },
+      s"""WITH lf AS (
+         |  SELECT *, row_number() OVER (ORDER BY id) AS row_id
+         |  FROM read_csv('$csvFixturePath', skip=2, header=true, nullstr='NA',
+         |    columns={'id': 'BIGINT', 'val': 'DOUBLE', 'name': 'VARCHAR'})
+         |)
+         |SELECT id, val, name, row_id FROM lf ORDER BY row_id""".stripMargin),
 
     // -- dim/nrow/ncol (O(1) after cached count, R/lazy.frame.R:206-209) --
     "lf_dim" -> Q(

@@ -172,16 +172,18 @@ object PipelineQueries {
       |u AS (SELECT vec_id, embedding FROM embeddings
       |      UNION ALL SELECT vec_id, embedding FROM planted)""".stripMargin
 
-  /** DuckDB CTEs replaying Similarity.lshCosinePairs(u, tau=0.8) — md5 ±1
-    * planes, 12-bit sign buckets × 8 tables, bucket-collision candidates,
-    * exact cosine verify — ending in `lsh(va, vb)`. */
-  private val lshPairCtes08: String =
+  /** DuckDB CTEs replaying `Similarity.lshCosinePairs(u, tau, bits, tables)`
+    * — md5 ±1 planes, `bits`-bit sign buckets × `tables` tables,
+    * bucket-collision candidates, exact cosine verify — ending in
+    * `lsh(va, vb)`. Parameterized so the default (12×8) and the
+    * high-recall (10×16) registrations replay the same construction. */
+  private def lshPairCtes(tau: Double, bits: Int, tables: Int): String =
     s"""planes AS (
        |  SELECT t.t, j.j, i.i,
        |    CASE WHEN (('0x' || substr(md5(t.t::VARCHAR || '_' || j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::BIGINT & 1) = 1
        |         THEN 1.0 ELSE -1.0 END AS s
-       |  FROM (SELECT unnest(range(0, 8)) AS t) t
-       |  CROSS JOIN (SELECT unnest(range(0, 12)) AS j) j
+       |  FROM (SELECT unnest(range(0, $tables)) AS t) t
+       |  CROSS JOIN (SELECT unnest(range(0, $bits)) AS j) j
        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
        |dots AS (
        |  SELECT e.vec_id, p.t, p.j, sum(p.s * e.embedding[p.i + 1]) AS dot
@@ -200,7 +202,8 @@ object PipelineQueries {
        |    SELECT c.va, c.vb, ${cosSql("ea.embedding", "eb.embedding")} AS cos
        |    FROM cand c JOIN u ea ON ea.vec_id = c.va
        |                JOIN u eb ON eb.vec_id = c.vb)
-       |  WHERE cos >= 0.8)""".stripMargin
+       |  WHERE cos >= $tau)""".stripMargin
+  private val lshPairCtes08: String = lshPairCtes(0.8, 12, 8)
 
   val all: Map[String, Q] = Map(
 
@@ -630,6 +633,51 @@ object PipelineQueries {
          |  round(1.0 - power(1.0 - power(1.0 - acos(least(greatest(e.cos, -1.0), 1.0))/pi(), 12.0), 8.0), 4) AS recall_bound
          |FROM exact e LEFT JOIN lsh l ON e.va = l.va AND e.vb = l.vb
          |ORDER BY e.va, e.vb""".stripMargin),
+
+    // PRODUCTION-RECALL variant (VERDICT r6 #5): the 12-bit × 8-table
+    // default measures ~0.7 recall at the planted difficulty (cos ≈ 0.89)
+    // — thin for a dedup contract. Dropping to 10 bits and doubling to 16
+    // tables raises the analytic per-pair recall at cos 0.89 to
+    // 1-(1-0.8493^10)^16 ≈ 0.97 at ~2.7× the hashing work (160 vs 96
+    // plane dots per vector) and a wider candidate set (coarser buckets:
+    // random pairs collide per table at ~2^-10 instead of ~2^-12 — still
+    // O(n·tables) candidates, and at larger n the bits should scale back
+    // up with log n). Same planted corpus, same construction, fully
+    // replayed by the oracle; `measured_recall` (constant over rows) IS
+    // the round's measured number — the done-gate asserts it ≥ 0.9.
+    "q_ann_lsh_recall_hi" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = plantedTwinCorpus(s, d)
+        val exact = Dedup.embeddingCosinePairs(u, "vec_id", "embedding", 0.8)
+        val lsh = Similarity.lshCosinePairs(u, "vec_id", "embedding", 0.8,
+            bits = 10, tables = 16)
+          .select(col("va").as("lva"), col("vb").as("lvb"))
+        exact.join(lsh, col("va") === col("lva") && col("vb") === col("lvb"), "left")
+          .select(col("va"), col("vb"), col("cos"),
+            col("lva").isNotNull.as("lsh_found"),
+            round(lit(1.0) - pow(lit(1.0) - pow(lit(1.0) -
+              acos(least(greatest(col("cos"), lit(-1.0)), lit(1.0))) / lit(math.Pi),
+              lit(10.0)), lit(16.0)), 4).as("recall_bound"))
+          .withColumn("measured_recall",
+            round(avg(col("lsh_found").cast("double"))
+              .over(Window.partitionBy()), 4))
+          .orderBy("va", "vb")
+      },
+      s"""WITH $plantedUnionCtes,
+         |exact AS (
+         |  SELECT va, vb, cos FROM (
+         |    SELECT a.vec_id AS va, b.vec_id AS vb, ${cosSql("a.embedding", "b.embedding")} AS cos
+         |    FROM u a JOIN u b ON a.vec_id < b.vec_id)
+         |  WHERE cos >= 0.8),
+         |${lshPairCtes(0.8, 10, 16)}
+         |SELECT va, vb, cos, lsh_found,
+         |  round(1.0 - power(1.0 - power(1.0 - acos(least(greatest(cos, -1.0), 1.0))/pi(), 10.0), 16.0), 4) AS recall_bound,
+         |  round(avg(CASE WHEN lsh_found THEN 1.0 ELSE 0.0 END) OVER (), 4) AS measured_recall
+         |FROM (
+         |  SELECT e.va, e.vb, e.cos, (l.va IS NOT NULL) AS lsh_found
+         |  FROM exact e LEFT JOIN lsh l ON e.va = l.va AND e.vb = l.vb)
+         |ORDER BY va, vb""".stripMargin),
 
     // The hybrid dedup pipeline the 100 TB path actually runs: LSH bucket
     // candidates → exact cosine verify (inside lshCosinePairs) → connected

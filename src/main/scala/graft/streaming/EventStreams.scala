@@ -57,13 +57,20 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** Streaming read of the events parquet with `ts` at microsecond
-    * precision (exactly what DuckDB sees natively). */
-  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
+    * precision (exactly what DuckDB sees natively). `glob` selects the
+    * event files within `sfDir` (the harness stores one `events.parquet`
+    * file); `maxFilesPerTrigger` bounds files per micro-batch — the probe
+    * main (`StreamOverheadProbe`) uses it to control batch count when
+    * measuring per-batch fixed overhead. */
+  def readStream(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val rd = spark.readStream
       .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet") // file source wants a dir
-      .parquet(sfDir)
+      .option("pathGlobFilter", glob) // file source wants a dir
+    maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))
+    rd.parquet(sfDir)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
@@ -212,12 +219,14 @@ object EventStreams {
     * join state is bounded by (watermark + interval); the range condition
     * lets Spark expire buffered rows as event time advances — the standard
     * attribution-join shape at scale. */
-  def purchaseClickJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val clicks = readStream(spark, sfDir)
+  def purchaseClickJoin(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val clicks = readStream(spark, sfDir, glob, maxFilesPerTrigger)
       .where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "2 hours")
-    val purchases = readStream(spark, sfDir)
+    val purchases = readStream(spark, sfDir, glob, maxFilesPerTrigger)
       .where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
