@@ -12,7 +12,7 @@ object Bench {
     "q_range_join_keyed",
     "q_window_rank", "q_cube", "q_hll_distinct",
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_clusters",
-    "q_dedup_embed", "q_bloom_novel", "q_ann_topk_agg", "q_ann_lsh",
+    "q_dedup_embed_lsh", "q_bloom_novel", "q_ann_topk_agg", "q_ann_lsh",
     "q_ann_kmeans", "q_lang_id", "q_tfidf", "q_gapfill",
     "q_stream_tumbling", "q_stream_join", "q_stream_stateful")
 
@@ -53,7 +53,24 @@ object Bench {
 
     // Host 1-minute loadavg BEFORE the run: r6's end-only sample could not
     // see contention that hit early queries and cleared before the end.
+    // r6 AND the official r7 artifact were both minted on a contended host
+    // (sbt wall 1097 s vs 163 s quiet) — so now the bench REFUSES to start
+    // while load is high: wait up to `maxWaits` sleeps for the 1-minute
+    // loadavg to drop below `maxLoad` (~8 on this 32-cpu host). If it never
+    // clears we still run (an artifact with a recorded contention flag beats
+    // no artifact), but the JSON carries the decision so a reader can see
+    // the numbers are suspect without needing a separate retake log.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "8.0").toDouble
+    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXWAITS", "10").toInt
+    var waits = 0
+    while (loadavg1.toDouble > maxLoad && waits < maxWaits) {
+      System.err.println(
+        f"[bench] loadavg ${loadavg1} > $maxLoad%.1f — waiting 60 s (${waits + 1}/$maxWaits)")
+      Thread.sleep(60000)
+      waits += 1
+    }
     val loadPre = loadavg1
+    val contended = loadPre.toDouble > maxLoad
 
     // Warm-up: absorb JVM/classloader/codegen startup so per-query numbers
     // measure the queries, not session bootstrap (SURVEY.md §6: the real
@@ -142,7 +159,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
     val totalMed = results.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
-    println(s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contended},"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+    // The summary JSON is emitted on BOTH streams, and on stderr it is the
+    // LAST line AFTER the per-query rows: under sbt the stdout println can
+    // flush before the buffered stderr block, and a driver that keeps only
+    // the final ~2000 chars of interleaved output then sees per-query rows
+    // but no summary (exactly how BENCH_r07.json ended up "parsed": null).
+    // Emitting it last-on-stderr guarantees the tail always carries it.
+    System.err.println(summary)
+    println(summary)
     spark.stop()
   }
 }

@@ -39,18 +39,28 @@ object StreamOverheadProbe {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
 
+    def deleteRec(root: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
     def run(k: Int, tag: String): (Int, Double) = {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_sop_$tag$k").toString
-      ev.repartition(k).write.mode("overwrite").parquet(dir)
-      val joined = EventStreams.purchaseClickJoin(spark, dir, "part-*.parquet", Some(1))
-      val t0 = System.nanoTime()
-      val q = joined.writeStream
-        .outputMode("append").format("memory").queryName(s"sop_$tag$k")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val secs = (System.nanoTime() - t0) / 1e9
-      (q.recentProgress.length, secs)
+      try {
+        ev.repartition(k).write.mode("overwrite").parquet(dir)
+        val joined = EventStreams.purchaseClickJoin(spark, dir, "part-*.parquet", Some(1))
+        val t0 = System.nanoTime()
+        val q = joined.writeStream
+          .outputMode("append").format("memory").queryName(s"sop_$tag$k")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val secs = (System.nanoTime() - t0) / 1e9
+        (q.recentProgress.length, secs)
+      } finally deleteRec(dir) // per-run temp inputs were leaking (ADVICE r7)
     }
 
     run(ks.head, "warm") // absorb classload/JIT once; discarded
@@ -59,14 +69,22 @@ object StreamOverheadProbe {
       System.err.println(f"[probe] k=$k%-3d batches=$b%-3d ${s}%.2f s")
       (b.toDouble, s)
     }
-    val n = pts.size.toDouble
-    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
-    val sxx = pts.map(p => p._1 * p._1).sum
-    val sxy = pts.map(p => p._1 * p._2).sum
-    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    val icept = (sy - slope * sx) / n
     val ptsJson = pts.map(p => f"[${p._1}%.0f,${p._2}%.2f]").mkString("[", ",", "]")
-    println(f"""{"metric":"stream_per_batch_sec","slope":$slope%.3f,"intercept":$icept%.3f,"points":$ptsJson,"sf":"$sfDir"}""")
+    // A fit needs >=2 distinct batch counts (a single k argument, or
+    // repartition collapsing to equal file counts, would divide by zero
+    // and emit NaN into the JSON — ADVICE r7): degenerate runs report the
+    // raw points only.
+    if (pts.map(_._1).distinct.size < 2) {
+      println(s"""{"metric":"stream_per_batch_sec","slope":null,"intercept":null,"points":$ptsJson,"note":"degenerate: fewer than 2 distinct batch counts","sf":"$sfDir"}""")
+    } else {
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      println(f"""{"metric":"stream_per_batch_sec","slope":$slope%.3f,"intercept":$icept%.3f,"points":$ptsJson,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -34,6 +34,47 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
   private val persistedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** Storage level for the two index persists, chosen heap-proportionally
+    * (VERDICT r7 #3: a fixed MEMORY_AND_DISK turns "index outgrows the
+    * storage pool" into a cliff of GC/eviction churn; the degradation
+    * should be a graceful slide to disk instead). The key-column scan
+    * estimate (Catalyst stats: file bytes × projected-width ratio) is
+    * multiplied by 4 — the cached columnar form of a compressed parquet
+    * scan lands several× the on-disk bytes — and compared against
+    * `graft.index.maxStorageFraction` (default 0.5) of the cluster's
+    * storage pool (`getExecutorMemoryStatus`: per-executor caching caps,
+    * summed — the driver in local mode, the executor fleet on a cluster).
+    * Past the threshold the persists downgrade to DISK_ONLY: every later
+    * extraction still reuses the built index from local disk (the
+    * reference's own index lives in temp FILES, `src/lazy.frame.c:252-298`
+    * — DISK_ONLY is the faithful analogue, memory is the bonus tier).
+    * `graft.index.storageLevel` overrides explicitly (any StorageLevel
+    * name, or NONE to skip persisting and recompute per extraction —
+    * correct by the total-order determinism note on [[keyed]]). */
+  private lazy val indexLevel: Option[org.apache.spark.storage.StorageLevel] = {
+    import org.apache.spark.storage.StorageLevel
+    spark.conf.getOption("graft.index.storageLevel").map(_.trim.toUpperCase) match {
+      case Some("NONE") => None
+      case Some(name)   => Some(StorageLevel.fromString(name))
+      case None =>
+        val frac = spark.conf.getOption("graft.index.maxStorageFraction")
+          .map(_.toDouble).getOrElse(0.5)
+        val keyBytes = source.select(order.map(col): _*)
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        val pool = spark.sparkContext.getExecutorMemoryStatus.values.map(_._1).sum
+        if (keyBytes * 4 > BigInt((pool * frac).toLong)) Some(StorageLevel.DISK_ONLY)
+        else Some(StorageLevel.MEMORY_AND_DISK)
+    }
+  }
+
+  private def maybePersist(df: DataFrame): DataFrame = indexLevel match {
+    case Some(level) =>
+      val p = df.persist(level)
+      persistedFrames.add(p)
+      p
+    case None => df
+  }
+
   /** Sorted order-key rows stamped with (partition id, local position);
     * persisted during the build (dropped once `idx` is materialized).
     * Correctness does not depend on the cache: the in-partition sort under
@@ -41,16 +82,13 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
     * recompute — the persist only avoids re-running the range shuffle. */
   private lazy val keyed: DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    val k = source.select(order.map(col): _*)
+    maybePersist(source.select(order.map(col): _*)
       .repartitionByRange(parts, order.map(col): _*)
       .sortWithinPartitions(order.map(col): _*)
       .select(col("*"), spark_partition_id().as("__pid"),
         // low 33 bits = position within the sorted partition (partitions
         // beyond 2^33 rows would need a wider split)
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)).as("__loc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(k)
-    k
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)).as("__loc")))
   }
 
   /** Per-partition cumulative offsets (the counting job — also materializes
@@ -76,12 +114,10 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
     * analogue of the reference's O(1) newline seek). The intermediate key
     * frame is dropped after this materializes. */
   lazy val idx: DataFrame = {
-    val out = keyed.select(
+    val out = maybePersist(keyed.select(
       order.map(col) :+
-        (element_at(typedlit(offsets), col("__pid") + 1) + col("__loc") + 1L).as(ROW_ID): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (element_at(typedlit(offsets), col("__pid") + 1) + col("__loc") + 1L).as(ROW_ID): _*))
     out.count()
-    persistedFrames.add(out)
     keyed.unpersist()
     out
   }
@@ -570,9 +606,19 @@ object LazyFrame {
       return tmp
     }
     // Verify the commit shape (see doc comment): a nested tmp under dest
-    // would mean rename "succeeded" by moving INTO a recreated dest.
+    // would mean rename "succeeded" by moving INTO a recreated dest. The
+    // nested dir is then the ONLY committed copy of the parsed data
+    // (ADVICE r7) — recover it, never delete-and-throw: move it back out to
+    // the private tmp path and serve that (tmp is already registered for
+    // purge), or failing even that, serve it nested in place with the
+    // enclosing dest registered so the shutdown purge still reclaims it.
     val nested = new Path(destPath, new Path(tmp).getName)
-    if (fs.exists(nested)) fs.delete(nested, true)
+    if (fs.exists(nested)) {
+      if (fs.rename(nested, new Path(tmp)) &&
+          fs.exists(new Path(tmp, "_SUCCESS"))) return tmp
+      registerSkipDir(spark, dest)
+      return nested.toString
+    }
     require(complete, s"skip-cache publish did not commit at $dest")
     skipCacheDirs.remove(tmp)
     registerSkipDir(spark, dest)

@@ -70,8 +70,37 @@ object ParityQueries {
     * equivalent options. Content is pure formula (no RNG), written
     * atomically and only when absent/different so the file's mtime — part
     * of the skip-cache key — stays stable across a Bench run. */
-  private[graft] val csvFixturePath = "/tmp/graft_lf_fixture.csv"
-  private def ensureCsvFixture(): String = {
+  /** Fixture paths are user-scoped under java.io.tmpdir (ADVICE r7: a fixed
+    * world-visible /tmp name can be squatted by another user on a multi-user
+    * host, failing the sticky-bit ATOMIC_MOVE). */
+  private def fixturePath(name: String): String = {
+    val user = sys.props.getOrElse("user.name", "user")
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
+    s"$tmp/graft_${user}_$name"
+  }
+  private[graft] val csvFixturePath = fixturePath("lf_fixture.csv")
+  private[graft] val csvGzFixturePath = fixturePath("lf_fixture.csv.gz")
+  private[graft] val csvLocaleFixturePath = fixturePath("lf_fixture_locale.csv")
+  private[graft] val csvRowNamesFixturePath = fixturePath("lf_fixture_rownames.csv")
+
+  /** Write `bytes` at `path` atomically, only when absent/different, so the
+    * file's mtime — part of the skip-cache key — stays stable across a run. */
+  private def ensureFixtureBytes(path: String, bytes: Array[Byte]): String = {
+    val p = java.nio.file.Paths.get(path)
+    val same = java.nio.file.Files.exists(p) &&
+      java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p), bytes)
+    if (!same) {
+      val tmp = java.nio.file.Files.createTempFile(
+        p.getParent, p.getFileName.toString, ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    path
+  }
+
+  private def csvFixtureContent: String = {
     val sb = new StringBuilder
     sb ++= "# graft csv fixture — skipped line 1\n"
     sb ++= "# skipped line 2\n"
@@ -83,19 +112,40 @@ object ParityQueries {
         else s"n$i"
       sb ++= s"$i,${i / 4.0},$name\n"           // i/4.0: exact binary doubles
     }
-    val bytes = sb.toString.getBytes("UTF-8")
-    val p = java.nio.file.Paths.get(csvFixturePath)
-    val same = java.nio.file.Files.exists(p) &&
-      java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p), bytes)
-    if (!same) {
-      val tmp = java.nio.file.Files.createTempFile(
-        p.getParent, "graft_lf_fixture", ".tmp")
-      java.nio.file.Files.write(tmp, bytes)
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    sb.toString
+  }
+  private def ensureCsvFixture(): String =
+    ensureFixtureBytes(csvFixturePath, csvFixtureContent.getBytes("UTF-8"))
+
+  /** Same content gzipped (Java's GZIPOutputStream writes MTIME=0, so the
+    * bytes are deterministic and the absent/different check holds). */
+  private def ensureCsvGzFixture(): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(csvFixtureContent.getBytes("UTF-8")); gz.close()
+    ensureFixtureBytes(csvGzFixturePath, bos.toByteArray)
+  }
+
+  /** European-locale variant: sep=';', dec=',' (read.table's `dec`) — takes
+    * the string-parse-and-cast path in LazyFrame.csv (dec != '.'). */
+  private def ensureCsvLocaleFixture(): String = {
+    val sb = new StringBuilder
+    sb ++= "id;val;name\n"
+    (1 to 60).foreach { i =>
+      val name = if (i % 7 == 0) "NA" else s"n$i"
+      sb ++= s"$i;${(i / 4.0).toString.replace('.', ',')};$name\n"
     }
-    csvFixturePath
+    ensureFixtureBytes(csvLocaleFixturePath, sb.toString.getBytes("UTF-8"))
+  }
+
+  /** row.names fixture: first column holds row names (`row.names=1`,
+    * `R/lazy.frame.R:53-58`) — excluded from data columns, surfaced as a
+    * trailing `row_names` on extractions (`src/lazy.frame.c:632-636`). */
+  private def ensureCsvRowNamesFixture(): String = {
+    val sb = new StringBuilder
+    sb ++= "rn,id,val\n"
+    (1 to 60).foreach { i => sb ++= s"r$i,$i,${i / 4.0}\n" }
+    ensureFixtureBytes(csvRowNamesFixturePath, sb.toString.getBytes("UTF-8"))
   }
 
   val scatteredIds: Seq[Long] = Seq(5L, 15L, 25L, 999L, 1000L, 4999L, 6000L, 999999999L)
@@ -160,12 +210,70 @@ object ParityQueries {
           .select("id", "val", "name", "row_id")
           .orderBy("row_id")
       },
+      // WHERE mirrors the Spark side's isNotNull guard exactly (ADVICE r7:
+      // a no-op on this fixture, but the two engines must express identical
+      // semantics, not coincidentally-equal results)
       s"""WITH lf AS (
          |  SELECT *, row_number() OVER (ORDER BY id) AS row_id
          |  FROM read_csv('$csvFixturePath', skip=2, header=true, nullstr='NA',
          |    columns={'id': 'BIGINT', 'val': 'DOUBLE', 'name': 'VARCHAR'})
          |)
-         |SELECT id, val, name, row_id FROM lf ORDER BY row_id""".stripMargin),
+         |SELECT id, val, name, row_id FROM lf WHERE id IS NOT NULL ORDER BY row_id""".stripMargin),
+
+    // -- gz open (zlib vtable, src/lazy.frame.c:43-74): the same probe +
+    //    skip + na.strings semantics through a gzip stream on BOTH engines
+    //    (Spark via the Hadoop codec, DuckDB natively by extension) --
+    "lf_csv_gz" -> Q(
+      (s, _) => {
+        val path = ensureCsvGzFixture()
+        LazyFrame.csv(s, path, skip = 2, rowOrder = Seq("id"))
+          .filter(col("id").isNotNull)
+          .select("id", "val", "name", "row_id")
+          .orderBy("row_id")
+      },
+      s"""WITH lf AS (
+         |  SELECT *, row_number() OVER (ORDER BY id) AS row_id
+         |  FROM read_csv('$csvGzFixturePath', skip=2, header=true, nullstr='NA',
+         |    columns={'id': 'BIGINT', 'val': 'DOUBLE', 'name': 'VARCHAR'})
+         |)
+         |SELECT id, val, name, row_id FROM lf WHERE id IS NOT NULL ORDER BY row_id""".stripMargin),
+
+    // -- European locale (read.table dec=',' + sep=';'): exercises the
+    //    string-parse-and-cast path (dec != '.') against DuckDB's native
+    //    decimal_separator --
+    "lf_csv_locale" -> Q(
+      (s, _) => {
+        val path = ensureCsvLocaleFixture()
+        LazyFrame.csv(s, path, sep = ";", dec = ',', rowOrder = Seq("id"))
+          .filter(col("id").isNotNull)
+          .select("id", "val", "name", "row_id")
+          .orderBy("row_id")
+      },
+      s"""WITH lf AS (
+         |  SELECT *, row_number() OVER (ORDER BY id) AS row_id
+         |  FROM read_csv('$csvLocaleFixturePath', delim=';', header=true,
+         |    nullstr='NA', decimal_separator=',',
+         |    columns={'id': 'BIGINT', 'val': 'DOUBLE', 'name': 'VARCHAR'})
+         |)
+         |SELECT id, val, name, row_id FROM lf WHERE id IS NOT NULL ORDER BY row_id""".stripMargin),
+
+    // -- row.names=1 (R/lazy.frame.R:53-58): the designated column leaves
+    //    the data columns (positional addressing shifts past it,
+    //    src/lazy.frame.c:632-636) and surfaces as trailing row_names --
+    "lf_csv_rownames" -> Q(
+      (s, _) => {
+        val path = ensureCsvRowNamesFixture()
+        LazyFrame.csv(s, path, rowOrder = Seq("id"), rowNames = Some(1))
+          .rowsRange(1, 60)
+          .orderBy("row_id")
+      },
+      s"""WITH lf AS (
+         |  SELECT *, row_number() OVER (ORDER BY id) AS row_id
+         |  FROM read_csv('$csvRowNamesFixturePath', header=true, nullstr='NA',
+         |    columns={'rn': 'VARCHAR', 'id': 'BIGINT', 'val': 'DOUBLE'})
+         |)
+         |SELECT id, val, rn AS row_names, row_id FROM lf
+         | WHERE row_id BETWEEN 1 AND 60 ORDER BY row_id""".stripMargin),
 
     // -- dim/nrow/ncol (O(1) after cached count, R/lazy.frame.R:206-209) --
     "lf_dim" -> Q(

@@ -562,20 +562,30 @@ object PipelineQueries {
          |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
 
     // full differential oracle of the hyperplane-LSH pipeline: DuckDB
-    // rebuilds the md5-derived ±1 planes, the 12-bit sign buckets per
-    // table, the bucket-collision candidates, and the exact cosine
+    // rebuilds the md5-derived ±1 planes, the adaptive-width sign buckets
+    // per table, the bucket-collision candidates, and the exact cosine
     // verification. (Recall vs the exact pair set is a property of the
     // parameters, measured in SimilaritySpec; this row checks that the
     // ALGORITHM computes identically on both engines.)
+    // The registered row runs the AUTO width (VERDICT r7 #2): bits =
+    // clamp(8, ceil(log2(n))+1, 28) derived from the corpus count at call
+    // time, so the 64× ladder rung hashes 18-bit buckets instead of
+    // overflowing 12-bit ones. The oracle derives the SAME width from the
+    // same count with integer bit-length arithmetic (`bw` CTE) — the scale
+    // configuration is itself oracle-checked at every sf.
     "q_ann_lsh" -> Q(
-      (s, d) => Similarity.lshCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+      (s, d) => Similarity.lshCosinePairsAuto(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
         .orderBy("va", "vb"),
-      s"""WITH planes AS (
+      s"""WITH bw AS (
+         |  SELECT greatest(8, least(28,
+         |    length(bin(greatest(count(*), 2) - 1)) + 1)) AS bits
+         |  FROM embeddings),
+         |planes AS (
          |  SELECT t.t, j.j, i.i,
          |    CASE WHEN (('0x' || substr(md5(t.t::VARCHAR || '_' || j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::BIGINT & 1) = 1
          |         THEN 1.0 ELSE -1.0 END AS s
          |  FROM (SELECT unnest(range(0, 8)) AS t) t
-         |  CROSS JOIN (SELECT unnest(range(0, 12)) AS j) j
+         |  CROSS JOIN (SELECT unnest(range(0, (SELECT bits FROM bw))) AS j) j
          |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
          |dots AS (
          |  SELECT e.vec_id, p.t, p.j, sum(p.s * e.embedding[p.i + 1]) AS dot
