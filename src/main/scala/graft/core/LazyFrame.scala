@@ -107,16 +107,33 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
 
   def nrow: Long = offsetsAndTotal._2
 
-  /** The index frame: (orderKeys..., row_id), 1-based rank under the total
-    * order. `row_id` is MATERIALIZED into the persisted cache so Spark's
-    * per-batch min/max statistics prune cached batches for row-id range
-    * predicates (rowsRange/head/tail touch ~one batch — the distributed
-    * analogue of the reference's O(1) newline seek). The intermediate key
-    * frame is dropped after this materializes. */
+  /** The index frame: (orderKeys..., __ik_h, row_id), 1-based rank under the
+    * total order, persisted HASH-PARTITIONED on [[LazyFrame.IDX_HASH]] — a
+    * packed 8-byte xxhash64 of the order columns that serves as the
+    * extraction join's single equi-key (exactness comes from a null-safe
+    * residual on the real columns, so hash collisions and null patterns
+    * cannot mis-attach row ids).
+    *
+    * Partitioning by the JOIN key at build time is the load-bearing scale
+    * decision: the cached partitioning satisfies every extraction join's
+    * distribution requirement, so the index side never re-shuffles — only
+    * the (filtered) scan side moves per query. The previous shape joined
+    * null-safely on the raw 5-column key, which planned as a 10-expression
+    * `coalesce/isnull` hash exchange + sort of the ENTIRE index on EVERY
+    * extraction — measured at 64× (38.4 M rows): 80–300 s per query, the
+    * dominant term of the single-node "x64 cliff" (SCALE.md). The cost of
+    * this shape: cached batches are no longer row_id-clustered, so
+    * rowsRange/head/tail scan the (narrow) whole cache instead of pruning
+    * to ~one batch — O(index) instead of O(1), acceptable against the
+    * per-query O(table-shuffle) it removes. The intermediate key frame is
+    * dropped after this materializes. */
   lazy val idx: DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
     val out = maybePersist(keyed.select(
-      order.map(col) :+
-        (element_at(typedlit(offsets), col("__pid") + 1) + col("__loc") + 1L).as(ROW_ID): _*))
+      order.map(col) ++ Seq(
+        xxhash64(order.map(col): _*).as(LazyFrame.IDX_HASH),
+        (element_at(typedlit(offsets), col("__pid") + 1) + col("__loc") + 1L).as(ROW_ID)): _*)
+      .repartition(parts, col(LazyFrame.IDX_HASH)))
     out.count()
     keyed.unpersist()
     out
@@ -210,16 +227,34 @@ final class LazyFrame private (
     * total order — they sort first), so extraction must not drop it the
     * way a plain equi-join would. */
   private def idxSide: DataFrame = {
-    val renamed = index.idx.toDF(rowOrder.map(c => s"__ik_$c") :+ ROW_ID: _*)
-    if (index.nrow <= LazyFrame.BroadcastIndexMaxRows) broadcast(renamed) else renamed
+    val renamed = index.idx.toDF(
+      rowOrder.map(c => s"__ik_$c") ++ Seq(LazyFrame.IDX_HASH, ROW_ID): _*)
+    val threshold = src.sparkSession.conf.getOption("graft.index.broadcastMaxRows")
+      .map(_.toLong).getOrElse(LazyFrame.BroadcastIndexMaxRows)
+    if (index.nrow <= threshold) broadcast(renamed) else renamed
   }
 
-  /** Null-safe equi-join of a frame carrying the order-key columns against
-    * the (renamed) index side; EqualNullSafe keys still hash-join. */
+  /** Extraction join against the (renamed) index side: single packed
+    * equi-key — xxhash64 over the order columns, matching the hash the
+    * index materialized at build — plus the null-safe per-column equality
+    * as an exact residual. The leading EqualTo key aligns with the index
+    * cache's hash-partitioning, so EnsureRequirements co-partitions on it
+    * and only the base side exchanges (the residual <=> keys keep the join
+    * exact under hash collisions and NULL order-key values — a row with an
+    * NA in a key column still owns its line number, and both sides hash
+    * nulls identically so it still MEETS its index row). */
   private def joinIndex(base: DataFrame): DataFrame = {
     val idx = idxSide
-    val cond = rowOrder.map(c => base(c) <=> idx(s"__ik_$c")).reduce(_ && _)
-    base.join(idx, cond)
+    val cond = (xxhash64(rowOrder.map(base(_)): _*) === idx(LazyFrame.IDX_HASH)) &&
+      rowOrder.map(c => base(c) <=> idx(s"__ik_$c")).reduce(_ && _)
+    // SHUFFLE_HASH on the base side: plan a shuffled hash join BUILDING on
+    // the (filtered) scan rows, so the cached index side just STREAMS — no
+    // per-query sort of the whole index, which is what a sort-merge join
+    // would pay on every extraction (the 11-expression sort of the full
+    // index measured 10s of seconds per query at 64×). When the index is
+    // small enough to broadcast, the explicit broadcast() on the idx side
+    // takes priority and plans the usual broadcast hash join.
+    base.hint("shuffle_hash").join(idx, cond)
   }
 
   /** The frame with its pinned 1-based `row_id`: FileScan ⋈ index on the
@@ -388,6 +423,11 @@ final class LazyFrame private (
 
 object LazyFrame {
   val ROW_ID = "row_id"
+
+  /** Internal packed join-key column of the row-id index: xxhash64 over the
+    * order columns, materialized and hash-partitioned at build (see
+    * [[RowIndex.idx]]). Never surfaced on extractions. */
+  private[core] val IDX_HASH = "__ik_h"
 
   /** Index rows up to which the extraction join broadcasts the index. */
   val BroadcastIndexMaxRows: Long = 8L * 1000 * 1000
@@ -686,6 +726,19 @@ object LazyFrame {
   def fromDataFrame(df: DataFrame, rowOrder: Seq[String]): LazyFrame = {
     require(rowOrder.nonEmpty, "a LazyFrame needs a pinned total row order")
     require(rowOrder.forall(df.columns.contains), "rowOrder must name existing columns")
+    // The extraction join's leading equi-key is the packed [[IDX_HASH]] the
+    // index cache is hash-partitioned on; the null-safe per-column residual
+    // keys are ALSO extracted as equi-join keys by Catalyst. With Spark's
+    // default `requireAllClusterKeysForCoPartition=true` the planner then
+    // demands a partitioning on ALL keys and re-exchanges the entire cached
+    // index on EVERY extraction (measured: the dominant term at 64× —
+    // SCALE.md). Relaxing it lets a side partitioned on a SUBSET of the
+    // join keys (our hash) satisfy the clustering — correct here and in
+    // general (equality on all keys implies equality on the subset), it is
+    // the same knob storage-partitioned/bucketed joins rely on, and it only
+    // ever REMOVES exchanges. Set at open so any session using LazyFrames
+    // gets the co-partitioned plan without ceremony.
+    df.sparkSession.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     new LazyFrame(df, rowOrder, df.columns.toSeq, Map.empty, new RowIndex(df, rowOrder))
   }
 

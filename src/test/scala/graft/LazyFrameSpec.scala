@@ -305,6 +305,37 @@ class LazyFrameSpec extends SparkSpec {
     assert(stats.contains("mean") && stats.contains("max"))
   }
 
+  test("index persist guard: tiny storage fraction downgrades to DISK_ONLY; NONE skips; results unchanged") {
+    import scala.jdk.CollectionConverters._
+    def persistedLevels(before: Set[Int]) =
+      spark.sparkContext.getPersistentRDDs.filterNot(kv => before(kv._1))
+        .values.map(_.getStorageLevel).toSeq
+    def snapshot() = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val key = graft.operators.ParityQueries.rowOrderKey
+    val expect = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", key)
+      .head(5).collect().map(_.toSeq).toSeq
+    try {
+      // force the heap-proportional branch below any real estimate
+      spark.conf.set("graft.index.maxStorageFraction", "1e-12")
+      val before = snapshot()
+      val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", key).cached()
+      val levels = persistedLevels(before)
+      assert(levels.nonEmpty && levels.forall(l => l.useDisk && !l.useMemory),
+        s"expected DISK_ONLY persists, got $levels")
+      assert(lf.head(5).collect().map(_.toSeq).toSeq == expect)
+      lf.reopen() // drop the persists again
+      // explicit override beats the estimate
+      spark.conf.set("graft.index.storageLevel", "NONE")
+      val before2 = snapshot()
+      val lf2 = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", key).cached()
+      assert(persistedLevels(before2).isEmpty, "NONE must not persist")
+      assert(lf2.head(5).collect().map(_.toSeq).toSeq == expect)
+    } finally {
+      spark.conf.unset("graft.index.maxStorageFraction")
+      spark.conf.unset("graft.index.storageLevel")
+    }
+  }
+
   test("CsvProbe type inference and merging") {
     assert(CsvProbe.inferType("42") == LongType)
     assert(CsvProbe.inferType("4.5") == DoubleType)

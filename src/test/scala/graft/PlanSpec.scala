@@ -144,4 +144,37 @@ class PlanSpec extends SparkSpec {
       s"which() predicate not pushed:\n$plan")
     assert(which.columns.toSeq == Seq("row_id"))
   }
+
+  test("lf extraction at scale: hash join builds on scan rows; cached index never re-exchanges") {
+    // Past the broadcast threshold the extraction must plan as a shuffled
+    // hash join whose ONLY runtime exchange is the (filtered) scan side,
+    // keyed by the packed xxhash64 — the index side streams straight from
+    // its hash-partitioned cache with no Exchange and no Sort. The r1-r7
+    // shape (null-safe 10-expression SMJ) re-exchanged and re-sorted the
+    // ENTIRE index on every query: 80-300 s per extraction at 64x
+    // (SCALE.md). Threshold forced to 0 so the sf0.001 frame exercises the
+    // at-scale branch.
+    try {
+      spark.conf.set("graft.index.broadcastMaxRows", "0")
+      val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", ParityQueries.rowOrderKey)
+        .cached()
+      val df = lf.filter(col("l_returnflag") === "R")
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$plan")
+      assert(plan.contains("InMemoryTableScan"), s"expected cached index scan:\n$plan")
+      // Only the RUNTIME portion of the plan is constrained — everything
+      // above the first InMemoryRelation; the printed cached-build plan
+      // legitimately contains its one-time range exchange and sort.
+      val runtime = plan.linesIterator.takeWhile(!_.contains("InMemoryRelation")).toSeq
+      // exactly one planner-inserted exchange (the scan side, on the packed
+      // hash); the index side's only exchange is the build-time
+      // REPARTITION_BY_NUM inside the cached plan
+      val ensured = runtime.filter(_.contains("ENSURE_REQUIREMENTS"))
+      assert(ensured.size == 1 && ensured.head.contains("xxhash64"),
+        s"index side must not re-exchange:\n$plan")
+      assert(!runtime.exists(l => l.contains("- Sort ")),
+        s"shuffled hash join must not sort either side:\n$plan")
+    } finally spark.conf.unset("graft.index.broadcastMaxRows")
+  }
 }

@@ -37,6 +37,33 @@ class SimilaritySpec extends SparkSpec {
     assert(want.subsetOf(found), s"missing planted duplicates: ${want.diff(found)}")
   }
 
+  test("adaptiveBits: integer ceil-log2 with floor/cap, stable at power-of-two boundaries") {
+    import Similarity.{adaptiveBits, ceilLog2}
+    // bit-length arithmetic, never floating log2: the DuckDB oracle derives
+    // the same width via length(bin(greatest(n,2)-1)) and the two must
+    // agree at EXACT powers of two where fp log2 rounds one-off
+    assert(ceilLog2(2) == 1 && ceilLog2(3) == 2 && ceilLog2(4) == 2)
+    assert(ceilLog2(5) == 3 && ceilLog2(2000) == 11)
+    assert(ceilLog2(4096) == 12 && ceilLog2(4097) == 13)
+    assert(ceilLog2(128000) == 17)
+    assert(adaptiveBits(0) == 8 && adaptiveBits(200) == 9)
+    // sf0.1 corpus (2k vectors) derives the width r1-r7 registered fixed
+    assert(adaptiveBits(2000) == 12)
+    assert(adaptiveBits(4096) == 13)            // boundary: 12+1, not 13+1
+    assert(adaptiveBits(128000) == 18)          // the 64x ladder rung
+    assert(adaptiveBits(Long.MaxValue) == 28)   // int-bucket cap
+  }
+
+  test("lshCosinePairsAuto ≡ fixed-width construction at the derived width") {
+    val emb = Tables.embeddings(spark, sf0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = pairs(Similarity.lshCosinePairsAuto(emb, "vec_id", "embedding", 0.4))
+    val fixed = pairs(Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.4,
+      bits = Similarity.adaptiveBits(emb.count())))
+    assert(auto == fixed)
+  }
+
   test("q_ann_lsh_recall: measured LSH recall meets the analytic expectation") {
     // the registered query plants 64 near-dup pairs at cos ≈ 0.88 and
     // reports, per exact pair, whether LSH found it plus the analytic
