@@ -177,8 +177,11 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
   * reference's 8 B/line newline index. Every extraction then reads the
   * TABLE through a plain FileScan, so data-column predicates and column
   * pruning reach the parquet reader (`PushedFilters` / `ReadSchema`), and
-  * joins back to the index on the order key: broadcast while the index is
-  * small, sort-merge at cluster scale. Row ids stay correct under pushdown
+  * joins back to the index: broadcast while the index is small; beyond
+  * that a SHUFFLE_HASH join on the packed [[LazyFrame.IDX_HASH]] key that
+  * builds on the filtered scan rows while the index STREAMS from its
+  * hash-partitioned cache — no per-query index exchange or sort (the r8
+  * redesign; SCALE.md "Round 8"). Row ids stay correct under pushdown
   * because each id is a function of the row's own key, not of which other
   * rows survived the filter.
   *
