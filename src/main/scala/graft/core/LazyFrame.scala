@@ -59,7 +59,7 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
       case None =>
         val frac = spark.conf.getOption("graft.index.maxStorageFraction")
           .map(_.toDouble).getOrElse(0.5)
-        val keyBytes = source.select(order.map(col): _*)
+        val keyBytes = source.select(order.map(LazyFrame.qcol): _*)
           .queryExecution.optimizedPlan.stats.sizeInBytes
         val pool = spark.sparkContext.getExecutorMemoryStatus.values.map(_._1).sum
         if (keyBytes * 4 > BigInt((pool * frac).toLong)) Some(StorageLevel.DISK_ONLY)
@@ -82,9 +82,9 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
     * recompute — the persist only avoids re-running the range shuffle. */
   private lazy val keyed: DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    maybePersist(source.select(order.map(col): _*)
-      .repartitionByRange(parts, order.map(col): _*)
-      .sortWithinPartitions(order.map(col): _*)
+    maybePersist(source.select(order.map(LazyFrame.qcol): _*)
+      .repartitionByRange(parts, order.map(LazyFrame.qcol): _*)
+      .sortWithinPartitions(order.map(LazyFrame.qcol): _*)
       .select(col("*"), spark_partition_id().as("__pid"),
         // low 33 bits = position within the sorted partition (partitions
         // beyond 2^33 rows would need a wider split)
@@ -130,8 +130,8 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
   lazy val idx: DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
     val out = maybePersist(keyed.select(
-      order.map(col) ++ Seq(
-        xxhash64(order.map(col): _*).as(LazyFrame.IDX_HASH),
+      order.map(LazyFrame.qcol) ++ Seq(
+        xxhash64(order.map(LazyFrame.qcol): _*).as(LazyFrame.IDX_HASH),
         (element_at(typedlit(offsets), col("__pid") + 1) + col("__loc") + 1L).as(ROW_ID)): _*)
       .repartition(parts, col(LazyFrame.IDX_HASH)))
     out.count()
@@ -200,7 +200,7 @@ final class LazyFrame private (
   import LazyFrame.ROW_ID
 
   /** The visible-column frame (no row ids — pure pushdown scan). */
-  def df: DataFrame = src.select(visible.map(col): _*)
+  def df: DataFrame = src.select(visible.map(LazyFrame.qcol): _*)
 
   /** The designated row-names source column, if one was given at open
     * (`row.names=j`, `R/lazy.frame.R:53-58`). It is excluded from the data
@@ -211,7 +211,7 @@ final class LazyFrame private (
 
   /** Extraction output columns: visible data + optional row_names. */
   private def outCols: Seq[Column] =
-    visible.map(col) ++ rowNamesCol.map(c => col(c).as("row_names")).toSeq
+    visible.map(LazyFrame.qcol) ++ rowNamesCol.map(c => LazyFrame.qcol(c).as("row_names")).toSeq
 
   /** O(1) after the index is built (the counting job caches the total),
     * like the reference's construction-time `dim` capture
@@ -248,8 +248,9 @@ final class LazyFrame private (
     * nulls identically so it still MEETS its index row). */
   private def joinIndex(base: DataFrame): DataFrame = {
     val idx = idxSide
-    val cond = (xxhash64(rowOrder.map(base(_)): _*) === idx(LazyFrame.IDX_HASH)) &&
-      rowOrder.map(c => base(c) <=> idx(s"__ik_$c")).reduce(_ && _)
+    def bq(n: String) = "`" + n.replace("`", "``") + "`"
+    val cond = (xxhash64(rowOrder.map(c => base(bq(c))): _*) === idx(LazyFrame.IDX_HASH)) &&
+      rowOrder.map(c => base(bq(c)) <=> idx(bq(s"__ik_$c"))).reduce(_ && _)
     // SHUFFLE_HASH on the base side: plan a shuffled hash join BUILDING on
     // the (filtered) scan rows, so the cached index side just STREAMS — no
     // per-query sort of the whole index, which is what a sort-merge join
@@ -299,7 +300,7 @@ final class LazyFrame private (
     val keep = names.filter(visible.contains)
     val internal = src.columns.filter(c =>
       keep.contains(c) || rowOrder.contains(c) || rowNamesCol.contains(c)).toSeq
-    new LazyFrame(src.select(internal.map(col): _*), rowOrder, keep, attrs, index, rowNamesCol)
+    new LazyFrame(src.select(internal.map(LazyFrame.qcol): _*), rowOrder, keep, attrs, index, rowNamesCol)
   }
 
   /** Column projection by 1-based position (reference columns are 1-based). */
@@ -375,7 +376,7 @@ final class LazyFrame private (
     // name (e.g. swapping two columns) would collide mid-fold and rename
     // both; aliasing every column in a single projection cannot
     val renamedSrc = src.select(src.columns.toSeq.map(c =>
-      col(c).as(mapping.getOrElse(c, c))): _*)
+      LazyFrame.qcol(c).as(mapping.getOrElse(c, c))): _*)
     val order = rowOrder.map(o => mapping.getOrElse(o, o))
     // renaming an order-key column invalidates the shared index's key names;
     // rebuild lazily against the renamed source
@@ -417,8 +418,8 @@ final class LazyFrame private (
         val value =
           if (meta.contains("levels") && acc.schema(name).dataType == StringType) {
             val levels = meta.getStringArray("levels").toSeq
-            when(col(name).isin(levels: _*), col(name)).otherwise(lit(null))
-          } else col(name)
+            when(LazyFrame.qcol(name).isin(levels: _*), LazyFrame.qcol(name)).otherwise(lit(null))
+          } else LazyFrame.qcol(name)
         acc.withColumn(name, value.as(name, meta))
       }
     }
@@ -426,6 +427,14 @@ final class LazyFrame private (
 
 object LazyFrame {
   val ROW_ID = "row_id"
+
+  /** Internal by-name column reference, backtick-quoted: `make.names`
+    * produces DOTTED column names by design (`R/lazy.frame.R:110-113`) and
+    * a bare `col("Doc.Id")` parses the dot as struct-field access (found by
+    * the `lf_rename` oracle row). Backticks in a name are escaped by
+    * doubling, per the SQL parser's rule. */
+  private[core] def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
 
   /** Internal packed join-key column of the row-id index: xxhash64 over the
     * order columns, materialized and hash-partitioned at build (see
@@ -501,8 +510,8 @@ object LazyFrame {
       if (!customParse) raw
       else raw.select(finalSchema.map { f =>
         val denulled =
-          if (naStrings.isEmpty) col(f.name)
-          else when(col(f.name).isin(naStrings: _*), lit(null)).otherwise(col(f.name))
+          if (naStrings.isEmpty) qcol(f.name)
+          else when(qcol(f.name).isin(naStrings: _*), lit(null)).otherwise(qcol(f.name))
         val decFixed = f.dataType match {
           case DoubleType | FloatType if dec != '.' =>
             regexp_replace(denulled, java.util.regex.Pattern.quote(dec.toString), ".")

@@ -275,6 +275,49 @@ object ParityQueries {
          |SELECT id, val, rn AS row_names, row_id FROM lf
          | WHERE row_id BETWEEN 1 AND 60 ORDER BY row_id""".stripMargin),
 
+    // -- column_attr APPLICATION (R/lazy.frame.R:167-178, man/column_attr
+    //    .Rd:43-64): pinned factor levels recode out-of-level values to NA
+    //    on every extraction, replayed by the oracle as CASE-IN --
+    "lf_column_attr" -> Q(
+      (s, _) => {
+        val path = ensureCsvFixture()
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("levels", Array("n1", "n2", "n3", "n4")).build()
+        LazyFrame.csv(s, path, skip = 2, rowOrder = Seq("id"))
+          .withColumnAttr("name", meta)
+          .filter(col("id").isNotNull)
+          .select("id", "name", "row_id")
+          .orderBy("row_id")
+      },
+      s"""WITH lf AS (
+         |  SELECT *, row_number() OVER (ORDER BY id) AS row_id
+         |  FROM read_csv('$csvFixturePath', skip=2, header=true, nullstr='NA',
+         |    columns={'id': 'BIGINT', 'val': 'DOUBLE', 'name': 'VARCHAR'})
+         |)
+         |SELECT id,
+         |  CASE WHEN name IN ('n1','n2','n3','n4') THEN name END AS name,
+         |  row_id
+         |FROM lf WHERE id IS NOT NULL ORDER BY row_id""".stripMargin),
+
+    // -- dimnames set with make.names sanitization (R/lazy.frame.R:110-113):
+    //    invalid chars become '.', numbering survives the rename because the
+    //    shared index rebuilds against the renamed order key --
+    "lf_rename" -> Q(
+      (s, _) => {
+        val path = ensureCsvFixture()
+        LazyFrame.csv(s, path, skip = 2, rowOrder = Seq("id"))
+          .renameColumns(Seq("Doc Id", "the val", "name"))
+          .rowsRange(1, 60)
+          .orderBy("row_id")
+      },
+      s"""WITH lf AS (
+         |  SELECT *, row_number() OVER (ORDER BY id) AS row_id
+         |  FROM read_csv('$csvFixturePath', skip=2, header=true, nullstr='NA',
+         |    columns={'id': 'BIGINT', 'val': 'DOUBLE', 'name': 'VARCHAR'})
+         |)
+         |SELECT id AS "Doc.Id", val AS "the.val", name, row_id
+         |FROM lf WHERE row_id BETWEEN 1 AND 60 ORDER BY row_id""".stripMargin),
+
     // -- dim/nrow/ncol (O(1) after cached count, R/lazy.frame.R:206-209) --
     "lf_dim" -> Q(
       (s, d) => {
