@@ -441,8 +441,16 @@ object LazyFrame {
     * [[RowIndex.idx]]). Never surfaced on extractions. */
   private[core] val IDX_HASH = "__ik_h"
 
-  /** Index rows up to which the extraction join broadcasts the index. */
-  val BroadcastIndexMaxRows: Long = 8L * 1000 * 1000
+  /** Index rows up to which the extraction join broadcasts the index.
+    * Deliberately SMALL since the r8 co-partitioned redesign: a broadcast
+    * is re-collected and re-shipped on EVERY extraction (no cross-query
+    * exchange reuse), while the SHUFFLE_HASH path streams the
+    * hash-partitioned cache — measured crossover ≈ 300-500 k rows on
+    * local[32] (600 k: 0.80 s broadcast vs 0.35 s SHJ; 2.4 M: 2.05 vs
+    * 0.38 — `tools/bcast_crossover_probe.scala`), and a cluster only adds
+    * per-executor ship cost to the broadcast side. Override per session
+    * via `graft.index.broadcastMaxRows`. */
+  val BroadcastIndexMaxRows: Long = 250L * 1000
 
   /** Open a parquet table with a pinned row order (schema comes free from
     * the footer — the moral equivalent of the reference's sampled probe). */
