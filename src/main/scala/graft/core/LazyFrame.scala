@@ -221,11 +221,12 @@ final class LazyFrame private (
   def dim: (Long, Int) = (nrow, ncol)
   def columns: Seq[String] = visible
 
-  /** Index side of an extraction join: broadcast while small (row count is
-    * already known from the index build — no extra job), shuffle join at
-    * scale. 8M rows ≈ low hundreds of MB of key+id — past that a broadcast
-    * stops being free on a real cluster. Key columns are renamed so the
-    * join condition can be written NULL-SAFE: a row with an NA in an
+  /** Index side of an extraction join: broadcast only while TINY (row count
+    * is already known from the index build — no extra job; see
+    * [[LazyFrame.BroadcastIndexMaxRows]] for why the threshold is small: a
+    * broadcast is re-collected per query, the co-partitioned cache is not),
+    * the streamed hash-partitioned cache at scale. Key columns are renamed
+    * so the join condition can be written NULL-SAFE: a row with an NA in an
     * order-key column still owns its line number (nulls participate in the
     * total order — they sort first), so extraction must not drop it the
     * way a plain equi-join would. */
