@@ -148,6 +148,21 @@ object ParityQueries {
     ensureFixtureBytes(csvRowNamesFixturePath, sb.toString.getBytes("UTF-8"))
   }
 
+  /** JSONL fixture for the end-to-end `sources.Jsonl` oracle row: every 7th
+    * object omits `score` (absent key → null on both engines). Malformed
+    * lines are deliberately NOT here — Spark PERMISSIVE yields a null row
+    * while DuckDB `ignore_errors` SKIPS the object, an engine-semantics
+    * divergence that stays unit-tested (JsonlSpec), not oracled. */
+  private[graft] val jsonlFixturePath = fixturePath("lf_fixture.jsonl")
+  private def ensureJsonlFixture(): String = {
+    val sb = new StringBuilder
+    (1 to 50).foreach { i =>
+      val score = if (i % 7 == 0) "" else s""", "score": ${i / 4.0}"""
+      sb ++= s"""{"id": $i$score, "tag": "t$i"}\n"""
+    }
+    ensureFixtureBytes(jsonlFixturePath, sb.toString.getBytes("UTF-8"))
+  }
+
   val scatteredIds: Seq[Long] = Seq(5L, 15L, 25L, 999L, 1000L, 4999L, 6000L, 999999999L)
 
   val all: Map[String, Q] = Map(
@@ -274,6 +289,25 @@ object ParityQueries {
          |)
          |SELECT id, val, rn AS row_names, row_id FROM lf
          | WHERE row_id BETWEEN 1 AND 60 ORDER BY row_id""".stripMargin),
+
+    // -- JSONL open (sources.Jsonl — the training-corpus interchange
+    //    format, LazyFrame contract: ≤5-line driver probe, pinned schema,
+    //    row addressing) vs DuckDB read_json on the SAME file --
+    "lf_jsonl_open" -> Q(
+      (s, _) => {
+        val path = ensureJsonlFixture()
+        graft.sources.Jsonl.open(s, path, rowOrder = Seq("id"))
+          .filter(col("id").isNotNull)
+          .select("id", "score", "tag", "row_id")
+          .orderBy("row_id")
+      },
+      s"""WITH lf AS (
+         |  SELECT *, row_number() OVER (ORDER BY id) AS row_id
+         |  FROM read_json('$jsonlFixturePath', format='newline_delimited',
+         |    columns={'id': 'BIGINT', 'score': 'DOUBLE', 'tag': 'VARCHAR'})
+         |)
+         |SELECT id, score, tag, row_id FROM lf WHERE id IS NOT NULL
+         |ORDER BY row_id""".stripMargin),
 
     // -- column_attr APPLICATION (R/lazy.frame.R:167-178, man/column_attr
     //    .Rd:43-64): pinned factor levels recode out-of-level values to NA
