@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the process's LAST stdout line as JSON.
+// Two sbt behaviors used to break that: forked-run output was routed
+// through the logger (prefixing every line with "[info] "), and sbt
+// appended "[success] Total time: …" as the true final line. Pass the
+// forked JVM's stdout through raw, and drop the success trailer, so the
+// summary JSON printed by graft.Bench/graft.Verify is genuinely the last
+// line of the process's stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// exclude it from the unused-key lint so the warning can't land in stdout.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,9 +38,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Default pinned at 48g (host has 128 GiB): the official r7 bench ran
-  // with a small default heap while the scale ladder used 48g, making the
-  // two incomparable. -Xmx is a ceiling, not an upfront allocation, so
-  // tests and small runs are unaffected. SPARK_DRIVER_MEM still overrides.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Hard-pinned at 48g (host has 128 GiB): the official r7 bench ran with
+  // a small default heap and the official r8 run inherited an 89 GB env
+  // override, so no two rounds were same-heap comparable. -Xmx is a
+  // ceiling, not an upfront allocation, so tests and small runs are
+  // unaffected. Deliberately NOT env-overridable: every artifact (official
+  // bench, ladder rung, local retake) must measure the same configuration.
+  "-Xmx48g",
+  // ParallelGC over the JDK-17 default G1 for all forked runs: SCALE.md
+  // measured G1 young-gen shrinkage under 32-thread allocation bursts
+  // doubling the x64 index build (18.6–195 s bimodal); ParallelGC holds a
+  // stable young gen and halved it. Throughput GC is the right default for
+  // a batch engine — there are no latency SLOs in a bench/test JVM.
+  "-XX:+UseParallelGC",
 )
