@@ -61,8 +61,16 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
           .map(_.toDouble).getOrElse(0.5)
         val keyBytes = source.select(order.map(LazyFrame.qcol): _*)
           .queryExecution.optimizedPlan.stats.sizeInBytes
+        // Plans with no file lineage (fromDataFrame over an in-memory or
+        // derived frame) carry no real stats: sizeInBytes is then the
+        // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue by default),
+        // which would silently force DISK_ONLY for indexes that fit in
+        // memory. Unknown size ≠ huge size — fall through to
+        // MEMORY_AND_DISK, whose per-block spill already degrades
+        // gracefully if the guess is wrong (ADVICE r8).
+        val unknown = keyBytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)
         val pool = spark.sparkContext.getExecutorMemoryStatus.values.map(_._1).sum
-        if (keyBytes * 4 > BigInt((pool * frac).toLong)) Some(StorageLevel.DISK_ONLY)
+        if (!unknown && keyBytes * 4 > BigInt((pool * frac).toLong)) Some(StorageLevel.DISK_ONLY)
         else Some(StorageLevel.MEMORY_AND_DISK)
     }
   }
@@ -247,7 +255,7 @@ final class LazyFrame private (
     * exact under hash collisions and NULL order-key values — a row with an
     * NA in a key column still owns its line number, and both sides hash
     * nulls identically so it still MEETS its index row). */
-  private def joinIndex(base: DataFrame): DataFrame = {
+  private def joinIndex(base: DataFrame, filtered: Boolean = true): DataFrame = {
     val idx = idxSide
     def bq(n: String) = "`" + n.replace("`", "``") + "`"
     val cond = (xxhash64(rowOrder.map(c => base(bq(c))): _*) === idx(LazyFrame.IDX_HASH)) &&
@@ -259,14 +267,31 @@ final class LazyFrame private (
     // index measured 10s of seconds per query at 64×). When the index is
     // small enough to broadcast, the explicit broadcast() on the idx side
     // takes priority and plans the usual broadcast hash join.
-    base.hint("shuffle_hash").join(idx, cond)
+    //
+    // UNFILTERED extractions (withRowId/rowsRange/head/tail) build on the
+    // WHOLE table, and a ShuffledHashJoin's build-side HashedRelation can
+    // exceed executor memory on wide rows at 100 TB where sort-merge would
+    // spill and complete (ADVICE r8). `graft.extract.unfilteredJoin`
+    // selects the hint for that path: "shuffle_hash" (default — right up
+    // to very wide rows; row-addressed ops prune via the row_id projection
+    // first anyway), "merge" (sort-merge: per-partition spillable sort),
+    // or "none" (let the planner choose).
+    val hinted =
+      if (filtered) base.hint("shuffle_hash")
+      else src.sparkSession.conf.getOption("graft.extract.unfilteredJoin")
+        .getOrElse("shuffle_hash") match {
+          case "merge" => base.hint("merge")
+          case "none"  => base
+          case _       => base.hint("shuffle_hash")
+        }
+    hinted.join(idx, cond)
   }
 
   /** The frame with its pinned 1-based `row_id`: FileScan ⋈ index on the
     * order key. Filters composed on top push to the scan side (data
     * predicates) or the index side (row-id predicates). */
   lazy val withRowId: DataFrame =
-    joinIndex(src).select((outCols :+ col(ROW_ID)): _*)
+    joinIndex(src, filtered = false).select((outCols :+ col(ROW_ID)): _*)
 
   /** Force-build the row-id index (the reference builds its newline index
     * at open and reuses it for every extraction, `R/lazy.frame.R:47-50`).
@@ -468,7 +493,9 @@ object LazyFrame {
     * transparently, like the reference's zlib vtable,
     * `src/lazy.frame.c:43-74`). Schema and header are probed from a ≤5-row
     * sample read on the driver — metadata-only open, no full-file job
-    * (`R/lazy.frame.R:67-84`).
+    * (`R/lazy.frame.R:67-84`). Like every open, sets
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` on the session
+    * (see [[construct]]).
     *
     * @param header Some(true/false) to force; None = auto-detect like the
     *               reference (`R/lazy.frame.R:76-79`)
@@ -602,7 +629,7 @@ object LazyFrame {
     }
     val order = if (rowOrder.nonEmpty) rowOrder else finalSchema.fieldNames.toSeq
     val vis = df.columns.toSeq.filterNot(rowNamesCol.contains)
-    new LazyFrame(df, order, vis, Map.empty, new RowIndex(df, order), rowNamesCol)
+    construct(df, order, vis, Map.empty, rowNamesCol)
   }
 
   /** Per-JVM token embedded in every skip-cache dir name. Scoping the cache
@@ -675,8 +702,17 @@ object LazyFrame {
     // enclosing dest registered so the shutdown purge still reclaims it.
     val nested = new Path(destPath, new Path(tmp).getName)
     if (fs.exists(nested)) {
-      if (fs.rename(nested, new Path(tmp)) &&
-          fs.exists(new Path(tmp, "_SUCCESS"))) return tmp
+      if (fs.rename(nested, new Path(tmp))) {
+        // The copy now lives at tmp; nested is GONE — serving it would hand
+        // the caller a dead path (ADVICE r8). A missing _SUCCESS at tmp
+        // means the parquet commit itself was torn: fail loudly rather than
+        // serve a half-written copy.
+        require(fs.exists(new Path(tmp, "_SUCCESS")),
+          s"skip-cache copy recovered at $tmp is incomplete (no _SUCCESS)")
+        return tmp
+      }
+      // Rename back refused — the data still sits nested under dest; serve
+      // it in place, with the enclosing dest registered for the purge hook.
       registerSkipDir(spark, dest)
       return nested.toString
     }
@@ -744,23 +780,46 @@ object LazyFrame {
     }
   }
 
+  /** Open over an existing DataFrame.
+    *
+    * '''SIDE EFFECT (all open paths)''': opening any LazyFrame sets
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` on the session —
+    * see [[construct]] for why and why it is safe. */
   def fromDataFrame(df: DataFrame, rowOrder: Seq[String]): LazyFrame = {
     require(rowOrder.nonEmpty, "a LazyFrame needs a pinned total row order")
     require(rowOrder.forall(df.columns.contains), "rowOrder must name existing columns")
-    // The extraction join's leading equi-key is the packed [[IDX_HASH]] the
-    // index cache is hash-partitioned on; the null-safe per-column residual
-    // keys are ALSO extracted as equi-join keys by Catalyst. With Spark's
-    // default `requireAllClusterKeysForCoPartition=true` the planner then
-    // demands a partitioning on ALL keys and re-exchanges the entire cached
-    // index on EVERY extraction (measured: the dominant term at 64× —
-    // SCALE.md). Relaxing it lets a side partitioned on a SUBSET of the
-    // join keys (our hash) satisfy the clustering — correct here and in
-    // general (equality on all keys implies equality on the subset), it is
-    // the same knob storage-partitioned/bucketed joins rely on, and it only
-    // ever REMOVES exchanges. Set at open so any session using LazyFrames
-    // gets the co-partitioned plan without ceremony.
+    construct(df, rowOrder, df.columns.toSeq, Map.empty, None)
+  }
+
+  /** THE single construction path — every open (parquet/orc/csv/jsonl/
+    * fromDataFrame) lands here, so the session conf below is set no matter
+    * how the frame was opened (ADVICE r8: csv used to bypass it, making
+    * extraction plans depend on whether a parquet open ran earlier).
+    *
+    * The extraction join's leading equi-key is the packed [[IDX_HASH]] the
+    * index cache is hash-partitioned on; the null-safe per-column residual
+    * keys are ALSO extracted as equi-join keys by Catalyst. With Spark's
+    * default `requireAllClusterKeysForCoPartition=true` the planner then
+    * demands a partitioning on ALL keys and re-exchanges the entire cached
+    * index on EVERY extraction (measured: the dominant term at 64× —
+    * SCALE.md). Relaxing it lets a side partitioned on a SUBSET of the
+    * join keys (our hash) satisfy the clustering — correct here and in
+    * general (equality on all keys implies equality on the subset), it is
+    * the same knob storage-partitioned/bucketed joins rely on, and it only
+    * ever REMOVES exchanges.
+    *
+    * '''This is a session-global, session-lifetime mutation''' — it also
+    * affects other multi-key joins in the user's session (they may keep a
+    * subset-partitioned side in place instead of re-exchanging; semantics
+    * are unchanged, plans may differ). It is surfaced in the public API
+    * docs of every open method; a user who needs Spark's stricter default
+    * can set it back after opening — extractions then pay the per-query
+    * index exchange but stay correct. */
+  private def construct(df: DataFrame, rowOrder: Seq[String],
+      visible: Seq[String], attrs: Map[String, Metadata],
+      rowNamesCol: Option[String]): LazyFrame = {
     df.sparkSession.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    new LazyFrame(df, rowOrder, df.columns.toSeq, Map.empty, new RowIndex(df, rowOrder))
+    new LazyFrame(df, rowOrder, visible, attrs, new RowIndex(df, rowOrder), rowNamesCol)
   }
 
   /** R `make.names` semantics (subset used by the reference's dimnames
