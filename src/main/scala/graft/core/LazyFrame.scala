@@ -130,11 +130,10 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
     * `coalesce/isnull` hash exchange + sort of the ENTIRE index on EVERY
     * extraction — measured at 64× (38.4 M rows): 80–300 s per query, the
     * dominant term of the single-node "x64 cliff" (SCALE.md). The cost of
-    * this shape: cached batches are no longer row_id-clustered, so
-    * rowsRange/head/tail scan the (narrow) whole cache instead of pruning
-    * to ~one batch — O(index) instead of O(1), acceptable against the
-    * per-query O(table-shuffle) it removes. The intermediate key frame is
-    * dropped after this materializes. */
+    * this shape — cached batches are no longer row_id-clustered — is paid
+    * back by [[idxByRow]], the row_id-ordered second projection that
+    * serves head/tail/rowsRange/rowsAt with batch-stat pruning. The
+    * intermediate key frame is dropped after this materializes. */
   lazy val idx: DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
     val out = maybePersist(keyed.select(
@@ -144,6 +143,28 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
       .repartition(parts, col(LazyFrame.IDX_HASH)))
     out.count()
     keyed.unpersist()
+    out
+  }
+
+  /** Row-addressed projection of the index: the SAME rows as [[idx]],
+    * range-partitioned and sorted by row_id. The hash-partitioned [[idx]]
+    * serves extraction joins co-partitioned on the packed key but scatters
+    * row ids across every cached batch, so a row_id predicate (head/tail/
+    * rowsRange/rowsAt) had to scan the whole narrow cache — O(index) per
+    * query, real money at 100 TB (VERDICT r8 #3). Here each cached batch
+    * covers a tight contiguous row_id span, so InMemoryTableScan's
+    * batch-stat pruning (min/max per batch, on by default) skips all but
+    * the addressed batches — the zone-map shape of the reference's O(1)
+    * newline-offset seek (`src/lazy.frame.c:189-216`). Built lazily on the
+    * first row-addressed extraction (one extra shuffle of the narrow index,
+    * off [[idx]]'s cache); costs a second copy of the narrow-index storage
+    * only for frames that actually use row addressing. */
+  lazy val idxByRow: DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val out = maybePersist(idx
+      .repartitionByRange(parts, col(ROW_ID))
+      .sortWithinPartitions(col(ROW_ID)))
+    out.count()
     out
   }
 
@@ -303,17 +324,67 @@ final class LazyFrame private (
 
   // ---- extraction (the reference's `[` — R/lazy.frame.R:126-180) ----
 
+  /** Max addressed rows served by the pruned [[RowIndex.idxByRow]] path
+    * (`graft.extract.rowAddressMaxRows`); larger requests fall back to the
+    * co-partitioned join. The default reuses the broadcast crossover — the
+    * slice is shipped to every executor, so the same economics apply. */
+  private def rowAddressMax: Long =
+    src.sparkSession.conf.getOption("graft.extract.rowAddressMaxRows")
+      .map(_.toLong).getOrElse(LazyFrame.BroadcastIndexMaxRows)
+
+  /** Row-addressed extraction (RANGE/LINES with a bounded id set):
+    *
+    *   1. filter the row_id-ordered index projection — batch-stat pruning
+    *      touches only the cached batches covering the addressed span,
+    *      not the whole index;
+    *   2. prune the TABLE scan with the leading-key bounds implied by the
+    *      slice: row_id is rank under `(k1, k2, …)` ascending, so k1 is
+    *      monotone in row_id and every addressed row's k1 lies in the
+    *      slice's [min, max] — the range pushes into the file scan
+    *      (`PushedFilters`) and prunes row groups, while exactness still
+    *      comes from the join. A null bound (an NA inside the slice's
+    *      leading key) skips the pushdown — conservative, never wrong;
+    *   3. broadcast the slice (bounded by [[rowAddressMax]] by contract)
+    *      so the table side never exchanges.
+    *
+    * Two narrow jobs run eagerly here (the slice bounds agg); the heavy
+    * scan stays lazy in the returned frame. Extraction being eager work
+    * matches the reference, where `[` extracts on the spot. */
+  private def rowAddressed(idPred: Column => Column): DataFrame = {
+    val renamed = index.idxByRow.toDF(
+      rowOrder.map(c => s"__ik_$c") ++ Seq(LazyFrame.IDX_HASH, ROW_ID): _*)
+    val slice = renamed.where(idPred(col(ROW_ID)))
+    val lead = LazyFrame.qcol(s"__ik_${rowOrder.head}")
+    val bounds = slice.agg(min(lead), max(lead)).head()
+    val base =
+      if (bounds.isNullAt(0) || bounds.isNullAt(1)) src
+      else src.where(LazyFrame.qcol(rowOrder.head)
+        .between(lit(bounds.get(0)), lit(bounds.get(1))))
+    def bq(n: String) = "`" + n.replace("`", "``") + "`"
+    val cond = (xxhash64(rowOrder.map(c => base(bq(c))): _*) === slice(LazyFrame.IDX_HASH)) &&
+      rowOrder.map(c => base(bq(c)) <=> slice(bq(s"__ik_$c"))).reduce(_ && _)
+    applyAttrs(base.join(broadcast(slice), cond)
+      .select((outCols :+ col(ROW_ID)): _*))
+  }
+
   /** Contiguous rows lo..hi (1-based, inclusive) — the RANGE path
-    * (`src/lazy.frame.c:189-216`). */
-  def rowsRange(lo: Long, hi: Long): DataFrame =
-    applyAttrs(withRowId.where(col(ROW_ID).between(lo, hi)))
+    * (`src/lazy.frame.c:189-216`). Bounded spans go through the pruned
+    * row-addressed path; unbounded ones through the co-partitioned join. */
+  def rowsRange(lo: Long, hi: Long): DataFrame = {
+    val span = hi - math.max(1L, lo) + 1
+    if (span > 0 && span <= rowAddressMax)
+      rowAddressed(_.between(lo, hi))
+    else applyAttrs(withRowId.where(col(ROW_ID).between(lo, hi)))
+  }
 
   /** Arbitrary row ids — the LINES path (`src/lazy.frame.c:219-245`).
     * Out-of-range ids are silently dropped (`R/lazy.frame.R:146-147`);
     * non-positive ids are rejected (`R/lazy.frame.R:145`). */
   def rowsAt(ids: Seq[Long]): DataFrame = {
     require(ids.forall(_ > 0), "only positive row indices are supported")
-    applyAttrs(withRowId.where(col(ROW_ID).isin(ids: _*)))
+    if (ids.nonEmpty && ids.size <= rowAddressMax)
+      rowAddressed(_.isin(ids: _*))
+    else applyAttrs(withRowId.where(col(ROW_ID).isin(ids: _*)))
   }
 
   /** Column projection by name; unknown names silently dropped
