@@ -23,8 +23,16 @@ object GraftFunctions {
       method: String,
       args: Seq[Expression],
       in: Seq[DataType]): Expression =
+    invokeIn(TextHashes.getClass, out, method, args, in)
+
+  private def invokeIn(
+      clazz: Class[_],
+      out: DataType,
+      method: String,
+      args: Seq[Expression],
+      in: Seq[DataType]): Expression =
     StaticInvoke(
-      TextHashes.getClass,
+      clazz,
       out,
       method,
       args,
@@ -77,6 +85,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_bmp_field",
       (e: Seq[Expression]) => invoke(IntegerType, "bmpField", e,
         Seq(BinaryType, IntegerType)), "scala_udf")
+    // ImageIO-backed still-image codecs (ImageCodec — JDK readers only)
+    reg.createOrReplaceTempFunction("graft_image_field",
+      (e: Seq[Expression]) => invokeIn(ImageCodec.getClass, IntegerType, "imageField", e,
+        Seq(BinaryType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_image_pixel0",
+      (e: Seq[Expression]) => invokeIn(ImageCodec.getClass, IntegerType, "imagePixel0", e,
+        Seq(BinaryType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_synth_image",
+      (e: Seq[Expression]) => invokeIn(ImageCodec.getClass, BinaryType, "synthImage", e,
+        Seq(LongType)), "scala_udf")
   }
 
   // Column-API wrappers (register(spark) must have been called in the session)
@@ -95,6 +113,9 @@ object GraftFunctions {
   def distinctBytes(c: Column): Column = call_function("graft_distinct_bytes", c)
   def fakeDim(c: Column, idx: Int): Column = call_function("graft_fake_dim", c, lit(idx))
   def bmpField(c: Column, which: Int): Column = call_function("graft_bmp_field", c, lit(which))
+  def imageField(c: Column, which: Int): Column = call_function("graft_image_field", c, lit(which))
+  def imagePixel0(c: Column): Column = call_function("graft_image_pixel0", c)
+  def synthImage(id: Column): Column = call_function("graft_synth_image", id)
 
   /** Lowercase alphanumeric word tokens (both engines: split on
     * `[^a-z0-9]+`, drop empties). */

@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed by native per-row kernels.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
-  * `TextHashes.fakeDim` derives deterministic pseudo-dimensions from the
-  * raw bytes and is the clearly-marked splice point for a real decoder.
-  * The Spark-side plumbing is real and what matters at scale: schema
-  * (binary payload + metadata struct) and feature extraction as
-  * `StaticInvoke` Catalyst expressions over the binary column — the whole
-  * feature table is one narrow whole-stage-codegen projection over the
-  * scan, no shuffle, no RDD round trip.
+  * Still images decode FOR REAL: BMP via a pure-JVM header parse
+  * ([[graft.functions.TextHashes.bmpField]]) and PNG/JPEG/GIF via the
+  * JDK's own `javax.imageio` readers ([[graft.functions.ImageCodec]] —
+  * header-only dim probes plus full pixel decode; no external codec libs).
+  * Only VIDEO remains a stub — no video codec ships in the JDK or the
+  * container — with `TextHashes.fakeDim`'s deterministic pseudo-dimensions
+  * as the clearly-marked splice point. The Spark-side plumbing is what
+  * matters at scale: schema (binary payload + metadata struct) and
+  * decode/feature extraction as `StaticInvoke` Catalyst expressions over
+  * the binary column — the whole feature table is one narrow
+  * whole-stage-codegen projection over the scan, no shuffle, no RDD round
+  * trip.
   */
 object Multimodal {
 
@@ -112,29 +116,76 @@ object Multimodal {
         when(id % 3 === 0, unhex(concat(headerHex, hex(body)))).otherwise(body))
   }
 
+  /** Synthesize mixed-codec media via [[graft.functions.ImageCodec]]: the
+    * id%4 cycle plants PNG / JPEG / GIF (real `ImageIO.write` encodings of
+    * a solid image with doc_id-derived dims and color) and an MP4 `ftyp`
+    * stub for the video rows. The write path (encoder) and the read path
+    * ([[decodeMedia]]'s header probe + pixel decode) are independent codec
+    * implementations, so the arithmetic oracle over doc_id checks a real
+    * encode→decode round trip. */
+  def synthesizeMedia(docs: DataFrame, idCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val id = col(idCol).cast("long")
+    docs
+      .withColumn("mime", element_at(
+        array(lit("image/png"), lit("image/jpeg"), lit("image/gif"), lit("video/mp4")),
+        (id % 4 + 1).cast("int")))
+      .withColumn("payload", GF.synthImage(id))
+  }
+
+  /** Decode a mixed-codec media column with the JDK's own ImageIO readers:
+    * PNG / JPEG / GIF / BMP dims come from a header-only probe (no pixel
+    * pass), plus a full frame-0 pixel decode for LOSSLESS codecs (the
+    * top-left RGB — JPEG pixel values are decoder-dependent, so the lossy
+    * row reports NULL and the oracle checks its dims only). Video and
+    * unknown payloads are the one remaining stub (codec 'stub', dims 0 —
+    * no video codec ships in the JDK). Dispatch is per-row byte-magic
+    * sniffing, not the mime column, and readers are cached per thread —
+    * the shape a 100 TB multi-codec decode stage keeps. */
+  def decodeMedia(df: DataFrame, idCol: String, blobCol: String, mimeCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val b = col(blobCol)
+    val code = GF.imageField(b, 2)
+    val lossless = code === 1 || code === 3 || code === 4 // png, gif, bmp
+    val isImg = code =!= lit(graft.functions.ImageCodec.NOT_IMAGE)
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(mimeCol).as("mime"),
+      when(code === 1, "png").when(code === 2, "jpeg").when(code === 3, "gif")
+        .when(code === 4, "bmp").otherwise("stub").as("codec"),
+      when(isImg, GF.imageField(b, 0)).otherwise(lit(0)).as("width"),
+      when(isImg, GF.imageField(b, 1)).otherwise(lit(0)).as("height"),
+      when(lossless, GF.imagePixel0(b)).otherwise(lit(null).cast("int")).as("pixel0"))
+  }
+
   /** Decode the media column: a REAL pure-JVM BMP header parse
     * ([[TextHashes.bmpField]] — little-endian width/height/bit-depth,
     * negative height ⇒ top-down pixel order) for payloads with the 'BM'
-    * magic; every other mime falls back to the documented stub dims.
-    * Codec dispatch is per-row on the bytes themselves (magic sniffing,
-    * not trusting the mime column) and the whole projection stays one
-    * narrow codegen pass — the dispatch shape a real multi-codec decode
-    * stage keeps at 100 TB. */
+    * magic; PNG/JPEG/GIF payloads decode through the ImageIO header probe
+    * ([[graft.functions.ImageCodec]]); only video/unknown bytes fall back
+    * to the documented stub dims. Codec dispatch is per-row on the bytes
+    * themselves (magic sniffing, not trusting the mime column) and the
+    * whole projection stays one narrow codegen pass — the dispatch shape a
+    * real multi-codec decode stage keeps at 100 TB. */
   def decode(df: DataFrame, idCol: String, blobCol: String, mimeCol: String): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val b = col(blobCol)
     val wRaw = GF.bmpField(b, 0)
     val hRaw = GF.bmpField(b, 1)
     val isBmp = wRaw =!= lit(TextHashes.NOT_BMP)
+    val icode = GF.imageField(b, 2)
+    val isIio = icode.isin(1, 2, 3) // png/jpeg/gif via ImageIO (bmp parsed above)
     // bfSize is uint32: reinterpret the raw header bits before comparing,
     // else a >2 GiB declared size wraps negative and hides the truncation
     val declared = GF.bmpField(b, 3).cast("long").bitwiseAND(lit(0xFFFFFFFFL))
     df.select(
       col(idCol).cast("long").as("doc_id"),
       col(mimeCol).as("mime"),
-      when(isBmp, lit("bmp")).otherwise(lit("stub")).as("codec"),
-      when(isBmp, wRaw).otherwise(GF.fakeDim(b, 0)).as("width"),
-      when(isBmp, abs(hRaw)).otherwise(GF.fakeDim(b, 1)).as("height"),
+      when(isBmp, lit("bmp"))
+        .when(icode === 1, "png").when(icode === 2, "jpeg").when(icode === 3, "gif")
+        .otherwise(lit("stub")).as("codec"),
+      when(isBmp, wRaw).when(isIio, GF.imageField(b, 0)).otherwise(GF.fakeDim(b, 0)).as("width"),
+      when(isBmp, abs(hRaw)).when(isIio, GF.imageField(b, 1)).otherwise(GF.fakeDim(b, 1)).as("height"),
       when(isBmp, hRaw < 0).otherwise(lit(false)).as("top_down"),
       when(isBmp, GF.bmpField(b, 2)).otherwise(lit(0)).as("bit_depth"),
       // header dims of a truncated file are untrustworthy — say so rather

@@ -1217,6 +1217,35 @@ object PipelineQueries {
     // occurs). A corpus where it could would need the oracle to sniff the
     // same magic from its synthesized hex. The engine's magic dispatch is
     // the production-correct behavior; the modulus is oracle shorthand.
+    // ImageIO round-trip differential: the Spark side ENCODES a solid
+    // image with doc_id-derived dims/color per row (ImageIO.write — PNG /
+    // JPEG / GIF by id%4; id%4=3 plants an MP4 ftyp box, the one format
+    // that stays stubbed), then DECODES it back through the independent
+    // reader path (byte-magic dispatch, header-only dim probe, frame-0
+    // pixel decode for lossless codecs). The oracle replays none of the
+    // codec work — it predicts codec/width/height/pixel0 purely from
+    // doc_id arithmetic, so any defect in either codec path (or in the
+    // dispatch) hash-mismatches. JPEG pixel0 is NULL by contract (lossy:
+    // decoded values are encoder/decoder-pair-dependent; its dims still
+    // check), video rows report the stub (codec 'stub', dims 0).
+    "q_mm_decode_imageio" -> Q(
+      (s, d) => {
+        val media = Multimodal.synthesizeMedia(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id")
+        Multimodal.decodeMedia(media, "doc_id", "payload", "mime").orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |       WHEN 2 THEN 'image/gif' ELSE 'video/mp4' END AS mime,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       WHEN 2 THEN 'gif' ELSE 'stub' END AS codec,
+        |  (CASE WHEN doc_id % 4 < 3 THEN 8 + doc_id % 97 ELSE 0 END)::INT AS width,
+        |  (CASE WHEN doc_id % 4 < 3 THEN 8 + doc_id % 53 ELSE 0 END)::INT AS height,
+        |  (CASE WHEN doc_id % 4 IN (0, 2)
+        |        THEN (doc_id % 256) * 65536 + ((doc_id // 3) % 256) * 256 + (doc_id // 7) % 256
+        |   END)::INT AS pixel0
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     "q_mm_decode" -> Q(
       (s, d) => {
         val media = Multimodal.synthesizeBmp(Tables.documents(s, d), "doc_id", "text")

@@ -109,6 +109,53 @@ class MultimodalSpec extends SparkSpec {
       out(4L).getInt(3) >= 64 && out(4L).getInt(6) == 0)
   }
 
+  test("ImageCodec kernels: synth round-trips through ImageIO; corrupt bytes fall to sentinel") {
+    import graft.functions.ImageCodec
+    for (id <- Seq(0L, 1L, 2L, 41L, 42L, 43L, 420L)) {
+      val bytes = ImageCodec.synthImage(id)
+      (id % 4) match {
+        case 3 => // video stub: no image reader claims the ftyp box
+          assert(ImageCodec.imageField(bytes, 2) == ImageCodec.NOT_IMAGE)
+        case k =>
+          assert(ImageCodec.imageField(bytes, 2) == k + 1) // 1 png, 2 jpeg, 3 gif
+          assert(ImageCodec.imageField(bytes, 0) == 8 + id % 97)
+          assert(ImageCodec.imageField(bytes, 1) == 8 + id % 53)
+          if (k != 1) { // lossless only: JPEG pixel values are decoder-dependent
+            val want = (((id % 256) << 16) | (((id / 3) % 256) << 8) | ((id / 7) % 256)).toInt
+            assert(ImageCodec.imagePixel0(bytes) == want)
+          }
+      }
+    }
+    // magic matches but the payload is truncated garbage -> sentinel, not a throw
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0, 0)
+    assert(ImageCodec.imageField(corrupt, 0) == ImageCodec.NOT_IMAGE)
+    assert(ImageCodec.imagePixel0(corrupt) == -1)
+    assert(ImageCodec.imageField("plain text payload".getBytes("UTF-8"), 2) == ImageCodec.NOT_IMAGE)
+  }
+
+  test("decodeMedia: per-row magic dispatch, header dims, lossless pixel check, video stub") {
+    val docs = Tables.documents(spark, sf0).select(org.apache.spark.sql.functions.col("doc_id"))
+    val media = Multimodal.synthesizeMedia(docs, "doc_id")
+    val out = Multimodal.decodeMedia(media, "doc_id", "payload", "mime")
+      .orderBy("doc_id").collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val codec = r.getString(2)
+      (id % 4) match {
+        case 0 => assert(codec == "png" && r.getInt(5) ==
+          (((id % 256) << 16) | (((id / 3) % 256) << 8) | ((id / 7) % 256)).toInt)
+        case 1 => assert(codec == "jpeg" && r.isNullAt(5))
+        case 2 => assert(codec == "gif" && !r.isNullAt(5))
+        case _ => assert(codec == "stub" && r.getInt(3) == 0 && r.getInt(4) == 0)
+      }
+      if (id % 4 < 3) {
+        assert(r.getInt(3) == 8 + id % 97)
+        assert(r.getInt(4) == 8 + id % 53)
+      }
+    }
+  }
+
   test("resizePlan: aspect preserved, never upscales, dims at least 1") {
     import spark.implicits._
     val docs = Seq((1L, "abcdef"), (2L, "z")).toDF("doc_id", "text")
