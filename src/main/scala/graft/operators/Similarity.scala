@@ -102,7 +102,10 @@ object Similarity {
     * keeps the bucket inside the kernel's 32-bit int. Recall at a fixed
     * angle falls as bits grow — hold a recall target by scaling `tables`
     * (formula in [[lshCosinePairs]]); the registered recall rows pin their
-    * widths explicitly for exactly that reason. */
+    * widths explicitly for exactly that reason. The formula is MEASURED at
+    * the adaptive point ([[graft.LshRecallProbe]], SCALE.md): 18 bits on
+    * 128 k vectors → recall 0.365/0.611/0.959 at 8/16/59 tables vs
+    * analytic 0.380/0.616/0.971 — trust it to size `tables`. */
   def adaptiveBits(n: Long): Int = math.min(28, math.max(8, ceilLog2(n) + 1))
 
   /** [[lshCosinePairs]] with the bucket width derived from the corpus size
