@@ -431,9 +431,11 @@ final class LazyFrame private (
   def head(n: Int = 6): DataFrame = rowsRange(1L, n.toLong)
   def tail(n: Int = 6): DataFrame = rowsRange(math.max(1L, nrow - n + 1), nrow)
 
-  /** `print.lazy.frame`: header + head + "(N more rows)" (`R/lazy.frame.R:255-261`). */
+  /** `print.lazy.frame`: header + head + "(N more rows)" (`R/lazy.frame.R:255-261`).
+    * Rows are ordered by row_id explicitly — extraction output order is
+    * partition order, not id order, and print must show rows 1..n. */
   def printFrame(n: Int = 6): String = {
-    val rows = head(n).collect()
+    val rows = head(n).orderBy(col(ROW_ID)).collect()
     val cols = (visible ++ rowNamesCol.map(_ => "row_names")) :+ ROW_ID
     val more = math.max(0L, nrow - n)
     val body = rows.map(_.toSeq.map(v => if (v == null) "NA" else v.toString).mkString("\t"))

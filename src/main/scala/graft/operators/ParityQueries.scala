@@ -361,6 +361,64 @@ object ParityQueries {
       },
       "SELECT count(*) AS nrow, CAST(11 AS BIGINT) AS ncol FROM lineitem"),
 
+    // -- str (R str.lazy.frame, R/lazy.frame.R:121-124): the FORMATTED
+    //    structure dump, line-exact. Spark renders from its own schema +
+    //    index count; the oracle rebuilds every line from DuckDB's view of
+    //    the SAME parquet footer (DESCRIBE) and count(*), mapping DuckDB
+    //    type names to Spark simpleStrings — a real differential on the
+    //    schema both engines read, not a pinned constant. (rowOrder in the
+    //    header is the query's own parameter, like any filter literal.) --
+    "lf_str" -> Q(
+      (s, d) => {
+        import s.implicits._
+        li(s, d).str().split("\n", -1).toSeq.zipWithIndex
+          .map { case (l, i) => (i + 1, l) }
+          .toDF("line_no", "line").orderBy("line_no")
+      },
+      s"""WITH cols AS (
+         |  SELECT row_number() OVER () AS pos, column_name,
+         |    CASE column_type
+         |      WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+         |      WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+         |      WHEN 'TIMESTAMP' THEN 'timestamp_ntz' WHEN 'DATE' THEN 'date'
+         |      WHEN 'BOOLEAN' THEN 'boolean' ELSE lower(column_type) END AS st
+         |  FROM (DESCRIBE SELECT * FROM lineitem)),
+         |n AS (SELECT count(*) AS c FROM lineitem)
+         |SELECT line_no, line FROM (
+         |  SELECT 1 AS line_no,
+         |    'lazy frame: ' || c || ' obs. of ' || (SELECT count(*) FROM cols)
+         |    || ' variables (rowOrder=${rowOrderKey.mkString(",")})' AS line FROM n
+         |  UNION ALL
+         |  SELECT (pos + 1)::INT, ' $$ ' || column_name || ': ' || st FROM cols)
+         |ORDER BY line_no""".stripMargin),
+
+    // -- print (print.lazy.frame, R/lazy.frame.R:255-261): header + column
+    //    row + head(3) rows tab-joined + more-rows footer, line-exact over
+    //    a stable int/string projection (double/timestamp rendering is
+    //    engine-specific — their VALUES are oracle-checked by every other
+    //    lf row; print pins the FORMAT). --
+    "lf_print" -> Q(
+      (s, d) => {
+        import s.implicits._
+        li(s, d).select(Seq("l_linenumber", "l_returnflag"))
+          .printFrame(3).split("\n", -1).toSeq.zipWithIndex
+          .map { case (l, i) => (i + 1, l) }
+          .toDF("line_no", "line").orderBy("line_no")
+      },
+      s"""$lfCte, n AS (SELECT count(*) AS c FROM lineitem)
+         |SELECT line_no, line FROM (
+         |  SELECT 1 AS line_no,
+         |    'A lazy frame with ' || c || ' rows and 2 columns' AS line FROM n
+         |  UNION ALL
+         |  SELECT 2, 'l_linenumber' || chr(9) || 'l_returnflag' || chr(9) || 'row_id'
+         |  UNION ALL
+         |  SELECT (2 + row_id)::INT,
+         |    l_linenumber::VARCHAR || chr(9) || l_returnflag || chr(9) || row_id::VARCHAR
+         |  FROM lf WHERE row_id <= 3
+         |  UNION ALL
+         |  SELECT 6, '(' || (c - 3) || ' more rows not displayed)' FROM n)
+         |ORDER BY line_no""".stripMargin),
+
     // -- summary (stub in reference R/lazy.frame.R:115-119; real here) --
     "lf_stats" -> Q(
       (s, d) => li(s, d).df.agg(
