@@ -605,6 +605,53 @@ object PipelineQueries {
          |              JOIN embeddings eb ON eb.vec_id = c.vb)
          |WHERE cos >= 0.4 ORDER BY va, vb""".stripMargin),
 
+    // RECALL-CONTRACT variant: both dials derived — bits from the corpus
+    // count (adaptiveBits, as q_ann_lsh), tables from the recall target
+    // via the analytic model the round-9 ladder probe measured
+    // trustworthy (LshRecallProbe: within ~1pp at 12/10/18 bits). The
+    // oracle re-derives BOTH from its own count with the same arithmetic
+    // (integer bit-length for bits; acos/ln/power for tables — the ceil
+    // lands far from integer boundaries at every sf: 500 vecs -> 10 bits
+    // x 13 tables, 2k -> 12 x 18), so the full scale-and-recall
+    // configuration is itself the checked artifact.
+    "q_ann_lsh_target" -> Q(
+      (s, d) => Similarity.lshCosinePairsRecall(Tables.embeddings(s, d), "vec_id", "embedding",
+          0.4, targetRecall = 0.95, designCos = 0.9)
+        .orderBy("va", "vb"),
+      s"""WITH bw AS (
+         |  SELECT greatest(8, least(28,
+         |    length(bin(greatest(count(*), 2) - 1)) + 1)) AS bits
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT least(128, greatest(1,
+         |    ceil(ln(1.0 - 0.95) /
+         |         ln(1.0 - power(1.0 - acos(least(0.9, 1.0)) / pi(), bits)))::INT)) AS tables
+         |  FROM bw),
+         |planes AS (
+         |  SELECT t.t, j.j, i.i,
+         |    CASE WHEN (('0x' || substr(md5(t.t::VARCHAR || '_' || j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::BIGINT & 1) = 1
+         |         THEN 1.0 ELSE -1.0 END AS s
+         |  FROM (SELECT unnest(range(0, (SELECT tables FROM pr))) AS t) t
+         |  CROSS JOIN (SELECT unnest(range(0, (SELECT bits FROM bw))) AS j) j
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+         |dots AS (
+         |  SELECT e.vec_id, p.t, p.j, sum(p.s * e.embedding[p.i + 1]) AS dot
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY 1, 2, 3),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT va, vb, cos FROM (
+         |  SELECT c.va, c.vb, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.va
+         |              JOIN embeddings eb ON eb.vec_id = c.vb)
+         |WHERE cos >= 0.4 ORDER BY va, vb""".stripMargin),
+
     // MEASURED recall of the sub-quadratic LSH path against the exact
     // tiled pairs, on PLANTED near-duplicates (the harness embeddings are
     // random, so no natural high-cos pairs exist — VERDICT r3 #6). Each of

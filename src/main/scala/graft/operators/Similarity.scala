@@ -119,6 +119,36 @@ object Similarity {
     lshCosinePairs(emb, idCol, vecCol, tau, adaptiveBits(n), tables)
   }
 
+  /** Tables count that holds `targetRecall` for a pair at `designCos`, at
+    * width `bits`: `ceil(ln(1-target) / ln(1-p))` with `p = (1-θ/π)^bits`
+    * — the analytic model measured trustworthy within ~1 pp at 12, 10 and
+    * 18 bits ([[graft.LshRecallProbe]], SCALE.md round 9). Capped at
+    * `maxTables`: required tables roughly double per ladder rung (+2 bits
+    * per 4× n); past the cap, hold recall by re-chunking or a better
+    * embedding rather than hashing harder. */
+  def tablesForRecall(bits: Int, targetRecall: Double = 0.95,
+      designCos: Double = 0.9, maxTables: Int = 128): Int = {
+    require(targetRecall > 0.0 && targetRecall < 1.0, "targetRecall must be in (0,1)")
+    val p = math.pow(1.0 - math.acos(math.min(1.0, designCos)) / math.Pi, bits)
+    math.min(maxTables, math.max(1,
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - p)).toInt))
+  }
+
+  /** [[lshCosinePairsAuto]] with the TABLES dial also derived — from a
+    * recall contract instead of a fixed count. Bits size the candidate
+    * volume (occupancy ~0.5, candidates O(n·tables)); tables then hold
+    * `targetRecall` for pairs at the `designCos` operating angle. Both
+    * derivations use arithmetic the SQL oracle replays exactly
+    * (`q_ann_lsh_target`), so the scale AND recall configuration are
+    * oracle-checked at every sf. */
+  def lshCosinePairsRecall(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, targetRecall: Double = 0.95, designCos: Double = 0.9): DataFrame = {
+    val n = emb.select(col(idCol)).count()
+    val bits = adaptiveBits(n)
+    lshCosinePairs(emb, idCol, vecCol, tau, bits,
+      tablesForRecall(bits, targetRecall, designCos))
+  }
+
   def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       tau: Double, bits: Int = 12, tables: Int = 8): DataFrame = {
     GraftFunctions.register(emb.sparkSession)

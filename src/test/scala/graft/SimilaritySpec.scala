@@ -83,6 +83,21 @@ class SimilaritySpec extends SparkSpec {
       f"recall $recall%.3f outside the informative range — planted pairs degenerate?")
   }
 
+  test("tablesForRecall: analytic dial — monotone in bits/target, matches hand points") {
+    // hand-computed: p(12 bits, cos .9) = 0.8564^12 ≈ 0.1557 → 17.7 → 18;
+    // p(10) ≈ 0.2123 → 12.6 → 13; p(18) ≈ 0.0607 → 47.9 → 48 (cos .9,
+    // vs 59 at the probe's measured cos .896 — steeper angle, more tables)
+    assert(Similarity.tablesForRecall(12, 0.95, 0.9) == 18)
+    assert(Similarity.tablesForRecall(10, 0.95, 0.9) == 13)
+    assert(Similarity.tablesForRecall(18, 0.95, 0.9) == 48)
+    // more bits -> lower per-table hit rate -> more tables
+    assert(Similarity.tablesForRecall(18, 0.95, 0.9) > Similarity.tablesForRecall(12, 0.95, 0.9))
+    // higher target -> more tables
+    assert(Similarity.tablesForRecall(12, 0.99, 0.9) > Similarity.tablesForRecall(12, 0.9, 0.9))
+    // cap engages
+    assert(Similarity.tablesForRecall(28, 0.999, 0.9, maxTables = 128) == 128)
+  }
+
   test("dupClusters: iterative min-label path ≡ driver union-find path") {
     val pairs = Dedup.minhashPairs(Tables.documents(spark, sf0), "doc_id", "text", 3, 0.8)
     val viaUnionFind = Dedup.dupClusters(pairs)
