@@ -1147,6 +1147,41 @@ object PipelineQueries {
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
 
     // ---- multimodal plumbing ----
+    // ---- deterministic sampling (training-data curation) ----
+
+    // hash-Bernoulli sample: salted md5-60 rank < floor(frac*2^60) — a
+    // zero-shuffle scan filter whose row set is identical across runs,
+    // engines, task retries and repartitioning (Spark's own sample(seed)
+    // is per-partition, so it silently changes with the partitioning).
+    // The integer threshold is computed once in Scala and inlined into
+    // both engines (double rounding is engine-specific).
+    "q_sample_frac" -> Q(
+      (s, d) => Sampling.sampleFraction(Tables.documents(s, d), "doc_id", 0.2)
+        .select(col("doc_id")).orderBy("doc_id"),
+      s"""SELECT doc_id FROM documents
+         |WHERE ('0x' || substr(md5('samp_' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |      < ${Sampling.threshold(0.2)}
+         |ORDER BY doc_id""".stripMargin),
+
+    // stratified cap: up to 5 docs per length bucket by hash rank — the
+    // "balance every source/language/length bucket at k docs" curation
+    // step; output is k*|strata| regardless of corpus size. The oracle
+    // replays bucket, hash, rank and tie-break exactly.
+    "q_sample_stratified" -> Q(
+      (s, d) => Sampling.stratifiedSample(
+          Tables.documents(s, d)
+            .select(col("doc_id"), floor(length(col("text")) / 256).as("bucket")),
+          "bucket", "doc_id", 5)
+        .select(col("bucket"), col("doc_id"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("bucket", "doc_id"),
+      """SELECT bucket, doc_id, sample_rank FROM (
+        |  SELECT bucket, doc_id, row_number() OVER (PARTITION BY bucket
+        |    ORDER BY ('0x' || substr(md5('samp_' || doc_id::VARCHAR), 1, 15))::BIGINT,
+        |             doc_id) AS sample_rank
+        |  FROM (SELECT doc_id, length(text) // 256 AS bucket FROM documents))
+        |WHERE sample_rank <= 5 ORDER BY bucket, doc_id""".stripMargin),
+
     "q_mm_meta" -> Q(
       (s, d) => Multimodal.withBlob(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("media_meta.mime").as("mime"),
