@@ -24,6 +24,20 @@ class SamplingSpec extends SparkSpec {
     assert(c != a)
   }
 
+  test("plan shape: sampleFraction zero-shuffle; stratifiedSample one exchange") {
+    val docs = Tables.documents(spark, sf0)
+    val fracPlan = Sampling.sampleFraction(docs, "doc_id", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!fracPlan.contains("Exchange"),
+      s"fraction sample must be a pure scan filter:\n$fracPlan")
+    val stratPlan = Sampling.stratifiedSample(
+        docs.select(col("doc_id"), (col("doc_id") % 7).as("bucket")),
+        "bucket", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(stratPlan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"stratified sample must shuffle exactly once (on the stratum key):\n$stratPlan")
+  }
+
   test("stratifiedSample: exactly min(k, |stratum|) rows per stratum, layout-invariant") {
     val docs = Tables.documents(spark, sf0)
       .select(col("doc_id"), (col("doc_id") % 7).as("bucket"))
