@@ -31,7 +31,7 @@ object KMeansQuant {
 
   /** Squared L2 between two integer vectors — exact (fits a long for
     * realistic dims/scales). */
-  private def sqDist(a: Column, b: Column): Column =
+  def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
   /** Assign every vector to its nearest centroid: `(vec_id, v, cid, dist)`;
@@ -55,10 +55,13 @@ object KMeansQuant {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("cv"))
 
-  /** Run `iters` Lloyd iterations from the deterministic init; returns the
-    * final assignment `(vec_id, v, cid, dist)`. */
-  def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
-      scale: Int = 1000): DataFrame = {
+  /** The centroids `(cid, cv)` the FINAL assignment of [[fit]] is computed
+    * against (c_{iters-1}) — the codebook an IVF probe scores query
+    * vectors on. Every step is deterministic, so deriving these separately
+    * from a cached [[fit]] assignment yields exactly the generating
+    * centroids. */
+  def centroidsAfter(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, scale: Int = 1000): DataFrame = {
     val q = quantize(emb, idCol, vecCol, scale)
     // Seed: the k smallest vec_ids, re-labeled 0..k-1 by rank. Selecting
     // them explicitly (orderBy.limit → TakeOrderedAndProject, k rows to the
@@ -68,11 +71,14 @@ object KMeansQuant {
     var cents = q.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
         .cast("int").as("cid"), col("v").as("cv"))
-    var assigned = assign(q, cents)
-    (1 until iters).foreach { _ =>
-      cents = update(assigned)
-      assigned = assign(q, cents)
-    }
-    assigned
+    (1 until iters).foreach { _ => cents = update(assign(q, cents)) }
+    cents
   }
+
+  /** Run `iters` Lloyd iterations from the deterministic init; returns the
+    * final assignment `(vec_id, v, cid, dist)`. */
+  def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      scale: Int = 1000): DataFrame =
+    assign(quantize(emb, idCol, vecCol, scale),
+      centroidsAfter(emb, idCol, vecCol, k, iters, scale))
 }

@@ -107,6 +107,12 @@ object PipelineQueries {
     pairsCache.getOrElseUpdate(s, s"km:$d")(
       KMeansQuant.fit(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
         .localCheckpoint())
+  /** The codebook the cached fit assigned against (deterministic re-derive,
+    * see KMeansQuant.centroidsAfter) — the probe targets for multi-probe. */
+  private def kmeansCents(s: org.apache.spark.sql.SparkSession, d: String) =
+    pairsCache.getOrElseUpdate(s, s"kmc:$d")(
+      KMeansQuant.centroidsAfter(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
+        .localCheckpoint())
   /** One tokenize pass per (session, dir): the exploded `(doc_id, term)`
     * stream feeds the vocab/tf-idf/LM-score/CMS queries — each would
     * otherwise re-run the regex tokenizer over the corpus (and q_lm_score
@@ -814,6 +820,46 @@ object PipelineQueries {
          |  SELECT qs.qid, e.vec_id AS vid, ${cosSql("qs.qe", "e.embedding")} AS cos
          |  FROM qs JOIN cells c2 ON c2.cid = qs.cid
          |          JOIN embeddings e ON e.vec_id = c2.vec_id AND e.vec_id <> qs.qid)
+         |SELECT qid, vid, cos FROM (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+         |  FROM cn)
+         |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
+
+    // MULTI-PROBE IVF — the recall dial of an IVF index: a query searches
+    // its nprobe=2 nearest cells by quantized centroid distance instead of
+    // only its own (cells are Voronoi regions; a query near a boundary has
+    // true neighbors in the adjacent cell — single-probe misses them by
+    // construction, and at 100 TB nprobe is the knob traded against scan
+    // volume: work is nprobe/k of the corpus per query). Probing scores
+    // k=8 centroids per query (broadcast codebook, exact integer
+    // distances, ties by cid — all replayed by the oracle from the same
+    // CTE chain), then top-5 by exact cosine over the union of the probed
+    // inverted lists.
+    "q_ann_ivf_probe" -> Q(
+      (s, d) => Similarity.ivfTopKProbe(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          kmeansFit(s, d), kmeansCents(s, d),
+          col("vec_id") < 10, k = 5, nprobe = 2)
+        .orderBy("qid", "vid"),
+      s"""$kmeansCtes,
+         |cells AS (SELECT vec_id, cid FROM a2),
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM a2 WHERE vec_id < 10),
+         |cd AS (
+         |  SELECT qs.qid, c.cid,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i]))) AS BIGINT) AS cdist
+         |  FROM qs CROSS JOIN c1 c),
+         |pr AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS pn
+         |    FROM cd)
+         |  WHERE pn <= 2),
+         |cn AS (
+         |  SELECT pr.qid, cl.vec_id AS vid, ${cosSql("qe.embedding", "e.embedding")} AS cos
+         |  FROM pr JOIN cells cl ON cl.cid = pr.cid
+         |          JOIN embeddings e ON e.vec_id = cl.vec_id AND e.vec_id <> pr.qid
+         |          JOIN embeddings qe ON qe.vec_id = pr.qid)
          |SELECT qid, vid, cos FROM (
          |  SELECT qid, vid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn

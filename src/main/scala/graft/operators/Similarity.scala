@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,6 +73,46 @@ object Similarity {
       .select(col("qid"), col("vid"), cosineSim(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "vid", "cos")
+  }
+
+  /** Multi-probe IVF top-k — the recall dial of an IVF index. Cells are
+    * Voronoi regions of the codebook, so a query near a cell boundary has
+    * true neighbors in adjacent cells that single-probe [[ivfTopK]] misses
+    * by construction; each query here scores the (broadcast) codebook with
+    * exact integer distances, takes its `nprobe` nearest cells, and runs
+    * exact cosine top-k over the union of their inverted lists. Per-query
+    * work is ~`nprobe/|cells|` of the corpus — the knob a 100 TB
+    * deployment trades recall against scan volume with (`nprobe = |cells|`
+    * degenerates to exact search).
+    *
+    * @param emb      original float vectors `(idCol, vecCol)` (cosine is
+    *                 scored on these, not the quantized lattice)
+    * @param assigned [[KMeansQuant.fit]] output `(vec_id, v, cid, dist)`
+    * @param cents    [[KMeansQuant.centroidsAfter]] codebook `(cid, cv)`
+    * @param queryPred predicate over `vec_id` selecting the query set */
+  def ivfTopKProbe(emb: DataFrame, idCol: String, vecCol: String,
+      assigned: DataFrame, cents: DataFrame, queryPred: Column,
+      k: Int, nprobe: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val cells = assigned.select(col("vec_id"), col("cid"))
+    val qs = assigned.where(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cid"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        KMeansQuant.sqDist(col("qv"), col("cv")).as("cdist"))
+      .withColumn("pn", row_number().over(wp))
+      .where(col("pn") <= nprobe)
+      .select(col("qid"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    probes.join(cells.select(col("vec_id").as("vid"), col("cid")), "cid")
+      .where(col("vid") =!= col("qid"))
+      .join(emb.select(col(idCol).as("vid"), col(vecCol).as("ve")), "vid")
+      .join(emb.select(col(idCol).as("qid"), col(vecCol).as("qe")), "qid")
+      .select(col("qid"), col("vid"), cosineSim(col("qe"), col("ve")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
       .select("qid", "vid", "cos")
   }
 
