@@ -342,8 +342,12 @@ final class LazyFrame private (
     *      monotone in row_id and every addressed row's k1 lies in the
     *      slice's [min, max] — the range pushes into the file scan
     *      (`PushedFilters`) and prunes row groups, while exactness still
-    *      comes from the join. A null bound (an NA inside the slice's
-    *      leading key) skips the pushdown — conservative, never wrong;
+    *      comes from the join. NA handling: NULLs sort first, so a slice
+    *      can mix NULL and non-NULL leading keys — the bounds agg also
+    *      counts NULLs, and when any are present the pushdown becomes
+    *      `k1 IS NULL OR k1 BETWEEN lo AND hi` (IsNull still reaches the
+    *      scan), so NA-keyed rows keep their row_id. An all-NULL slice
+    *      (both bounds null) skips the pushdown entirely;
     *   3. broadcast the slice (bounded by [[rowAddressMax]] by contract)
     *      so the table side never exchanges.
     *
@@ -355,11 +359,14 @@ final class LazyFrame private (
       rowOrder.map(c => s"__ik_$c") ++ Seq(LazyFrame.IDX_HASH, ROW_ID): _*)
     val slice = renamed.where(idPred(col(ROW_ID)))
     val lead = LazyFrame.qcol(s"__ik_${rowOrder.head}")
-    val bounds = slice.agg(min(lead), max(lead)).head()
+    val bounds = slice.agg(min(lead), max(lead), max(lead.isNull)).head()
     val base =
       if (bounds.isNullAt(0) || bounds.isNullAt(1)) src
-      else src.where(LazyFrame.qcol(rowOrder.head)
-        .between(lit(bounds.get(0)), lit(bounds.get(1))))
+      else {
+        val k1 = LazyFrame.qcol(rowOrder.head)
+        val range = k1.between(lit(bounds.get(0)), lit(bounds.get(1)))
+        src.where(if (bounds.getBoolean(2)) k1.isNull || range else range)
+      }
     def bq(n: String) = "`" + n.replace("`", "``") + "`"
     val cond = (xxhash64(rowOrder.map(c => base(bq(c))): _*) === slice(LazyFrame.IDX_HASH)) &&
       rowOrder.map(c => base(bq(c)) <=> slice(bq(s"__ik_$c"))).reduce(_ && _)
@@ -382,9 +389,10 @@ final class LazyFrame private (
     * non-positive ids are rejected (`R/lazy.frame.R:145`). */
   def rowsAt(ids: Seq[Long]): DataFrame = {
     require(ids.forall(_ > 0), "only positive row indices are supported")
-    if (ids.nonEmpty && ids.size <= rowAddressMax)
-      rowAddressed(_.isin(ids: _*))
-    else applyAttrs(withRowId.where(col(ROW_ID).isin(ids: _*)))
+    val distinctIds = ids.distinct // gate on distinct count: the broadcast slice is bounded by it
+    if (distinctIds.nonEmpty && distinctIds.size <= rowAddressMax)
+      rowAddressed(_.isin(distinctIds: _*))
+    else applyAttrs(withRowId.where(col(ROW_ID).isin(distinctIds: _*)))
   }
 
   /** Column projection by name; unknown names silently dropped

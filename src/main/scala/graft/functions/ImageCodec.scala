@@ -20,6 +20,12 @@ import javax.imageio.{ImageIO, ImageReader}
   */
 object ImageCodec {
 
+  // ImageIO's default stream cache backs every Image{Input,Output}Stream
+  // with a disk temp file — created and deleted PER ROW, and fatal on a
+  // read-only or full java.io.tmpdir. Memory-cache streams keep the whole
+  // path heap-only (payloads here are already in-memory byte arrays).
+  ImageIO.setUseCache(false)
+
   /** Sentinel for "no image format claimed these bytes" (mirrors
     * [[TextHashes.NOT_BMP]]). */
   final val NOT_IMAGE: Int = Int.MinValue

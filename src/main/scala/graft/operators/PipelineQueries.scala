@@ -184,6 +184,12 @@ object PipelineQueries {
     * `lsh(va, vb)`. Parameterized so the default (12×8) and the
     * high-recall (10×16) registrations replay the same construction. */
   private def lshPairCtes(tau: Double, bits: Int, tables: Int): String =
+    lshPairCtesDials(tau, bits.toString, tables.toString)
+
+  /** [[lshPairCtes]] with the two dials as SQL expressions, so the
+    * recall-contract variant can derive them from subqueries while the
+    * pinned registrations inline integer literals. */
+  private def lshPairCtesDials(tau: Double, bits: String, tables: String): String =
     s"""planes AS (
        |  SELECT t.t, j.j, i.i,
        |    CASE WHEN (('0x' || substr(md5(t.t::VARCHAR || '_' || j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::BIGINT & 1) = 1
@@ -210,6 +216,26 @@ object PipelineQueries {
        |                JOIN u eb ON eb.vec_id = c.vb)
        |  WHERE cos >= $tau)""".stripMargin
   private val lshPairCtes08: String = lshPairCtes(0.8, 12, 8)
+
+  /** DuckDB CTEs replaying `Similarity.lshCosinePairsRecall(u, tau,
+    * targetRecall, designCos)` — BOTH dials derived from the corpus the
+    * query actually hashes (the planted union `u`, so count = n + 64):
+    * bits = adaptiveBits(count(u)) via integer bit-length, tables =
+    * tablesForRecall(bits) via the acos/ln/power model (the Scala side
+    * asserts the ceil argument is ≥1e-6 from an integer boundary, so a
+    * 1-ulp libm divergence can't flip the count silently). Same dial
+    * arithmetic as q_ann_lsh_target's oracle, re-based onto `u`. */
+  private def lshPairCtesRecall(tau: Double, targetRecall: Double, designCos: Double): String =
+    s"""bw AS (
+       |  SELECT greatest(8, least(28,
+       |    length(bin(greatest(count(*), 2) - 1)) + 1)) AS bits
+       |  FROM u),
+       |pr AS (
+       |  SELECT least(128, greatest(1,
+       |    ceil(ln(1.0 - $targetRecall) /
+       |         ln(1.0 - power(1.0 - acos(least($designCos, 1.0)) / pi(), bits)))::INT)) AS tables
+       |  FROM bw),
+       |${lshPairCtesDials(tau, "(SELECT bits FROM bw)", "(SELECT tables FROM pr)")}""".stripMargin
 
   val all: Map[String, Q] = Map(
 
@@ -743,28 +769,35 @@ object PipelineQueries {
          |ORDER BY va, vb""".stripMargin),
 
     // The hybrid dedup pipeline the 100 TB path actually runs: LSH bucket
-    // candidates → exact cosine verify (inside lshCosinePairs) → connected
-    // components → min-id canonical label per member. Same planted-twin
-    // corpus as q_ann_lsh_recall: that row blesses the PAIR recall of the
-    // sub-quadratic path; this one blesses the dedup-shaped OUTPUT built
-    // from those pairs (cluster assignment per surviving member), with the
-    // oracle replaying plant → planes → buckets → verify → recursive
-    // closure end-to-end. Unlike q_dedup_clusters (which deliberately
-    // consumes EXACT pairs), the planted twins sit at cos ≈ 0.89 pairwise
-    // with singleton-or-pair components — any LSH miss shows up as a
-    // missing row here AND a lsh_found=false row there, so the two rows
-    // drift together, never silently.
+    // candidates → exact cosine verify (inside lshCosinePairsRecall) →
+    // connected components → min-id canonical label per member. Same
+    // planted-twin corpus as q_ann_lsh_recall: that row measures the PAIR
+    // recall of the pinned 12×8 width; this one runs the RECALL-CONTRACT
+    // entry point (bits from count(u), tables from the ≥0.95 target at
+    // designCos 0.9 — the same derivation q_ann_lsh_target oracle-checks)
+    // and blesses the dedup-shaped OUTPUT built from those pairs, with the
+    // oracle replaying plant → dials → planes → buckets → verify →
+    // recursive closure end-to-end. Unlike q_dedup_clusters (which
+    // deliberately consumes EXACT pairs), the planted twins sit at
+    // cos ≈ 0.89 pairwise with singleton-or-pair components.
     "q_dedup_embed_lsh" -> Q(
       (s, d) => {
         val u = plantedTwinCorpus(s, d)
-        val pairs = Similarity.lshCosinePairs(u, "vec_id", "embedding", 0.8)
+        // RECALL-CONTRACT dials (r10, VERDICT r9 #1): the blessed dedup
+        // recipe sizes bits from the corpus it hashes and tables from the
+        // ≥0.95 recall target at the cos 0.9 design angle — the fixed 12×8
+        // default measured ~0.7 recall at the planted difficulty and is
+        // quadratic-shaped at 128 k. The pinned-width rows
+        // (q_ann_lsh_recall / _hi) stay for recall-curve comparability.
+        val pairs = Similarity.lshCosinePairsRecall(u, "vec_id", "embedding",
+            0.8, targetRecall = 0.95, designCos = 0.9)
           .select(col("va").as("da"), col("vb").as("db"))
         Dedup.dupClusters(pairs)
           .select(col("doc_id").as("vec_id"), col("cluster"))
           .orderBy("vec_id")
       },
       s"""WITH RECURSIVE $plantedUnionCtes,
-         |$lshPairCtes08,
+         |${lshPairCtesRecall(0.8, 0.95, 0.9)},
          |sym AS (SELECT va AS a, vb AS b FROM lsh
          |        UNION SELECT vb AS a, va AS b FROM lsh),
          |reach AS (

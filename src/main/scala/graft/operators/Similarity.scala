@@ -170,8 +170,16 @@ object Similarity {
       designCos: Double = 0.9, maxTables: Int = 128): Int = {
     require(targetRecall > 0.0 && targetRecall < 1.0, "targetRecall must be in (0,1)")
     val p = math.pow(1.0 - math.acos(math.min(1.0, designCos)) / math.Pi, bits)
-    math.min(maxTables, math.max(1,
-      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - p)).toInt))
+    val raw = math.log(1.0 - targetRecall) / math.log(1.0 - p)
+    // Cross-engine guard: the SQL oracle replays this ceil through DuckDB's
+    // libm, and a 1-ulp acos/log/pow divergence near an integer boundary
+    // would flip the count and silently hash-mismatch the row — fail loudly
+    // here instead. Boundaries at/above the cap are harmless (both engines
+    // clamp to maxTables, so a flip across that edge cancels).
+    require(raw >= maxTables - 0.5 || math.abs(raw - math.rint(raw)) > 1e-6,
+      f"tablesForRecall: ceil argument $raw%.9f sits within 1e-6 of an integer " +
+        "boundary; nudge targetRecall/designCos or pin tables explicitly")
+    math.min(maxTables, math.max(1, math.ceil(raw).toInt))
   }
 
   /** [[lshCosinePairsAuto]] with the TABLES dial also derived — from a

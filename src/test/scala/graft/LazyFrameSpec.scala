@@ -154,6 +154,28 @@ class LazyFrameSpec extends SparkSpec {
     assert(lastId == lf.nrow)
   }
 
+  test("row-addressed pushdown keeps NA-keyed rows (NULLs sort first)") {
+    import spark.implicits._
+    // NULLs sort first under the ascending order key, so head(n) on a
+    // frame with NAs in the leading order column addresses a slice mixing
+    // NULL and non-NULL keys — the leading-key scan pushdown must widen to
+    // `k IS NULL OR k BETWEEN lo AND hi`, not silently drop the NA rows
+    val df = Seq[(Option[Double], Int)](
+      (None, 1), (None, 2), (Some(2.0), 3), (Some(3.0), 4), (Some(4.0), 5), (Some(5.0), 6)
+    ).toDF("k", "v")
+    val dir = Files.createTempDirectory("lfna").resolve("t.parquet").toString
+    df.write.parquet(dir)
+    val lf = LazyFrame.parquet(spark, dir, Seq("k", "v"))
+    val h = lf.head(4).select("row_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(h == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+    // an all-NULL slice skips the pushdown entirely
+    assert(lf.rowsRange(1, 2).select("v").collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // duplicate ids in a LINES request stay on the pruned path (gate is
+    // on distinct count) and return membership semantics
+    assert(lf.rowsAt(Seq(3L, 3L, 5L)).select("v").collect().map(_.getInt(0)).toSet == Set(3, 5))
+  }
+
   test("which(pred) ids ∘ rowsAt ≡ filter(pred) — the reference two-pass identity") {
     val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", graft.operators.ParityQueries.rowOrderKey)
     val pred = col("l_quantity") >= 49.0
