@@ -134,14 +134,35 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
     * back by [[idxByRow]], the row_id-ordered second projection that
     * serves head/tail/rowsRange/rowsAt with batch-stat pruning. The
     * intermediate key frame is dropped after this materializes. */
+  /** (orderKeys..., __ik_h, row_id) off the sorted [[keyed]] rows. */
+  private def idxProjection: Seq[Column] =
+    order.map(LazyFrame.qcol) ++ Seq(
+      xxhash64(order.map(LazyFrame.qcol): _*).as(LazyFrame.IDX_HASH),
+      (element_at(typedlit(offsets), col("__pid") + 1) + col("__loc") + 1L).as(ROW_ID))
+
+  /** Stamped during [[idx]] materialization while [[keyed]] is still
+    * persisted (see [[idxByRow]]); None when the eager stamp is off. */
+  @volatile private var rowProjection: Option[DataFrame] = None
+
+  private def eagerRowIndex: Boolean =
+    spark.conf.getOption("graft.index.eagerRowIndex").forall(_.toBoolean)
+
   lazy val idx: DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    val out = maybePersist(keyed.select(
-      order.map(LazyFrame.qcol) ++ Seq(
-        xxhash64(order.map(LazyFrame.qcol): _*).as(LazyFrame.IDX_HASH),
-        (element_at(typedlit(offsets), col("__pid") + 1) + col("__loc") + 1L).as(ROW_ID)): _*)
+    val out = maybePersist(keyed.select(idxProjection: _*)
       .repartition(parts, col(LazyFrame.IDX_HASH)))
     out.count()
+    // Stamp the row-addressed projection NOW, while keyed's cache is still
+    // live: keyed is range-partitioned + sorted by the order key, and
+    // row_id is rank under exactly that order, so this projection is
+    // already row_id-contiguous per partition/batch — no exchange, one
+    // narrow cache-to-cache pass (vs. a full shuffle of the index when
+    // built lazily off the hash-partitioned idx: ~49 s at x64, SCALE.md).
+    if (eagerRowIndex) {
+      val byRow = maybePersist(keyed.select(idxProjection: _*))
+      if (indexLevel.isDefined) byRow.count()
+      rowProjection = Some(byRow)
+    }
     keyed.unpersist()
     out
   }
@@ -155,17 +176,28 @@ private[core] final class RowIndex(source: DataFrame, order: Seq[String]) {
     * covers a tight contiguous row_id span, so InMemoryTableScan's
     * batch-stat pruning (min/max per batch, on by default) skips all but
     * the addressed batches — the zone-map shape of the reference's O(1)
-    * newline-offset seek (`src/lazy.frame.c:189-216`). Built lazily on the
-    * first row-addressed extraction (one extra shuffle of the narrow index,
-    * off [[idx]]'s cache); costs a second copy of the narrow-index storage
-    * only for frames that actually use row addressing. */
+    * newline-offset seek (`src/lazy.frame.c:189-216`).
+    *
+    * Built by default as a free by-product of the [[idx]] build (r10): the
+    * sorted [[keyed]] frame is range-partitioned by the order key, and
+    * row_id is rank under exactly that order, so projecting (keys, hash,
+    * row_id) off keyed's live cache is ALREADY row_id-contiguous and
+    * row_id-sorted per batch — zone-map pruning without any exchange. The
+    * cost is the second narrow-index cache copy paid at open instead of at
+    * first row-addressed extraction; index-only pipelines that never
+    * row-address can set `graft.index.eagerRowIndex=false` to defer to the
+    * lazy fallback (one extra shuffle of the narrow index off [[idx]]'s
+    * cache, the r8–r9 shape). */
   lazy val idxByRow: DataFrame = {
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val out = maybePersist(idx
-      .repartitionByRange(parts, col(ROW_ID))
-      .sortWithinPartitions(col(ROW_ID)))
-    out.count()
-    out
+    idx // ensure the build ran (stamps rowProjection when eager)
+    rowProjection.getOrElse {
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val out = maybePersist(idx
+        .repartitionByRange(parts, col(ROW_ID))
+        .sortWithinPartitions(col(ROW_ID)))
+      out.count()
+      out
+    }
   }
 
   /** Force the build (open-time indexing, like the reference's first pass). */

@@ -151,8 +151,11 @@ class PlanSpec extends SparkSpec {
     //   1. the row_id predicate sitting ON the cached scan of the
     //      row_id-ordered projection (InMemoryTableScan batch-stat pruning
     //      then skips every batch outside the span),
-    //   2. that cache built under a rangepartitioning(row_id) exchange
-    //      (contiguous spans per batch — the zone map),
+    //   2. that cache built under a range partitioning whose order row_id
+    //      is rank under — keyed's rangepartitioning(order keys) for the
+    //      default eager stamp (r10: zero extra exchange), or
+    //      rangepartitioning(row_id) for the lazy fallback — either way
+    //      contiguous row_id spans per batch: the zone map,
     //   3. a broadcast join with ZERO planner-inserted exchanges — the
     //      table side streams, never shuffles,
     //   4. the leading-key bounds pushed into the parquet scan
@@ -168,7 +171,8 @@ class PlanSpec extends SparkSpec {
       l.contains("InMemoryTableScan") && l.contains("row_id"))
     assert(scanLine.exists(l => l.contains(">= 101") && l.contains("<= 200")),
       s"row_id predicate not on the cached index scan:\n$plan")
-    assert(plan.contains("rangepartitioning(row_id"),
+    assert(plan.contains("rangepartitioning(row_id")
+        || plan.contains("rangepartitioning(l_orderkey"),
       s"index slice not served by the row_id-ordered projection:\n$plan")
     val runtime = plan.linesIterator.takeWhile(!_.contains("InMemoryRelation")).toSeq
     assert(!runtime.exists(_.contains("ENSURE_REQUIREMENTS")),
