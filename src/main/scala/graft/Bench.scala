@@ -56,11 +56,15 @@ object Bench {
     // r6 AND the official r7 artifact were both minted on a contended host
     // (sbt wall 1097 s vs 163 s quiet) — so now the bench REFUSES to start
     // while load is high: wait up to `maxWaits` sleeps for the 1-minute
-    // loadavg to drop below `maxLoad` (~8 on this 32-cpu host). If it never
-    // clears we still run (an artifact with a recorded contention flag beats
-    // no artifact), but the JSON carries the decision so a reader can see
-    // the numbers are suspect without needing a separate retake log.
-    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "8.0").toDouble
+    // loadavg to drop below `maxLoad`. r10's official artifact was minted at
+    // loadavg 3.1→8.2 and came out 2.4× slow across UNCHANGED queries — the
+    // old 8.0 gate let it through, so the gate is now 2.0: on a 32-cpu host
+    // anything above ~2 means another multi-core job is resident and every
+    // number is suspect. If it never clears we still run (an artifact with a
+    // recorded contention flag beats no artifact), but the JSON carries the
+    // decision so a reader can see the numbers are suspect without needing a
+    // separate retake log.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "2.0").toDouble
     val maxWaits = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXWAITS", "10").toInt
     var waits = 0
     while (loadavg1.toDouble > maxLoad && waits < maxWaits) {

@@ -6,12 +6,16 @@ import org.apache.spark.sql.types._
 
 /** Loaders for the harness parquet tables (TESTDATA.md).
   *
-  * All tables load directly except `events`, whose `ts` column is
-  * TIMESTAMP(NANOS) parquet — Spark has no nanosecond timestamp type, so we
-  * read nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) and
-  * expose both the exact nanos (`ts_ns`) and a microsecond-precision
-  * TimestampType `ts` (truncation, matching what DuckDB does when it reads
-  * the same file at its native microsecond precision).
+  * All tables load directly except `events`, whose `ts` column has shipped
+  * under THREE encodings across testdata generations: TIMESTAMP(NANOS)
+  * (read as a raw long via `spark.sql.legacy.parquet.nanosAsLong` — Spark
+  * has no nanosecond timestamp type), TIMESTAMP(MICROS, isAdjustedToUTC=
+  * false) (Spark's TimestampNTZType — the pandas/arrow default), and plain
+  * TIMESTAMP(MICROS). [[normalizeEventTs]] branches on the STORED type and
+  * exposes a uniform pair: exact epoch nanos (`ts_ns: long`) and a
+  * microsecond-precision TimestampType `ts` (truncation, matching what
+  * DuckDB sees reading the same file at its native microsecond precision;
+  * the session is UTC-pinned so the NTZ wall-clock cast is lossless).
   */
 object Tables {
 
@@ -38,17 +42,28 @@ object Tables {
   /** events with `ts_ns: long` (exact) and `ts: timestamp` (us precision). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** Normalize any of the three observed `ts` storage encodings to the
+    * engine contract (`ts: TimestampType` at us precision + `ts_ns: long`
+    * exact epoch nanos). Shared by the batch loader and the streaming
+    * source so the two can never diverge on encoding again. */
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType => // nanos-as-long path; integer div — double division
         // loses precision at 1e18 nanos
         raw
           .withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType => // micros, no zone: UTC-pinned session makes
+        // the wall-clock → instant cast exact
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case _: TimestampType => // engine already truncated for us
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")
     }
-  }
 }

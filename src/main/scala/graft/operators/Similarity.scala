@@ -201,18 +201,27 @@ object Similarity {
       tau: Double, bits: Int = 12, tables: Int = 8): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    // sign-bit bucket per (table): bit j = sign(dot(v, plane(t, j)))
-    val bucketed = e.select(col("vec_id"), col("v"),
+    // sign-bit bucket per (table): bit j = sign(dot(v, plane(t, j))).
+    // The vector is consumed by the bucket hash and DROPPED here: the
+    // candidate self-join and the cross-table dedup distinct move only
+    // (id, tbl, bucket) / (va, vb) — at 100 TB the full embedding payload
+    // through those two shuffles would dominate the job's bytes (each
+    // candidate pair appears once per colliding table before the dedup).
+    val bucketed = e.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(tables - 1)),
         t => call_function("graft_hyperplane_bucket_md5", col("v"), t, lit(bits)))))
-      .toDF("vec_id", "v", "tbl", "bucket")
-    bucketed.as("a")
+      .toDF("vec_id", "tbl", "bucket")
+    val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        col("a.v").as("va_v"), col("b.v").as("vb_v"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct()
+    // vectors re-joined ONLY for the surviving unique pairs (O(n·tables)
+    // candidates, each vector fetched once per side)
+    cand
+      .join(e.select(col("vec_id").as("va"), col("v").as("va_v")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("v").as("vb_v")), "vb")
       .select(col("va"), col("vb"), cosineSim(col("va_v"), col("vb_v")).as("cos"))
       .where(col("cos") >= tau)
   }

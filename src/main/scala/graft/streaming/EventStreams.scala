@@ -47,32 +47,29 @@ object EventStreams {
         try f finally spark.conf.set(key, old)
     }
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) parquet → long). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (spark.sql.legacy.parquet.nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming read of the events parquet with `ts` at microsecond
-    * precision (exactly what DuckDB sees natively). `glob` selects the
-    * event files within `sfDir` (the harness stores one `events.parquet`
-    * file); `maxFilesPerTrigger` bounds files per micro-batch — the probe
-    * main (`StreamOverheadProbe`) uses it to control batch count when
-    * measuring per-batch fixed overhead. */
+    * precision (exactly what DuckDB sees natively). The read schema is
+    * PROBED from the batch footer — never pinned: the harness file has been
+    * TIMESTAMP(NANOS)→long in one testdata generation and
+    * TIMESTAMP(MICROS, NTZ) in another, and a schema pinned to the wrong
+    * encoding misreads micros as nanos, silently shrinking every event
+    * timestamp 1000× (wrong answers, no error — the r10 failure mode).
+    * Encoding branches live in [[graft.core.Tables.normalizeEventTs]],
+    * shared with the batch loader. `glob` selects the event files within
+    * `sfDir` (the harness stores one `events.parquet` file);
+    * `maxFilesPerTrigger` bounds files per micro-batch — the probe main
+    * (`StreamOverheadProbe`) uses it to control batch count when measuring
+    * per-batch fixed overhead. */
   def readStream(spark: SparkSession, sfDir: String,
       glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stored = spark.read.parquet(s"$sfDir/$glob").schema
     val rd = spark.readStream
-      .schema(rawSchema)
+      .schema(stored)
       .option("pathGlobFilter", glob) // file source wants a dir
     maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))
-    rd.parquet(sfDir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    graft.core.Tables.normalizeEventTs(rd.parquet(sfDir))
   }
 
   /** Tumbling event-time windows: count + exact sum per (window, type). */
