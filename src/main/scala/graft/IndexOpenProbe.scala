@@ -49,9 +49,14 @@ object IndexOpenProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    val lf = LazyFrame.parquet(spark, path, ParityQueries.rowOrderKey).cached()
-    // nrow forces the index build — exactly what lf_dim pays first-touch
-    val open = sec { assert(lf.nrow > 0) }
+    // `cached()` force-builds the index (and the eager stamp when on) —
+    // exactly what every registered lf_* query's constructor pays on first
+    // touch (ParityQueries wraps each frame in .cached())
+    var lf: LazyFrame = null
+    val open = sec {
+      lf = LazyFrame.parquet(spark, path, ParityQueries.rowOrderKey).cached()
+      assert(lf.nrow > 0)
+    }
     val rowAddr = sec { assert(lf.rowsRange(1000, 2000).count() > 0) }
     val keyed = sec { assert(lf.filter(col("l_returnflag") === "R").count() > 0) }
     val rowAddr2 = sec { assert(lf.rowsRange(500000, 500500).count() > 0) }

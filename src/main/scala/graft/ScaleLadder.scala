@@ -33,8 +33,9 @@ import org.apache.spark.sql.functions._
   *     dimensions grow linearly, like a real fact-table append.
   *   - `events`: event_id/user_id offset (new users ⇒ as-of/window key
   *     cardinality grows linearly; per-key series length constant). `ts`
-  *     stays raw nanos (LongType) so `Tables.events` takes the same
-  *     nanos-as-long path as on the pristine files.
+  *     is carried through in whatever encoding the source dir stores
+  *     (nanos-as-long / MICROS-NTZ / MICROS — all three have shipped;
+  *     `Tables.normalizeEventTs` branches on the stored type either way).
   *   - dims (`region nation customer supplier part`): verbatim — at 100 TB
   *     the facts grow, the dimensions don't.
   */
@@ -97,7 +98,8 @@ object ScaleLadder {
     write(replicate(ord, k => ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * ordOff))),
       "orders", r)
 
-    // events: read RAW (nanos-as-long) so the derived file keeps ts: int64
+    // events: read RAW (nanos-as-long when the source is NANOS) so the
+    // derived file keeps the source's ts encoding bit-for-bit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$base/events.parquet")
     val evOff = offsetPast(maxOf("events", ev, "event_id", "user_id"))
