@@ -60,11 +60,19 @@ object EventStreams {
     * `maxFilesPerTrigger` bounds files per micro-batch — the probe main
     * (`StreamOverheadProbe`) uses it to control batch count when measuring
     * per-batch fixed overhead. */
+  /** Footer-probed schema per (path glob) — one batch footer read per
+    * distinct source, not one per query construction (a bench run
+    * constructs each streaming query 3+ times; the testdata files are
+    * immutable within a process lifetime). */
+  private val probedSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   def readStream(spark: SparkSession, sfDir: String,
       glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stored = spark.read.parquet(s"$sfDir/$glob").schema
+    val stored = probedSchemas.computeIfAbsent(s"$sfDir/$glob",
+      p => spark.read.parquet(p).schema)
     val rd = spark.readStream
       .schema(stored)
       .option("pathGlobFilter", glob) // file source wants a dir
@@ -158,7 +166,8 @@ object EventStreams {
     * same per-row expressions as batch; Structured Streaming's
     * batch/stream parity means one definition serves both. */
   def readDocumentsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val schema = probedSchemas.computeIfAbsent(s"$sfDir/documents.parquet",
+      p => spark.read.parquet(p).schema)
     spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "documents.parquet")
