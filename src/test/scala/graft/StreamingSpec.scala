@@ -71,4 +71,32 @@ class StreamingSpec extends SparkSpec {
     val row = e.select(col("ts_ns"), unix_micros(col("ts")).as("us")).head()
     assert(row.getLong(0) / 1000L == row.getLong(1))
   }
+
+  test("interval join: watermark EXPIRES state across micro-batches") {
+    // The scale property that makes the stream-stream join viable at
+    // 100 TB: join state must be bounded by (join interval + watermark
+    // delay), not by the stream's history. Split the 30-day corpus into
+    // 8 time-ordered files and feed one per micro-batch, so the watermark
+    // advances between batches and each batch evicts the previous ones'
+    // rows; without eviction final state ≈ every click+purchase ever seen.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_expiry_").toString
+    val ev = Tables.events(spark, sf0)
+    ev.drop("ts_ns") // keep storage schema simple; join only needs ts
+      .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val joined = EventStreams.purchaseClickJoin(spark, dir, "part-*.parquet", Some(1))
+    val q = joined.writeStream
+      .outputMode("append").format("memory")
+      .queryName(s"spec_expiry_${System.nanoTime()}")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    val inputRows = ev.where(col("event_type").isin("click", "purchase")).count()
+    assert(stateRows > 0, "no state operator reported — join did not run as a stream")
+    assert(stateRows < inputRows / 2,
+      s"watermark not expiring interval-join state: $stateRows state rows " +
+        s"retained of $inputRows total click+purchase inputs")
+  }
 }
