@@ -73,11 +73,20 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stored = probedSchemas.computeIfAbsent(s"$sfDir/$glob",
       p => spark.read.parquet(p).schema)
-    val rd = spark.readStream
-      .schema(stored)
-      .option("pathGlobFilter", glob) // file source wants a dir
+    // `pathGlobFilter` matches LEAF file names: correct when the table is a
+    // single file among siblings (the harness layout), but a Spark-written
+    // table is a DIRECTORY of part-files whose leaves never match the table
+    // name — the filter would silently select zero files and the stream
+    // would "succeed" on empty input (how ladder-rung streaming numbers
+    // briefly read 2× too fast in r11). Directory tables stream from the
+    // directory itself, no leaf filter needed.
+    val isDir = glob.indexOf('*') < 0 &&
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$sfDir/$glob"))
+    val rd = spark.readStream.schema(stored)
+    if (!isDir) rd.option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))
-    graft.core.Tables.normalizeEventTs(rd.parquet(sfDir))
+    graft.core.Tables.normalizeEventTs(
+      rd.parquet(if (isDir) s"$sfDir/$glob" else sfDir))
   }
 
   /** Tumbling event-time windows: count + exact sum per (window, type). */
@@ -168,10 +177,12 @@ object EventStreams {
   def readDocumentsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = probedSchemas.computeIfAbsent(s"$sfDir/documents.parquet",
       p => spark.read.parquet(p).schema)
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    // same single-file vs directory-table split as [[readStream]]
+    val isDir = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val rd = spark.readStream.schema(schema)
+    if (!isDir) rd.option("pathGlobFilter", "documents.parquet")
+    rd.parquet(if (isDir) s"$sfDir/documents.parquet" else sfDir)
   }
 
   /** Streaming novelty gate — the Bloom-fronted ingest pipeline: a filter
