@@ -45,8 +45,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // streaming state partitions sized to the single-file harness input,
-      // not the 32-way batch shuffle width (see EventStreams doc)
-      .config("graft.streaming.shufflePartitions", "8")
+      // not the 32-way batch shuffle width (see EventStreams doc). Default 4
+      // by r11 A/B at sf0.1 {2: 2.31 s, 4: 2.61, 8: 3.15 on q_stream_join}
+      // and x16 {2: 5.96, 8: 5.38} — 4 is never-worst at every measured
+      // rung; override with SPARK_GRAFT_STREAM_PARTS.
+      .config("graft.streaming.shufflePartitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,7 +15,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("graft.streaming.shufflePartitions", "8")
+      .config("graft.streaming.shufflePartitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
