@@ -8,7 +8,8 @@ object Bench {
     * registered query; this only bounds the line length). */
   val headline: Set[String] = Set(
     "q1_agg", "lf_filter_extract", "lf_filter_eq_str",
-    "q_tpch_q5", "q_join_star", "q_join_salted", "q_range_join",
+    "q_tpch_q5", "q_join_star", "q_join_salted", "q_join_salted_forced",
+    "q_range_join",
     "q_range_join_keyed",
     "q_window_rank", "q_cube", "q_hll_distinct",
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_clusters",
@@ -36,6 +37,30 @@ object Bench {
   private def loadavg1: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
     catch { case _: Throwable => "-1" }
+
+  /** Cumulative stop-the-world GC milliseconds for this JVM. Sampled before
+    * and after the measured loop so the artifact carries `gc_ms` — r11's
+    * unexplained uniform 2.3× vs r9 would have been attributable in minutes
+    * had the artifact recorded whether GC time scaled with it. */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Commit SHA of the code under measurement, so a bench artifact is
+    * self-identifying (which tree produced these numbers) without needing
+    * the round log. Best-effort: env override first (the A/B harness sets
+    * it for detached checkouts), then `git rev-parse`, else "unknown". */
+  private def gitSha: String =
+    sys.env.get("SPARK_GRAFT_GIT_SHA").getOrElse {
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{4,40}")) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,6 +139,7 @@ object Bench {
     // transient host-load spike during one pass can't masquerade as a
     // regression. SPARK_GRAFT_BENCH_RUNS overrides.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val gcPre = gcMillis
     // (name, per-run times of the runs that SUCCEEDED, count of failed runs)
     val results: Seq[(String, Seq[Double], Int)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -167,7 +193,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
     val totalMed = results.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
-    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contended},"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+    // Self-diagnosis fields (r11 verdict item #2): GC milliseconds spent
+    // inside the measured loop (and process-total), the commit SHA of the
+    // measured tree, and the EFFECTIVE shuffle-partition setting — so a
+    // cross-round delta can be attributed (host vs GC vs conf) from the
+    // artifact alone.
+    val gcMeasured = gcMillis - gcPre
+    val shufflePartsEff = spark.conf.get("spark.sql.shuffle.partitions")
+    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contended},"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"gc_ms":$gcMeasured,"gc_ms_total":$gcMillis,"git_sha":"$gitSha","shuffle_partitions":$shufflePartsEff,"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     // The summary JSON is emitted on BOTH streams, and on stderr it is the
     // LAST line AFTER the per-query rows: under sbt the stdout println can
     // flush before the buffered stderr block, and a driver that keeps only

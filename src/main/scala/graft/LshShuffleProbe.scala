@@ -44,15 +44,24 @@ object LshShuffleProbe {
       }
     })
 
-    // listener bus is async: poll until the counters sit still
+    // Listener bus is async: poll until the counters sit still — but
+    // BOUNDED (~30 s): unrelated task activity on the shared bus (or a
+    // straggling stage) could otherwise keep the counters moving and hang
+    // the probe instead of reporting (ADVICE r11). On timeout, emit the
+    // last-seen counters with a not-settled warning; the measurement is
+    // then an upper bound, which still answers the ratio question.
     def settled(): (Long, Long) = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var prev = (-1L, -1L)
       var cur = (bytes.get, recs.get)
-      while (cur != prev) {
+      while (cur != prev && System.nanoTime() < deadline) {
         Thread.sleep(500)
         prev = cur
         cur = (bytes.get, recs.get)
       }
+      if (cur != prev)
+        System.err.println(
+          s"[lsh-shuffle] WARN counters not settled after 30 s: bytes=${cur._1} recs=${cur._2}")
       cur
     }
 

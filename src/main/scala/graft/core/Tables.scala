@@ -49,8 +49,8 @@ object Tables {
     * engine contract (`ts: TimestampType` at us precision + `ts_ns: long`
     * exact epoch nanos). Shared by the batch loader and the streaming
     * source so the two can never diverge on encoding again. */
-  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame =
-    raw.schema("ts").dataType match {
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame = {
+    val normalized = raw.schema("ts").dataType match {
       case LongType => // nanos-as-long path; integer div — double division
         // loses precision at 1e18 nanos
         raw
@@ -66,4 +66,12 @@ object Tables {
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")
     }
+    // Canonical column order regardless of which encoding arm ran: the
+    // stored order with `ts` normalized IN PLACE and `ts_ns` appended last.
+    // Without this the LongType arm emits (…, ts_ns, …, ts) while the
+    // timestamp arms emit (…, ts, …, ts_ns) — harmless for the registered
+    // queries (all select by name) but a positional/select-* consumer would
+    // silently diverge across testdata generations (ADVICE r11).
+    normalized.select(raw.columns.map(col).toIndexedSeq :+ col("ts_ns"): _*)
+  }
 }

@@ -95,6 +95,17 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_synth_image",
       (e: Seq[Expression]) => invokeIn(ImageCodec.getClass, BinaryType, "synthImage", e,
         Seq(LongType)), "scala_udf")
+    // MJPEG/AVI container codec (VideoCodec — RIFF walk + ImageIO frames)
+    reg.createOrReplaceTempFunction("graft_avi_field",
+      (e: Seq[Expression]) => invokeIn(VideoCodec.getClass, IntegerType, "aviField", e,
+        Seq(BinaryType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_avi_frames",
+      (e: Seq[Expression]) => invokeIn(VideoCodec.getClass,
+        ArrayType(BinaryType, containsNull = false), "aviFrames", e,
+        Seq(BinaryType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_synth_avi",
+      (e: Seq[Expression]) => invokeIn(VideoCodec.getClass, BinaryType, "synthAvi", e,
+        Seq(LongType)), "scala_udf")
   }
 
   // Column-API wrappers (register(spark) must have been called in the session)
@@ -116,6 +127,9 @@ object GraftFunctions {
   def imageField(c: Column, which: Int): Column = call_function("graft_image_field", c, lit(which))
   def imagePixel0(c: Column): Column = call_function("graft_image_pixel0", c)
   def synthImage(id: Column): Column = call_function("graft_synth_image", id)
+  def aviField(c: Column, which: Int): Column = call_function("graft_avi_field", c, lit(which))
+  def aviFrames(c: Column): Column = call_function("graft_avi_frames", c)
+  def synthAvi(id: Column): Column = call_function("graft_synth_avi", id)
 
   /** Lowercase alphanumeric word tokens (both engines: split on
     * `[^a-z0-9]+`, drop empties). */

@@ -104,10 +104,14 @@ object ImageCodec {
     * `(id%256, (id/3)%256, (id/7)%256)`, ENCODED by `ImageIO.write` (the
     * write path) and later decoded by the reader path above — two
     * independent codec paths whose agreement the arithmetic oracle checks;
-    * 3 → a minimal MP4 `ftyp` box (the video rows that stay stubbed: no
-    * video codec ships in the JDK). */
+    * 3 → video: a REAL MJPEG/AVI container ([[VideoCodec.synthAvi]] —
+    * id%8==3) or a minimal MP4 `ftyp` box (id%8==7 — the deliberate
+    * unknown-codec row that keeps the stub FALLBACK path exercised: no MP4
+    * codec ships in the JDK, and a mixed corpus always contains formats
+    * the engine cannot decode). */
   def synthImage(id: Long): Array[Byte] = {
     (id % 4) match {
+      case 3 if id % 8 == 3 => VideoCodec.synthAvi(id)
       case 3 =>
         val bb = java.nio.ByteBuffer.allocate(20)
         bb.putInt(20).put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII"))

@@ -1,0 +1,197 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM MJPEG/AVI video container codec — retires the last multimodal
+  * stub (r11 verdict #7). No video *codec* ships in the JDK, but MJPEG
+  * needs none: an AVI (RIFF) container whose `movi` chunks are ordinary
+  * JPEG frames, each decodable by the JDK's own ImageIO reader
+  * ([[ImageCodec]]). The write path here builds a spec-shaped AVI
+  * (RIFF/hdrl/avih/strl/movi, little-endian sizes, even-byte chunk
+  * padding); the read path is an independent RIFF chunk walk. Agreement
+  * between the two — and between the container header dims and the
+  * per-frame ImageIO decode — is what the arithmetic oracle checks.
+  *
+  * Scale shape: [[aviField]] reads only the header chunks (O(header)
+  * probe, like ImageCodec's dim probes); [[aviFrames]] is the per-row
+  * container→frames splitter a `posexplode` fans out, keeping the whole
+  * frame table inside one codegen projection with zero shuffle.
+  */
+object VideoCodec {
+
+  /** Sentinel for "not an AVI container" (mirrors [[ImageCodec.NOT_IMAGE]]). */
+  final val NOT_AVI: Int = Int.MinValue
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Build a valid AVI wrapping MJPEG frames for `id`: `2 + id%4` frames,
+    * frame k a solid `(8+id%97+k) × (8+id%53)` JPEG (ImageIO.write — the
+    * same independent encoder the still-image differential uses) with RGB
+    * `(id%256, (id/3)%256, (id/7)%256)`. Dims/counts are pure doc_id
+    * arithmetic so a SQL oracle predicts every decoded field. */
+  def synthAvi(id: Long): Array[Byte] = {
+    val nf = (2 + id % 4).toInt
+    val w0 = (8 + id % 97).toInt
+    val h0 = (8 + id % 53).toInt
+    val rgb = (((id % 256) << 16) | (((id / 3) % 256) << 8) | ((id / 7) % 256)).toInt
+    val frames = (0 until nf).map { k =>
+      val im = new java.awt.image.BufferedImage(w0 + k, h0,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h0) {
+        var x = 0; while (x < w0 + k) { im.setRGB(x, y, rgb); x += 1 }; y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", out)
+      out.toByteArray
+    }
+
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
+      val bb = ByteBuffer.allocate(8 + padded.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc(cc)).putInt(payload.length).put(padded)
+      bb.array()
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("LIST")).putInt(4 + body.length).put(fourcc(listType)).put(body)
+      bb.array()
+    }
+
+    val avih = { // MainAVIHeader: 56 bytes, all uint32le
+      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(33333) // dwMicroSecPerFrame (~30 fps)
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(nf)    // dwTotalFrames
+        .putInt(0)
+        .putInt(1)     // dwStreams
+        .putInt(0)
+        .putInt(w0).putInt(h0)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      bb.array()
+    }
+    val strh = { // AVIStreamHeader: 56 bytes
+      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("vids")).put(fourcc("MJPG"))
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(1)   // dwScale
+        .putInt(30)  // dwRate
+        .putInt(0)
+        .putInt(nf)  // dwLength (frames)
+        .putInt(0).putInt(-1).putInt(0)
+        .putShort(0).putShort(0)
+        .putShort(w0.toShort).putShort(h0.toShort) // rcFrame
+      bb.array()
+    }
+    val strf = { // BITMAPINFOHEADER: 40 bytes
+      val bb = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w0).putInt(h0)
+        .putShort(1).putShort(24)
+        .put(fourcc("MJPG"))
+        .putInt(w0 * h0 * 3)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    val bb = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(fourcc("RIFF")).putInt(body.length).put(body)
+    bb.array()
+  }
+
+  private def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 24 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    if (off + 4 > b.length) -1L
+    else ((b(off) & 0xFFL)) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  private def cc(b: Array[Byte], off: Int): String =
+    if (off + 4 > b.length) ""
+    else new String(b, off, 4, "US-ASCII")
+
+  /** Walk the chunks of a LIST body `[start, end)`, invoking `f(fourcc,
+    * payloadOff, payloadLen)` per chunk (LIST children are passed with
+    * fourcc = their list type and the body after it). Truncation-safe: a
+    * declared size past `end` stops the walk instead of reading garbage. */
+  private def walk(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off + 8 <= end) {
+      val id = cc(b, off)
+      val len = u32le(b, off + 4)
+      if (len < 0 || off + 8 + len > end) return
+      if (id == "LIST" && len >= 4)
+        f(cc(b, off + 8), off + 12, (len - 4).toInt)
+      else
+        f(id, off + 8, len.toInt)
+      off += 8 + len.toInt
+      if (len % 2 == 1) off += 1 // chunks are even-aligned
+    }
+  }
+
+  /** Locate the `avih` header payload offset, or -1. */
+  private def findAvih(b: Array[Byte]): Int = {
+    if (!isAvi(b)) return -1
+    var found = -1
+    walk(b, 12, math.min(b.length, 12 + u32le(b, 4).toInt - 4)) {
+      case ("hdrl", off, len) =>
+        walk(b, off, off + len) {
+          case ("avih", aOff, aLen) if aLen >= 40 && found < 0 => found = aOff
+          case _ => ()
+        }
+      case _ => ()
+    }
+    found
+  }
+
+  /** Header-only container probe. `which`: 0 = width, 1 = height,
+    * 2 = declared total frames (avih), 3 = ACTUAL `00dc` frame chunk count
+    * (a movi walk — still O(container directory), no pixel decode).
+    * Returns [[NOT_AVI]] when the bytes are not a RIFF/AVI container or
+    * the header is corrupt/truncated. */
+  def aviField(bytes: Array[Byte], which: Int): Int = {
+    val a = findAvih(bytes)
+    if (a < 0) return NOT_AVI
+    which match {
+      case 0 => u32le(bytes, a + 32).toInt // dwWidth
+      case 1 => u32le(bytes, a + 36).toInt // dwHeight
+      case 2 => u32le(bytes, a + 16).toInt // dwTotalFrames
+      case 3 => splitFrames(bytes).length
+      case _ => NOT_AVI
+    }
+  }
+
+  /** Catalyst kernel shape of [[splitFrames]]: `StaticInvoke` hands array
+    * results back as internal `ArrayData` (binary elements stay plain
+    * byte arrays), same convention as [[TextHashes.minhash]]. */
+  def aviFrames(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      splitFrames(bytes).asInstanceOf[Array[Any]])
+
+  /** Split the container into its frame payloads (the `00dc` chunk bytes —
+    * for MJPEG each is a standalone JPEG, decodable by
+    * [[ImageCodec.imageField]]/[[ImageCodec.imagePixel0]]). Empty array
+    * for non-AVI bytes, so a mixed-corpus `posexplode` silently drops
+    * non-video rows. */
+  def splitFrames(bytes: Array[Byte]): Array[Array[Byte]] = {
+    if (!isAvi(bytes)) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    walk(bytes, 12, math.min(bytes.length, 12 + u32le(bytes, 4).toInt - 4)) {
+      case ("movi", off, len) =>
+        walk(bytes, off, off + len) {
+          case ("00dc", fOff, fLen) if fLen > 0 =>
+            out += java.util.Arrays.copyOfRange(bytes, fOff, fOff + fLen)
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out.toArray
+  }
+}

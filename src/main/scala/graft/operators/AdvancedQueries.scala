@@ -29,6 +29,45 @@ object AdvancedQueries {
       .drop("__salt")
   }
 
+  /** Heaviest join key's share of probe-side rows, from ONE cheap agg:
+    * per-key counts partial-aggregate map-side, so the exchange moves at
+    * most one narrow (key, count) row per distinct key per partition —
+    * never the data. Exact, not sampled: a sampled estimate misses the
+    * adversarial single hot key unless the sample is row-uniform AND the
+    * key is already heavy, at which point the full count costs the same
+    * pruned single-column scan. */
+  def measuredTopKeyShare(probe: org.apache.spark.sql.DataFrame, key: String): Double = {
+    val r = probe.groupBy(col(key)).count()
+      .agg(max("count").cast("double").as("mx"),
+        sum("count").cast("double").as("tot"))
+      .head()
+    if (r.isNullAt(0) || r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Salt count from measured skew: a key holding `topShare` of the rows
+    * occupies `topShare * parallelism` reducers' worth of work, so that is
+    * exactly how many ways the build side must replicate to level it.
+    * Floor 1 = the plain join: replication is paid only when skew exists
+    * (r11 verdict: a fixed 8x dial paid the adversarial premium on every
+    * run — 3.4 s vs q_join_star's 1.3 s on unskewed data). */
+  def adaptiveSalts(topShare: Double, parallelism: Int): Int =
+    math.max(1, math.ceil(topShare * parallelism).toInt)
+
+  /** Skew-adaptive salted join: measures the probe side's top-key share,
+    * derives the salt count, and degenerates to the single-shuffle plain
+    * equi-join when no key is hot. The measurement is one narrow agg per
+    * call — at 100 TB that is a pruned scan of the key column plus a
+    * (distinct keys)-sized exchange, amortized against a join that would
+    * otherwise straggle on one reducer. */
+  def saltedJoinAdaptive(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+      leftKey: String, rightKey: String): org.apache.spark.sql.DataFrame = {
+    val parallelism = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val salts = adaptiveSalts(measuredTopKeyShare(left, leftKey), parallelism)
+    if (salts <= 1) left.join(right, left(leftKey) === right(rightKey))
+    else saltedJoin(salts)(left, right, leftKey, rightKey)
+  }
+
   val all: Map[String, Q] = Map(
 
     // -- column profiling: per-column stats (count/nulls/distinct/min/max)
@@ -258,8 +297,30 @@ object AdvancedQueries {
         |   LIMIT 1) AS nearest_click_id
         |FROM events a ORDER BY a.event_id""".stripMargin),
 
-    // -- salted join == plain join (the oracle IS the unsalted answer) --
+    // -- salted join == plain join (the oracle IS the unsalted answer).
+    //    q_join_salted is the ADAPTIVE dial: it measures the top-key share
+    //    and, on the unskewed harness data, degenerates to the plain
+    //    single-shuffle join (no replication paid when no key is hot).
+    //    q_join_salted_forced keeps the fixed-8 replication as the
+    //    adversarial-skew demo, oracled against the same unsalted answer. --
     "q_join_salted" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        saltedJoinAdaptive(li, o, "l_orderkey", "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+
+    "q_join_salted_forced" -> Q(
       (s, d) => {
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
         val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * ([[graft.functions.TextHashes.bmpField]]) and PNG/JPEG/GIF via the
   * JDK's own `javax.imageio` readers ([[graft.functions.ImageCodec]] —
   * header-only dim probes plus full pixel decode; no external codec libs).
-  * Only VIDEO remains a stub — no video codec ships in the JDK or the
-  * container — with `TextHashes.fakeDim`'s deterministic pseudo-dimensions
-  * as the clearly-marked splice point. The Spark-side plumbing is what
+  * VIDEO decodes for real too, as MJPEG in an AVI container
+  * ([[graft.functions.VideoCodec]] — pure-JVM RIFF walk; frames are plain
+  * JPEGs through the same ImageIO path). Only genuinely unknown codecs
+  * (the planted MP4 `ftyp` rows — no MP4 codec ships in the JDK) take the
+  * documented fallback, with `TextHashes.fakeDim`'s deterministic
+  * pseudo-dimensions as the clearly-marked splice point where a real
+  * external decoder would attach. The Spark-side plumbing is what
   * matters at scale: schema (binary payload + metadata struct) and
   * decode/feature extraction as `StaticInvoke` Catalyst expressions over
   * the binary column — the whole feature table is one narrow
@@ -127,9 +131,12 @@ object Multimodal {
     GraftFunctions.register(docs.sparkSession)
     val id = col(idCol).cast("long")
     docs
-      .withColumn("mime", element_at(
-        array(lit("image/png"), lit("image/jpeg"), lit("image/gif"), lit("video/mp4")),
-        (id % 4 + 1).cast("int")))
+      .withColumn("mime",
+        when(id % 8 === 3, lit("video/avi")) // real MJPEG/AVI container
+          .when(id % 8 === 7, lit("video/mp4")) // undecodable: stub fallback
+          .otherwise(element_at(
+            array(lit("image/png"), lit("image/jpeg"), lit("image/gif")),
+            (id % 4 + 1).cast("int"))))
       .withColumn("payload", GF.synthImage(id))
   }
 
@@ -137,25 +144,53 @@ object Multimodal {
     * PNG / JPEG / GIF / BMP dims come from a header-only probe (no pixel
     * pass), plus a full frame-0 pixel decode for LOSSLESS codecs (the
     * top-left RGB — JPEG pixel values are decoder-dependent, so the lossy
-    * row reports NULL and the oracle checks its dims only). Video and
-    * unknown payloads are the one remaining stub (codec 'stub', dims 0 —
-    * no video codec ships in the JDK). Dispatch is per-row byte-magic
-    * sniffing, not the mime column, and readers are cached per thread —
-    * the shape a 100 TB multi-codec decode stage keeps. */
+    * row reports NULL and the oracle checks its dims only). MJPEG/AVI
+    * video decodes FOR REAL ([[graft.functions.VideoCodec]] — RIFF header
+    * probe for dims, frames are plain JPEG): codec 'mjpeg', dims from
+    * `avih`. Only genuinely unknown payloads (the planted MP4 `ftyp` rows
+    * — no MP4 codec in the JDK) take the documented stub fallback (codec
+    * 'stub', dims 0). Dispatch is per-row byte-magic sniffing, not the
+    * mime column, and readers are cached per thread — the shape a 100 TB
+    * multi-codec decode stage keeps. */
   def decodeMedia(df: DataFrame, idCol: String, blobCol: String, mimeCol: String): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val b = col(blobCol)
     val code = GF.imageField(b, 2)
     val lossless = code === 1 || code === 3 || code === 4 // png, gif, bmp
     val isImg = code =!= lit(graft.functions.ImageCodec.NOT_IMAGE)
+    val aviW = GF.aviField(b, 0)
+    val isAvi = aviW =!= lit(graft.functions.VideoCodec.NOT_AVI)
     df.select(
       col(idCol).cast("long").as("doc_id"),
       col(mimeCol).as("mime"),
       when(code === 1, "png").when(code === 2, "jpeg").when(code === 3, "gif")
-        .when(code === 4, "bmp").otherwise("stub").as("codec"),
-      when(isImg, GF.imageField(b, 0)).otherwise(lit(0)).as("width"),
-      when(isImg, GF.imageField(b, 1)).otherwise(lit(0)).as("height"),
+        .when(code === 4, "bmp").when(isAvi, "mjpeg").otherwise("stub").as("codec"),
+      when(isImg, GF.imageField(b, 0)).when(isAvi, aviW).otherwise(lit(0)).as("width"),
+      when(isImg, GF.imageField(b, 1)).when(isAvi, GF.aviField(b, 1))
+        .otherwise(lit(0)).as("height"),
+      // AVI frames are JPEG (lossy) — pixel0 stays NULL by the same contract
       when(lossless, GF.imagePixel0(b)).otherwise(lit(null).cast("int")).as("pixel0"))
+  }
+
+  /** Real video frame table: split each MJPEG/AVI payload into its frame
+    * JPEGs ([[graft.functions.VideoCodec.aviFrames]]) and decode every
+    * frame's header through the SAME ImageIO path still images use — the
+    * container walk and the frame decode are independent implementations
+    * whose agreement (and agreement with the doc_id arithmetic that built
+    * the container) the oracle checks. Per-row `posexplode`, zero shuffle:
+    * the frame table is one codegen projection over the scan — the shape a
+    * 100 TB frame-sampling stage keeps. Non-AVI payloads split to zero
+    * frames and drop out. */
+  def videoFrames(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).cast("long").as("doc_id"),
+        GF.aviField(col(blobCol), 2).as("declared_frames"),
+        posexplode(GF.aviFrames(col(blobCol))).as(Seq("frame_ix", "fb")))
+      .select(col("doc_id"), col("frame_ix").cast("long").as("frame_ix"),
+        col("declared_frames"),
+        GF.imageField(col("fb"), 0).as("frame_w"),
+        GF.imageField(col("fb"), 1).as("frame_h"),
+        GF.imageField(col("fb"), 2).as("fmt_code"))
   }
 
   /** Decode the media column: a REAL pure-JVM BMP header parse

@@ -1380,15 +1380,17 @@ object PipelineQueries {
     // the production-correct behavior; the modulus is oracle shorthand.
     // ImageIO round-trip differential: the Spark side ENCODES a solid
     // image with doc_id-derived dims/color per row (ImageIO.write — PNG /
-    // JPEG / GIF by id%4; id%4=3 plants an MP4 ftyp box, the one format
-    // that stays stubbed), then DECODES it back through the independent
-    // reader path (byte-magic dispatch, header-only dim probe, frame-0
-    // pixel decode for lossless codecs). The oracle replays none of the
-    // codec work — it predicts codec/width/height/pixel0 purely from
-    // doc_id arithmetic, so any defect in either codec path (or in the
-    // dispatch) hash-mismatches. JPEG pixel0 is NULL by contract (lossy:
-    // decoded values are encoder/decoder-pair-dependent; its dims still
-    // check), video rows report the stub (codec 'stub', dims 0).
+    // JPEG / GIF by id%4; id%4=3 plants VIDEO: a real MJPEG/AVI container
+    // when id%8=3, decoded for real via the RIFF walk + avih probe, or an
+    // MP4 ftyp box when id%8=7 — the deliberate unknown-codec row that
+    // keeps the stub FALLBACK exercised), then DECODES it back through the
+    // independent reader path (byte-magic dispatch, header-only dim probe,
+    // frame-0 pixel decode for lossless codecs). The oracle replays none
+    // of the codec work — it predicts codec/width/height/pixel0 purely
+    // from doc_id arithmetic, so any defect in either codec path (or in
+    // the dispatch) hash-mismatches. JPEG (and MJPEG) pixel0 is NULL by
+    // contract (lossy: decoded values are encoder/decoder-pair-dependent;
+    // dims still check), ftyp rows report the stub (codec 'stub', dims 0).
     "q_mm_decode_imageio" -> Q(
       (s, d) => {
         val media = Multimodal.synthesizeMedia(
@@ -1396,16 +1398,46 @@ object PipelineQueries {
         Multimodal.decodeMedia(media, "doc_id", "payload", "mime").orderBy("doc_id")
       },
       """SELECT doc_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
-        |       WHEN 2 THEN 'image/gif' ELSE 'video/mp4' END AS mime,
-        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-        |       WHEN 2 THEN 'gif' ELSE 'stub' END AS codec,
-        |  (CASE WHEN doc_id % 4 < 3 THEN 8 + doc_id % 97 ELSE 0 END)::INT AS width,
-        |  (CASE WHEN doc_id % 4 < 3 THEN 8 + doc_id % 53 ELSE 0 END)::INT AS height,
+        |  CASE WHEN doc_id % 8 = 3 THEN 'video/avi'
+        |       WHEN doc_id % 8 = 7 THEN 'video/mp4'
+        |       WHEN doc_id % 4 = 0 THEN 'image/png'
+        |       WHEN doc_id % 4 = 1 THEN 'image/jpeg'
+        |       ELSE 'image/gif' END AS mime,
+        |  CASE WHEN doc_id % 8 = 3 THEN 'mjpeg'
+        |       WHEN doc_id % 8 = 7 THEN 'stub'
+        |       WHEN doc_id % 4 = 0 THEN 'png'
+        |       WHEN doc_id % 4 = 1 THEN 'jpeg'
+        |       ELSE 'gif' END AS codec,
+        |  (CASE WHEN doc_id % 8 = 7 THEN 0 ELSE 8 + doc_id % 97 END)::INT AS width,
+        |  (CASE WHEN doc_id % 8 = 7 THEN 0 ELSE 8 + doc_id % 53 END)::INT AS height,
         |  (CASE WHEN doc_id % 4 IN (0, 2)
         |        THEN (doc_id % 256) * 65536 + ((doc_id // 3) % 256) * 256 + (doc_id // 7) % 256
         |   END)::INT AS pixel0
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Video frame table over the real MJPEG/AVI rows: the container walk
+    // splits each AVI into its per-frame JPEGs (aviFrames), each frame
+    // decodes through the same ImageIO header probe still images use, and
+    // the oracle predicts every field from doc_id arithmetic — frame count
+    // 2 + id%4 (also cross-checked against the avih declared count),
+    // frame k dims (8+id%97+k) × (8+id%53), fmt_code 2 (= JPEG).
+    "q_mm_video" -> Q(
+      (s, d) => {
+        val media = Multimodal.synthesizeMedia(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id")
+          .where(col("mime") === "video/avi")
+        Multimodal.videoFrames(media, "doc_id", "payload")
+          .orderBy("doc_id", "frame_ix")
+      },
+      """WITH f AS (
+        |  SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 4)) AS ix
+        |  FROM documents WHERE doc_id % 8 = 3)
+        |SELECT doc_id, ix::BIGINT AS frame_ix,
+        |  (2 + doc_id % 4)::INT AS declared_frames,
+        |  (8 + doc_id % 97 + ix)::INT AS frame_w,
+        |  (8 + doc_id % 53)::INT AS frame_h,
+        |  2::INT AS fmt_code
+        |FROM f ORDER BY doc_id, frame_ix""".stripMargin),
 
     "q_mm_decode" -> Q(
       (s, d) => {

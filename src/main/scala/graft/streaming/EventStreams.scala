@@ -60,19 +60,40 @@ object EventStreams {
     * `maxFilesPerTrigger` bounds files per micro-batch — the probe main
     * (`StreamOverheadProbe`) uses it to control batch count when measuring
     * per-batch fixed overhead. */
-  /** Footer-probed schema per (path glob) — one batch footer read per
-    * distinct source, not one per query construction (a bench run
-    * constructs each streaming query 3+ times; the testdata files are
-    * immutable within a process lifetime). */
+  /** Footer-probed schema, cached per (path, fingerprint) — one batch
+    * footer read per distinct source STATE, not one per query construction
+    * (a bench run constructs each streaming query 3+ times). The cache key
+    * carries a modification fingerprint (mtime + length via Hadoop
+    * FileSystem), so a regenerated /root/testdata under a long-lived JVM
+    * (an sbt session) re-probes instead of serving the stale schema — the
+    * silent 1000× timestamp-misread class the probe exists to prevent
+    * (ADVICE r11). */
   private val probedSchemas =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  /** True if `s` contains a Hadoop glob metacharacter (`*?[{`), not just
+    * `*` — a '?' or character-class glob routed down the stat path would
+    * reintroduce the zero-file silent-success failure. */
+  private def hasGlobMeta(s: String): Boolean = s.exists("*?[{".contains(_))
+
+  /** (isDirectory, fingerprint) of `path`, resolved through the Hadoop
+    * FileSystem of the path's scheme — java.nio only sees the local FS, so
+    * an hdfs:// or s3a:// sfDir would probe as "not a directory" and hit
+    * the wrong read shape. Fingerprint is mtime+length (dir mtime advances
+    * when children are added/replaced on HDFS and local FS). Best-effort:
+    * a stat failure (path only matchable as a glob) yields (false, 0). */
+  private def statSource(spark: SparkSession, path: String): (Boolean, String) =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val st = fs.getFileStatus(p)
+      (st.isDirectory, s"${st.getModificationTime}:${st.getLen}")
+    } catch { case _: Throwable => (false, "0") }
 
   def readStream(spark: SparkSession, sfDir: String,
       glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stored = probedSchemas.computeIfAbsent(s"$sfDir/$glob",
-      p => spark.read.parquet(p).schema)
     // `pathGlobFilter` matches LEAF file names: correct when the table is a
     // single file among siblings (the harness layout), but a Spark-written
     // table is a DIRECTORY of part-files whose leaves never match the table
@@ -80,8 +101,11 @@ object EventStreams {
     // would "succeed" on empty input (how ladder-rung streaming numbers
     // briefly read 2× too fast in r11). Directory tables stream from the
     // directory itself, no leaf filter needed.
-    val isDir = glob.indexOf('*') < 0 &&
-      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$sfDir/$glob"))
+    val (isDir, fingerprint) =
+      if (hasGlobMeta(glob)) (false, "glob")
+      else statSource(spark, s"$sfDir/$glob")
+    val stored = probedSchemas.computeIfAbsent(s"$sfDir/$glob|$fingerprint",
+      _ => spark.read.parquet(s"$sfDir/$glob").schema)
     val rd = spark.readStream.schema(stored)
     if (!isDir) rd.option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))

@@ -114,8 +114,12 @@ class MultimodalSpec extends SparkSpec {
     for (id <- Seq(0L, 1L, 2L, 41L, 42L, 43L, 420L)) {
       val bytes = ImageCodec.synthImage(id)
       (id % 4) match {
-        case 3 => // video stub: no image reader claims the ftyp box
+        case 3 => // video: no still-image reader claims either container;
+          // id%8==3 is a real AVI (VideoCodec's domain), id%8==7 an ftyp stub
           assert(ImageCodec.imageField(bytes, 2) == ImageCodec.NOT_IMAGE)
+          val isAvi = graft.functions.VideoCodec.aviField(bytes, 0) !=
+            graft.functions.VideoCodec.NOT_AVI
+          assert(isAvi == (id % 8 == 3))
         case k =>
           assert(ImageCodec.imageField(bytes, 2) == k + 1) // 1 png, 2 jpeg, 3 gif
           assert(ImageCodec.imageField(bytes, 0) == 8 + id % 97)
@@ -133,7 +137,7 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.imageField("plain text payload".getBytes("UTF-8"), 2) == ImageCodec.NOT_IMAGE)
   }
 
-  test("decodeMedia: per-row magic dispatch, header dims, lossless pixel check, video stub") {
+  test("decodeMedia: per-row magic dispatch, header dims, lossless pixel check, real video") {
     val docs = Tables.documents(spark, sf0).select(org.apache.spark.sql.functions.col("doc_id"))
     val media = Multimodal.synthesizeMedia(docs, "doc_id")
     val out = Multimodal.decodeMedia(media, "doc_id", "payload", "mime")
@@ -147,13 +151,39 @@ class MultimodalSpec extends SparkSpec {
           (((id % 256) << 16) | (((id / 3) % 256) << 8) | ((id / 7) % 256)).toInt)
         case 1 => assert(codec == "jpeg" && r.isNullAt(5))
         case 2 => assert(codec == "gif" && !r.isNullAt(5))
+        case _ if id % 8 == 3 => // real MJPEG/AVI: container dims, lossy → no pixel0
+          assert(codec == "mjpeg" && r.isNullAt(5))
         case _ => assert(codec == "stub" && r.getInt(3) == 0 && r.getInt(4) == 0)
       }
-      if (id % 4 < 3) {
+      if (id % 4 < 3 || id % 8 == 3) {
         assert(r.getInt(3) == 8 + id % 97)
         assert(r.getInt(4) == 8 + id % 53)
       }
     }
+  }
+
+  test("VideoCodec: synth AVI round-trips the RIFF walk; frames decode via ImageIO") {
+    import graft.functions.{ImageCodec, VideoCodec}
+    for (id <- Seq(3L, 11L, 19L, 427L)) {
+      val avi = VideoCodec.synthAvi(id)
+      val nf = (2 + id % 4).toInt
+      assert(VideoCodec.aviField(avi, 0) == 8 + id % 97)
+      assert(VideoCodec.aviField(avi, 1) == 8 + id % 53)
+      assert(VideoCodec.aviField(avi, 2) == nf, "declared frame count")
+      val frames = VideoCodec.splitFrames(avi)
+      assert(frames.length == nf, "movi 00dc chunk count")
+      for ((f, k) <- frames.zipWithIndex) {
+        assert(ImageCodec.imageField(f, 2) == 2, "frame is a JPEG")
+        assert(ImageCodec.imageField(f, 0) == 8 + id % 97 + k)
+        assert(ImageCodec.imageField(f, 1) == 8 + id % 53)
+      }
+    }
+    // non-AVI bytes: sentinel / empty, never a throw — including a
+    // truncated RIFF whose declared sizes run past the buffer
+    assert(VideoCodec.aviField("not a container".getBytes("UTF-8"), 0) == VideoCodec.NOT_AVI)
+    assert(VideoCodec.splitFrames(Array[Byte]('R', 'I', 'F', 'F', 9, 0, 0, 0)).isEmpty)
+    val truncated = VideoCodec.synthAvi(3L).take(64)
+    assert(VideoCodec.splitFrames(truncated).isEmpty)
   }
 
   test("resizePlan: aspect preserved, never upscales, dims at least 1") {

@@ -126,14 +126,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("salted join: salt is part of the equi-join key, no BNLJ") {
+  test("salted join (forced): salt is part of the equi-join key, no BNLJ") {
     import graft.operators.AdvancedQueries
-    val plan = formatted(AdvancedQueries.all("q_join_salted").fn(spark, sf0))
+    val plan = formatted(AdvancedQueries.all("q_join_salted_forced").fn(spark, sf0))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"salted join degenerated:\n$plan")
     // the whole point of salting: __salt participates in the join keys so
     // a hot key spreads over `salts` partitions
     assert(plan.contains("__salt"), s"salt column missing from the plan:\n$plan")
+  }
+
+  test("salted join (adaptive): unskewed data degenerates to the plain equi-join") {
+    import graft.operators.AdvancedQueries
+    // harness lineitem has no hot orderkey → measured share ≈ 7/600k →
+    // salts = 1 → NO replication and NO salt column anywhere in the plan
+    val plan = formatted(AdvancedQueries.all("q_join_salted").fn(spark, sf0))
+    assert(!plan.contains("__salt"),
+      s"adaptive salting replicated an unskewed join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"adaptive salted join degenerated:\n$plan")
   }
 
   test("lf which: only ids surface and the predicate still reaches the scan") {

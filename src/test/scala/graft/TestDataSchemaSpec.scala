@@ -77,6 +77,37 @@ class TestDataSchemaSpec extends SparkSpec {
           "(core/Tables.scala normalizeEventTs for events.ts) and this spec.")
   }
 
+  // table -> rows at (sf0.001, sf0.01, sf0.1). EXACT — the generator seed
+  // is pinned, so a regeneration that keeps schemas but changes counts
+  // (seed or SF-dial change) fails HERE as one named test instead of as N
+  // unexplained oracle mismatches (r11 verdict #4). Counts read from the
+  // parquet footers 2026-08-14.
+  private val expectedRows: Seq[(String, (Long, Long, Long))] = Seq(
+    "region" -> ((5L, 5L, 5L)),
+    "nation" -> ((25L, 25L, 25L)),
+    "customer" -> ((150L, 1500L, 15000L)),
+    "supplier" -> ((10L, 100L, 1000L)),
+    "part" -> ((200L, 2000L, 20000L)),
+    "orders" -> ((1500L, 15000L, 150000L)),
+    "lineitem" -> ((6000L, 60000L, 600000L)),
+    "events" -> ((1000L, 10000L, 100000L)),
+    "documents" -> ((500L, 500L, 5000L)),
+    "embeddings" -> ((500L, 500L, 2000L)))
+
+  test("testdata cardinality: exact row counts per table per SF") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val drift = for {
+      (table, (n001, n01, n1)) <- expectedRows
+      (sf, want) <- Seq("sf0.001" -> n001, "sf0.01" -> n01, "sf0.1" -> n1)
+      got = spark.read.parquet(s"/root/testdata/$sf/$table.parquet").count()
+      if got != want
+    } yield s"  $sf/$table: expected $want rows, got $got"
+    assert(drift.isEmpty,
+      "\nTESTDATA DRIFT: row counts changed — the generator seed or SF " +
+        "dial moved. Oracle rows will mismatch en masse; re-pin the counts " +
+        "here once the new generation is understood:\n" + drift.mkString("\n"))
+  }
+
   test("testdata schema: all three SFs agree") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (t <- expected.map(_._1)) {
