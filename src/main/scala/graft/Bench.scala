@@ -15,6 +15,7 @@ object Bench {
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_clusters",
     "q_dedup_embed_lsh", "q_bloom_novel", "q_ann_topk_agg", "q_ann_lsh",
     "q_ann_kmeans", "q_lang_id", "q_tfidf", "q_gapfill",
+    "q_rep_signals", "q_contamination",
     "q_stream_tumbling", "q_stream_join", "q_stream_stateful")
 
   /** Named warm-up rows: each is the designated first consumer of a

@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def registry: Map[String, Q] =
     ParityQueries.all ++ RelationalQueries.all ++ AdvancedQueries.all ++
-      PipelineQueries.all ++ graft.streaming.StreamingQueries.all
+      PipelineQueries.all ++ Curation.all ++
+      graft.streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

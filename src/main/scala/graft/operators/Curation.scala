@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (north-star extension, round 12):
+  * the filters and mixers a large-scale pretraining pipeline runs between
+  * dedup and tokenization.
+  *
+  *   - repetition signals: per-document token/bigram repetition metrics
+  *     (the MassiveText/Gopher-style quality gates) — pure per-row
+  *     higher-order-function expressions, zero shuffle, linear scan;
+  *   - domain mixing: deterministic downsampling to a target source mix
+  *     (the "data recipe" step) — one narrow per-source count, then a
+  *     hash-ranked scan filter (same md5-60 rank as [[Sampling]]: stable
+  *     under retries/repartitioning, replayable by the SQL oracle);
+  *   - contamination: benchmark n-gram overlap scoring (the eval-leakage
+  *     check) — distinct 5-gram hashes joined hash-to-hash against the
+  *     benchmark gram set; the benchmark side broadcasts (eval suites are
+  *     tiny by nature), so the corpus side stays one scan + one
+  *     hash-partitioned aggregation, never all-pairs.
+  */
+object Curation {
+
+  /** Per-distinct-token occurrence counts within one document — O(n·d)
+    * per row (n tokens, d distinct), all inside codegen. The per-row cost
+    * is bounded by document length, so the operator scales with corpus
+    * size, not corpus². */
+  private def occCounts(toks: Column): Column =
+    transform(array_distinct(toks), x => size(filter(toks, y => y === x)))
+
+  /** Target mix for [[mixDomains]]' registered query: concentrate on
+    * src0/src1, cap the long tail. Shares sum to 1. */
+  val targetMix: Seq[(String, Double)] =
+    Seq("src0" -> 0.25, "src1" -> 0.25) ++
+      (2 to 9).map(i => s"src$i" -> 0.0625)
+
+  /** Deterministic domain reweighting: find the largest corpus size N
+    * achievable under `shares` with NO upsampling (N = floor(min_s
+    * count_s / share_s)), then keep each source at rate share_s·N/count_s
+    * via the md5-60 hash rank. The per-source counts are ONE narrow
+    * aggregation (collected driver-side — bounded by the number of
+    * sources, not rows); the sample itself is a zero-shuffle scan filter.
+    * Both the rate arithmetic and the hash are replayed exactly by the
+    * SQL oracle (same multiply/divide order, same trunc). */
+  def mixDomains(docs: DataFrame, idCol: String, sourceCol: String,
+      shares: Seq[(String, Double)], salt: String = "mix"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val counts = docs.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTarget = math.floor(
+      shares.collect { case (s, sh) if counts.contains(s) =>
+        counts(s).toDouble / sh }.min).toLong
+    val rates: Seq[(String, Double)] = shares.collect {
+      case (s, sh) if counts.contains(s) =>
+        s -> (sh * nTarget.toDouble / counts(s).toDouble)
+    }
+    val thresh = rates.tail.foldLeft(
+        when(col(sourceCol) === rates.head._1, lit(Sampling.threshold(rates.head._2)))) {
+      case (acc, (s, rate)) =>
+        acc.when(col(sourceCol) === s, lit(Sampling.threshold(rate)))
+    }.otherwise(lit(0L)) // sources outside the recipe are dropped
+    docs.where(
+      md5Hash60(concat(lit(salt + "_"), col(idCol).cast("string"))) < thresh)
+  }
+
+  private val cache = new graft.core.SessionCache[DataFrame]
+
+  /** Distinct 5-gram md5-60 hashes per document — shared by the
+    * contamination query's three consumers (benchmark set, per-doc hit
+    * counts, per-doc totals); checkpointed so the tokenize→shingle→
+    * explode scan runs once per session. */
+  private def gramSets(s: SparkSession, d: String): DataFrame =
+    cache.getOrElseUpdate(s, s"grams:$d") {
+      GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(tokens(col("text")), 5))).as("g"))
+        .select(col("doc_id"), md5Hash60(col("g")).as("h"))
+        .localCheckpoint()
+    }
+
+  val all: Map[String, Q] = Map(
+
+    // -- Gopher/MassiveText-style repetition signals: distinct-token
+    //    ratio, heaviest-token share, fraction of tokens belonging to
+    //    repeated types, heaviest-bigram share, and the keep/drop gate a
+    //    quality filter would apply. Everything is one per-row codegen
+    //    projection (higher-order functions over the token array — no
+    //    explode, no shuffle); the oracle replays each metric with DuckDB
+    //    list lambdas. Integer-over-integer divisions are single IEEE
+    //    ops, bit-equal across engines. --
+    "q_rep_signals" -> Q(
+      (s, d) => {
+        val t = tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), t.as("t"))
+          .where(size(col("t")) > 0)
+          .select(col("doc_id"), col("t"), occCounts(col("t")).as("cnts"),
+            shingles(col("t"), 2).as("bg"))
+          .select(col("doc_id"), col("bg"),
+            size(col("t")).cast("long").as("n_toks"),
+            size(col("cnts")).cast("long").as("n_distinct"),
+            (size(col("cnts")).cast("double") / size(col("t"))).as("distinct_ratio"),
+            (array_max(col("cnts")).cast("double") / size(col("t"))).as("top_token_share"),
+            (aggregate(filter(col("cnts"), c => c >= 2), lit(0), (a, c) => a + c)
+              .cast("double") / size(col("t"))).as("dup_token_frac"))
+          .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+            col("distinct_ratio"), col("top_token_share"), col("dup_token_frac"),
+            when(size(col("bg")) > 0,
+                array_max(occCounts(col("bg"))).cast("double") / size(col("bg")))
+              .otherwise(lit(0.0)).as("top_bigram_share"))
+          .withColumn("keep",
+            !(col("dup_token_frac") > 0.8 || col("top_bigram_share") > 0.18))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $repTokSql AS t FROM documents),
+         |u AS (SELECT doc_id, t, len(t) AS n, list_distinct(t) AS dt
+         |      FROM toks WHERE len(t) > 0),
+         |c AS (SELECT doc_id, t, n, dt,
+         |        list_transform(dt, x -> len(list_filter(t, y -> y = x))) AS cnts
+         |      FROM u),
+         |bg AS (SELECT doc_id,
+         |         CASE WHEN len(t) >= 2
+         |              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |              ELSE [] END AS b
+         |       FROM u)
+         |SELECT c.doc_id, n::BIGINT AS n_toks, len(dt)::BIGINT AS n_distinct,
+         |  len(dt)::DOUBLE / n AS distinct_ratio,
+         |  list_max(cnts)::DOUBLE / n AS top_token_share,
+         |  COALESCE(list_sum(list_filter(cnts, x -> x >= 2)), 0)::DOUBLE / n
+         |    AS dup_token_frac,
+         |  CASE WHEN len(b) > 0
+         |       THEN list_max(list_transform(list_distinct(b),
+         |              x -> len(list_filter(b, y -> y = x))))::DOUBLE / len(b)
+         |       ELSE 0.0 END AS top_bigram_share,
+         |  NOT (COALESCE(list_sum(list_filter(cnts, x -> x >= 2)), 0)::DOUBLE / n > 0.8
+         |       OR CASE WHEN len(b) > 0
+         |               THEN list_max(list_transform(list_distinct(b),
+         |                      x -> len(list_filter(b, y -> y = x))))::DOUBLE / len(b)
+         |               ELSE 0.0 END > 0.18) AS keep
+         |FROM c JOIN bg ON c.doc_id = bg.doc_id
+         |ORDER BY c.doc_id""".stripMargin),
+
+    // -- deterministic domain mixing to a target source recipe: the
+    //    oracle recomputes N and the per-source rates from the SAME
+    //    counts with the SAME arithmetic order, then replays the md5-60
+    //    rank, so the selected id set matches exactly. --
+    "q_mix_domains" -> Q(
+      (s, d) => mixDomains(Tables.documents(s, d), "doc_id", "source", targetMix)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      s"""WITH shares(source, share) AS (VALUES
+         |  ('src0', 0.25), ('src1', 0.25), ('src2', 0.0625), ('src3', 0.0625),
+         |  ('src4', 0.0625), ('src5', 0.0625), ('src6', 0.0625), ('src7', 0.0625),
+         |  ('src8', 0.0625), ('src9', 0.0625)),
+         |cnt AS (SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+         |nt AS (SELECT floor(min(c::DOUBLE / share))::BIGINT AS n
+         |       FROM cnt JOIN shares USING (source)),
+         |thr AS (SELECT source,
+         |          CAST(trunc((share * n::DOUBLE / c::DOUBLE)
+         |            * 1152921504606846976.0) AS BIGINT) AS t
+         |        FROM cnt JOIN shares USING (source) CROSS JOIN nt)
+         |SELECT doc_id, source FROM documents JOIN thr USING (source)
+         |WHERE ('0x' || substr(md5('mix_' || doc_id::VARCHAR), 1, 15))::BIGINT < t
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- benchmark contamination scoring: overlap of each training doc's
+    //    distinct 5-gram hash set with the "benchmark" docs' gram set
+    //    (every 50th doc stands in for an eval suite). Benchmark grams
+    //    BROADCAST (eval suites are small by nature); the corpus side is
+    //    one scan + one hash-partitioned count — the 100 TB shape. The
+    //    oracle replays the same md5-60 grams and joins hash-to-hash, so
+    //    even a hash collision reproduces identically. --
+    "q_contamination" -> Q(
+      (s, d) => {
+        val grams = gramSets(s, d)
+        val bench = broadcast(
+          grams.where(col("doc_id") % 50 === 0).select(col("h")).distinct())
+        val train = grams.where(col("doc_id") % 50 =!= 0)
+        val hits = train.join(bench, "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+              .as("contamination"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $repTokSql AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          range(1, greatest(len(t)-4, 0)+1),
+         |          i -> array_to_string(t[i:i+4], ' '))) AS s
+         |        FROM toks)),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 50 = 0),
+         |train AS (SELECT * FROM g WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT doc_id, count(*)::BIGINT AS n_hit
+         |         FROM train JOIN bench USING (h) GROUP BY 1)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_grams,
+         |  COALESCE(any_value(hits.n_hit), 0)::BIGINT AS n_hit,
+         |  COALESCE(any_value(hits.n_hit), 0)::DOUBLE / count(*) AS contamination
+         |FROM train t LEFT JOIN hits ON t.doc_id = hits.doc_id
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+  )
+
+  /** DuckDB token split shared by this object's oracles (same regex as
+    * [[GraftFunctions.tokens]]). */
+  private def repTokSql: String =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+}
