@@ -147,6 +147,29 @@ class PlanSpec extends SparkSpec {
       s"adaptive salted join degenerated:\n$plan")
   }
 
+  test("curation plan shapes: zero-shuffle signals/mix; broadcast contamination") {
+    import graft.operators.Curation
+    // repetition signals: one per-row projection chain — the ONLY exchange
+    // allowed is the presentation ORDER BY (no explode, no join, no agg)
+    val rep = formatted(Curation.all("q_rep_signals").fn(spark, sf0))
+    assert("Exchange".r.findAllIn(rep).size <= 2, // rangepartitioning for sort
+      s"q_rep_signals grew a data shuffle:\n$rep")
+    assert(!rep.contains("Generate") && !rep.contains("Join"),
+      s"q_rep_signals must stay a scan projection:\n$rep")
+    // domain mix: hash-rank scan filter — same bound
+    val mix = formatted(Curation.all("q_mix_domains").fn(spark, sf0))
+    assert("Exchange".r.findAllIn(mix).size <= 2,
+      s"q_mix_domains sample must be a scan filter:\n$mix")
+    assert(!mix.contains("Join"), s"q_mix_domains must not join:\n$mix")
+    // contamination: benchmark grams broadcast; corpus side never SMJ/BNLJ
+    val con = formatted(Curation.all("q_contamination").fn(spark, sf0))
+    assert(con.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$con")
+    assert(!con.contains("SortMergeJoin") && !con.contains("BroadcastNestedLoopJoin")
+      && !con.contains("CartesianProduct"),
+      s"contamination corpus side must stay broadcast-joined:\n$con")
+  }
+
   test("lf which: only ids surface and the predicate still reaches the scan") {
     val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", ParityQueries.rowOrderKey)
     val which = lf.which(col("l_quantity") > 30.0)
