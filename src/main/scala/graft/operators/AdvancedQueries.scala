@@ -54,19 +54,34 @@ object AdvancedQueries {
   def adaptiveSalts(topShare: Double, parallelism: Int): Int =
     math.max(1, math.ceil(topShare * parallelism).toInt)
 
+  /** Measured salt count for `probe`'s `key` (see [[adaptiveSalts]]). */
+  def adaptiveSaltCount(probe: org.apache.spark.sql.DataFrame, key: String): Int = {
+    val parallelism = probe.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    adaptiveSalts(measuredTopKeyShare(probe, key), parallelism)
+  }
+
+  /** Join with a known salt count: 1 ⇒ the plain single-shuffle equi-join
+    * (no replication, no salt column), >1 ⇒ [[saltedJoin]]. */
+  def saltedJoinWith(salts: Int)(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+      leftKey: String, rightKey: String): org.apache.spark.sql.DataFrame =
+    if (salts <= 1) left.join(right, left(leftKey) === right(rightKey))
+    else saltedJoin(salts)(left, right, leftKey, rightKey)
+
   /** Skew-adaptive salted join: measures the probe side's top-key share,
     * derives the salt count, and degenerates to the single-shuffle plain
     * equi-join when no key is hot. The measurement is one narrow agg per
     * call — at 100 TB that is a pruned scan of the key column plus a
     * (distinct keys)-sized exchange, amortized against a join that would
-    * otherwise straggle on one reducer. */
+    * otherwise straggle on one reducer. Callers joining the same table
+    * repeatedly should measure once and reuse ([[adaptiveSaltCount]] +
+    * [[saltedJoinWith]] — how the registered query caches it per session:
+    * a table's skew profile is a stable property, not a per-query fact). */
   def saltedJoinAdaptive(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
-      leftKey: String, rightKey: String): org.apache.spark.sql.DataFrame = {
-    val parallelism = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val salts = adaptiveSalts(measuredTopKeyShare(left, leftKey), parallelism)
-    if (salts <= 1) left.join(right, left(leftKey) === right(rightKey))
-    else saltedJoin(salts)(left, right, leftKey, rightKey)
-  }
+      leftKey: String, rightKey: String): org.apache.spark.sql.DataFrame =
+    saltedJoinWith(adaptiveSaltCount(left, leftKey))(left, right, leftKey, rightKey)
+
+  /** One skew measurement per (session, dir) for the registered query. */
+  private val saltCache = new graft.core.SessionCache[Integer]
 
   val all: Map[String, Q] = Map(
 
@@ -307,7 +322,9 @@ object AdvancedQueries {
       (s, d) => {
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
         val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
-        saltedJoinAdaptive(li, o, "l_orderkey", "o_orderkey")
+        val salts: Int = saltCache.getOrElseUpdate(s, s"salt:$d")(
+          Integer.valueOf(adaptiveSaltCount(li, "l_orderkey")))
+        saltedJoinWith(salts)(li, o, "l_orderkey", "o_orderkey")
           .groupBy(col("o_orderpriority"))
           .agg(sum(col("l_extendedprice").cast(dec) *
             (lit(1).cast(dec) - col("l_discount").cast(dec))).cast("double").as("revenue"),

@@ -822,6 +822,41 @@ object PipelineQueries {
          |SELECT cid, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
          |FROM a2 GROUP BY 1 ORDER BY cid""".stripMargin),
 
+    // Semantic dedup (SemDeDup-shape): cluster embeddings with the fitted
+    // k-means codebook, then WITHIN each cell drop any vector that has an
+    // earlier-id neighbor at cosine >= 0.8 (deterministic keeper rule, no
+    // iteration). The clustering is what makes it scale: candidate pairs
+    // are O(sum |cell|^2), never O(n^2) — a production run additionally
+    // caps cell size (re-clusters oversized cells), which changes the
+    // constant, not the shape. The oracle replays the identical k-means
+    // fit (kmeansCtes) and the identical pair predicate, so the
+    // by-design-approximate answer still matches exactly.
+    "q_dedup_semantic" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val cells = kmeansFit(s, d).select(col("vec_id"), col("cid"))
+        val e = Tables.embeddings(s, d).join(cells, "vec_id")
+        val x = e.select(col("cid"), col("vec_id").as("va"), col("embedding").as("ea"))
+        val y = e.select(col("cid"), col("vec_id").as("vb"), col("embedding").as("eb"))
+        val dropped = x.join(y, "cid")
+          .where(col("va") > col("vb") && cosineSim(col("ea"), col("eb")) >= 0.8)
+          .select(col("va").as("vec_id")).distinct()
+        cells.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cid"))
+          .orderBy("vec_id")
+      },
+      s"""$kmeansCtes,
+         |cells AS (SELECT vec_id, cid FROM a2),
+         |p AS (
+         |  SELECT cx.vec_id AS va
+         |  FROM cells cx JOIN cells cy ON cx.cid = cy.cid AND cx.vec_id > cy.vec_id
+         |       JOIN embeddings x ON x.vec_id = cx.vec_id
+         |       JOIN embeddings y ON y.vec_id = cy.vec_id
+         |  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.8)
+         |SELECT c.vec_id, c.cid FROM cells c
+         |WHERE c.vec_id NOT IN (SELECT va FROM p)
+         |ORDER BY c.vec_id""".stripMargin),
+
     // IVF over the FITTED codebook (no label stand-in): every vector lives
     // in its k-means cell; a query probes its own cell's inverted list.
     // Same algorithm replayed by the oracle, so the (by-design approximate)
