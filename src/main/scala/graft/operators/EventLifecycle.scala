@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-lifecycle operators (north-star extension, round 12):
+  * the "event log → curated table" reshaping steps a training-data
+  * pipeline runs over interaction/telemetry logs before feature
+  * extraction.
+  *
+  *   - sessionization: split each user's event stream into sessions at
+  *     idle gaps (the batch twin of the streaming `session_window`
+  *     query, whose semantics the reference-free batch path can oracle
+  *     exactly);
+  *   - SCD2 history: run-length-encode each user's `event_type`
+  *     transitions into versioned validity intervals
+  *     (`valid_from`/`valid_to`/`is_current`) — the slowly-changing-
+  *     dimension shape used for snapshot lineage of mutable metadata.
+  *
+  * Scale: both operators are ONE hash shuffle on `user_id`; every
+  * window and the final aggregation run inside those partitions (the
+  * group-by keys extend the window partition key, so Spark's
+  * `EnsureRequirements` inserts no second exchange — locked by
+  * PlanSpec). State per key is a row, not a buffer: at 100 TB the
+  * operator scales with key cardinality × events-per-key, and a skewed
+  * user would be handled by the same salting pattern as the join family
+  * (not needed on the harness data — measured skew is flat).
+  */
+object EventLifecycle {
+
+  /** 6 hours in microseconds — the idle gap that splits sessions. The
+    * harness events run ~30 days × 15 users with a median inter-event
+    * gap of ~7.7 h, so 6 h yields real multi-event sessions rather than
+    * one session (gap too big) or one event each (gap too small). */
+  val sessionGapUs: Long = 6L * 3600 * 1000000
+
+  val all: Map[String, Q] = Map(
+
+    // -- gap-based sessionization: flag rows whose distance to the
+    //    previous event (same user, total (ts, event_id) order)
+    //    exceeds the gap, running-sum the flags into a session id, then
+    //    aggregate per (user, session). Exactly one exchange: the
+    //    windows partition by user_id and the group-by keys
+    //    (user_id, session_id) are a superset, so the existing hash
+    //    partitioning satisfies the aggregation's distribution. --
+    "q_sessionize" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"), col("value"))
+          .withColumn("new_s",
+            when(lag(col("ts_us"), 1).over(w).isNull
+                || col("ts_us") - lag(col("ts_us"), 1).over(w) > sessionGapUs,
+              1).otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_s"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"),
+            max(col("ts_us")).as("end_us"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy("user_id", "session_id")
+      },
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+         |           FROM events),
+         |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |                       OR ts_us - lag(ts_us) OVER w > $sessionGapUs
+         |                     THEN 1 ELSE 0 END AS new_s
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+         |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         |      FROM f)
+         |SELECT user_id, session_id::BIGINT AS session_id,
+         |  count(*)::BIGINT AS n_events, min(ts_us) AS start_us,
+         |  max(ts_us) AS end_us,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM g GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin),
+
+    // -- SCD2 validity intervals from the event log: a `chg` flag marks
+    //    rows where event_type differs from the previous row (per user),
+    //    its running sum numbers the runs, and each row also looks AHEAD
+    //    (`1 FOLLOWING..UNBOUNDED`) for the first change timestamp — so
+    //    the run's valid_to is known on every member row and the final
+    //    aggregation needs no second windowing pass over the grouped
+    //    output (which WOULD re-shuffle: hash(user, version) does not
+    //    satisfy a user-only window). One exchange total. --
+    "q_scd2" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts_ns div 1000").as("ts_us"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull
+                || lag(col("event_type"), 1).over(w) =!= col("event_type"),
+              1).otherwise(0))
+          .withColumn("ver",
+            sum(col("chg"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("nxt",
+            min(when(col("chg") === 1, col("ts_us")))
+              .over(w.rowsBetween(1, Window.unboundedFollowing)))
+          .groupBy(col("user_id"), col("ver"))
+          .agg(min(col("event_type")).as("event_type"),
+            min(col("ts_us")).as("valid_from_us"),
+            min(col("nxt")).as("valid_to_us"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("ver").as("version"), col("event_type"),
+            col("valid_from_us"), col("valid_to_us"), col("n_events"),
+            col("valid_to_us").isNull.as("is_current"))
+          .orderBy("user_id", "version")
+      },
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                       OR lag(event_type) OVER w <> event_type
+        |                     THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (SELECT *,
+        |        SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS ver,
+        |        MIN(CASE WHEN chg = 1 THEN ts_us END) OVER (
+        |          PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        |      FROM f)
+        |SELECT user_id, ver::BIGINT AS version, min(event_type) AS event_type,
+        |  min(ts_us) AS valid_from_us, min(nxt) AS valid_to_us,
+        |  count(*)::BIGINT AS n_events, (min(nxt) IS NULL) AS is_current
+        |FROM g GROUP BY user_id, ver
+        |ORDER BY user_id, version""".stripMargin)
+  )
+}
