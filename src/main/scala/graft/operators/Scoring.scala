@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document scoring / retrieval operators (north-star extension, round 12):
+  * the ranking and model-scoring steps between curation and training.
+  *
+  *   - BM25: classic sparse retrieval over the corpus for a fixed query —
+  *     one scan computes per-doc term frequencies, ONE tiny aggregate
+  *     yields the global stats (N, avgdl, per-term df), and the stats
+  *     frame broadcasts back over the scan (never a shuffle on the
+  *     corpus). Top-k by score is a TakeOrdered, not a global sort.
+  *   - hashed linear quality classifier: the fastText-style shape — a
+  *     deterministic weight table addressed by token-hash bucket, applied
+  *     as an ORDERED per-row fold (so the float sum is bit-identical in
+  *     any engine that replays the same order, which the DuckDB oracle
+  *     does via `list_reduce`). Pure projection: zero shuffle, zero
+  *     broadcast — at 100 TB this is a scan.
+  *   - duplicated-span fraction: the exact-substring dedup signal (per
+  *     Lee et al. 2022's "train-dedup" at span granularity): strided
+  *     16-token spans are hashed, each span hash's OWNER is its smallest
+  *     doc_id, and a doc's score is the fraction of its distinct spans
+  *     owned by an earlier doc. The shuffle moves (doc_id, hash) pairs
+  *     only — never text — which is the O(corpus tokens / stride × 16 B)
+  *     shape that survives 100 TB.
+  */
+object Scoring {
+
+  /** BM25 parameters (standard Robertson defaults). */
+  val k1 = 1.2
+  val b = 0.75
+
+  /** The fixed retrieval query: three terms present in the harness vocab. */
+  val bm25Terms: Seq[String] = Seq("merge", "window", "stream")
+
+  /** Classifier dials: hash-bucket count and the per-bucket deterministic
+    * weight in [-1, 1] derived from md5 of the bucket id — replayable by
+    * the oracle, stable across runs/partitionings. */
+  val numBuckets = 4096
+
+  private def weight(tok: Column): Column =
+    (md5Hash60(concat(lit("w_"),
+      (md5Hash60(tok) % numBuckets).cast("string"))) % 2001 - 1000) / lit(1000.0)
+
+  /** DuckDB twin of [[weight]]. */
+  private def weightSql(x: String): String =
+    s"(('0x' || substr(md5('w_' || ((('0x' || substr(md5($x), 1, 15))::BIGINT) " +
+      s"% $numBuckets)::VARCHAR), 1, 15))::BIGINT % 2001 - 1000) / 1000.0"
+
+  /** DuckDB token split (same contract as [[GraftFunctions.tokens]]). */
+  private val tokSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val spanLen = 16
+  val spanStride = 8
+
+  val all: Map[String, Q] = Map(
+
+    // -- BM25 retrieval: score every doc for the fixed 3-term query and
+    //    return the top 20. Float parity: the scoring expression is
+    //    written with the IDENTICAL operation order in both engines
+    //    (left-assoc, explicit parens), the only transcendental (ln) is
+    //    followed by a product chain, and the final score is rounded to 4
+    //    decimals before ranking so a last-ulp libm-vs-JVM difference
+    //    cannot flip the order (tie-break: doc_id). --
+    "q_bm25" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val t = tokens(col("text"))
+        val tf = bm25Terms.zipWithIndex.map { case (term, i) =>
+          size(filter(col("t"), x => x === term)).as(s"tf$i")
+        }
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), t.as("t"))
+          .select(col("doc_id") +: size(col("t")).as("dl") +: tf: _*)
+        val statCols = count(lit(1)).as("n_docs") +:
+          sum(col("dl")).as("sum_dl") +:
+          bm25Terms.indices.map(i =>
+            count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
+        val stats = base.agg(statCols.head, statCols.tail: _*)
+        val avgdl = col("sum_dl").cast("double") / col("n_docs")
+        val termScore = bm25Terms.indices.map { i =>
+          log((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+              + lit(1.0)) *
+            ((col(s"tf$i") * lit(k1 + 1)) /
+              (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / avgdl)))
+        }
+        base.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("dl").cast("long").as("dl"),
+            round(termScore.reduceLeft(_ + _), 4).as("score"))
+          .where(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |base AS (SELECT doc_id, len(t) AS dl,
+         |    len(list_filter(t, x -> x = 'merge')) AS tf0,
+         |    len(list_filter(t, x -> x = 'window')) AS tf1,
+         |    len(list_filter(t, x -> x = 'stream')) AS tf2
+         |  FROM toks),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+         |    count(*) FILTER (WHERE tf0 > 0)::BIGINT AS df0,
+         |    count(*) FILTER (WHERE tf1 > 0)::BIGINT AS df1,
+         |    count(*) FILTER (WHERE tf2 > 0)::BIGINT AS df2
+         |  FROM base),
+         |scored AS (SELECT doc_id, dl::BIGINT AS dl, round(
+         |    (ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+         |      * ((tf0 * ${k1 + 1}) / (tf0 + $k1 * ((1.0 - $b) + ($b * dl) / (sum_dl::DOUBLE / n_docs)))))
+         |  + (ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+         |      * ((tf1 * ${k1 + 1}) / (tf1 + $k1 * ((1.0 - $b) + ($b * dl) / (sum_dl::DOUBLE / n_docs)))))
+         |  + (ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+         |      * ((tf2 * ${k1 + 1}) / (tf2 + $k1 * ((1.0 - $b) + ($b * dl) / (sum_dl::DOUBLE / n_docs))))),
+         |  4) AS score
+         |  FROM base CROSS JOIN stats)
+         |SELECT doc_id, dl, score FROM scored WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // -- hashed linear classifier: w_sum is an ordered fold over the
+    //    token array (aggregate ≡ list_reduce: same element order, same
+    //    IEEE additions, bit-identical result); only the logistic output
+    //    is rounded (exp differs in the last ulp across libms). --
+    "q_quality_classifier" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .where(size(col("t")) > 0)
+          .select(col("doc_id"), size(col("t")).cast("long").as("n_toks"),
+            aggregate(transform(col("t"), (x: Column) => weight(x)), lit(0.0), (a, c) => a + c)
+              .as("w_sum"))
+          .withColumn("score", col("w_sum") / col("n_toks"))
+          .select(col("doc_id"), col("n_toks"), col("w_sum"), col("score"),
+            round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 6).as("prob"),
+            (col("score") > 0.0).as("keep"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |f AS (SELECT doc_id, len(t)::BIGINT AS n_toks,
+         |    list_reduce(list_prepend(0.0, list_transform(t, x -> ${weightSql("x")})),
+         |      (a, c) -> a + c) AS w_sum
+         |  FROM toks WHERE len(t) > 0)
+         |SELECT doc_id, n_toks, w_sum, w_sum / n_toks AS score,
+         |  round(1.0 / (1.0 + exp(-(w_sum / n_toks))), 6) AS prob,
+         |  (w_sum / n_toks > 0.0) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin),
+
+    // -- duplicated-span fraction: distinct strided 16-token span hashes
+    //    per doc; a span is "duplicated" when a smaller doc_id also
+    //    contains it. Only (doc_id, hash) pairs shuffle. --
+    "q_dup_span_frac" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val spans = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .where(size(col("t")) >= spanLen)
+          .select(col("doc_id"), explode(array_distinct(
+            transform(
+              sequence(lit(0), expr(s"(size(t) - $spanLen) div $spanStride")),
+              i => md5Hash60(concat_ws(" ",
+                slice(col("t"), i * spanStride + 1, lit(spanLen))))))).as("h"))
+        val owner = spans.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+        spans.join(owner, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_spans")).as("dup_span_frac"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= $spanLen),
+         |s AS (SELECT DISTINCT doc_id,
+         |    ('0x' || substr(md5(sp), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          range(0, (n - $spanLen) // $spanStride + 1),
+         |          i -> array_to_string(t[i * $spanStride + 1 : i * $spanStride + $spanLen], ' '))) AS sp
+         |        FROM d)),
+         |o AS (SELECT h, min(doc_id) AS owner FROM s GROUP BY h)
+         |SELECT s.doc_id, count(*)::BIGINT AS n_spans,
+         |  sum(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+         |  sum(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         |    AS dup_span_frac
+         |FROM s JOIN o USING (h) GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
+  )
+}
