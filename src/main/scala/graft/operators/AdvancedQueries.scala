@@ -599,6 +599,47 @@ object AdvancedQueries {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
         |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+
+    // -- CDC-style snapshot diff: per-customer order state in 1994 vs
+    //    1995, classified added / removed / changed / unchanged via one
+    //    full outer join. Both snapshot aggregations and the join hash on
+    //    the SAME key (o_custkey), so the join adds no third exchange;
+    //    at 100 TB this is the standard two-scan + co-partitioned-join
+    //    CDC shape (no driver-side state, no collect). Sums go through
+    //    DECIMAL(18,2) — exact and order-free — and compare as doubles
+    //    cast from the same decimal. --
+    "q_snapshot_diff" -> Q(
+      (s, d) => {
+        def snap(yr: Int) = Tables.orders(s, d)
+          .where(year(col("o_orderdate").cast("date")) === yr)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as(s"n_$yr"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as(s"sum_$yr"))
+        snap(1994).join(snap(1995), Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"), col("n_1994"), col("sum_1994"),
+            col("n_1995"), col("sum_1995"),
+            when(col("n_1994").isNull, "added")
+              .when(col("n_1995").isNull, "removed")
+              .when(col("n_1994") =!= col("n_1995")
+                || col("sum_1994") =!= col("sum_1995"), "changed")
+              .otherwise("unchanged").as("status"))
+          .orderBy("o_custkey")
+      },
+      """WITH a AS (SELECT o_custkey, count(*)::BIGINT AS n_1994,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_1994
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1994 GROUP BY 1),
+        |b AS (SELECT o_custkey, count(*)::BIGINT AS n_1995,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_1995
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  n_1994, sum_1994, n_1995, sum_1995,
+        |  CASE WHEN n_1994 IS NULL THEN 'added'
+        |       WHEN n_1995 IS NULL THEN 'removed'
+        |       WHEN n_1994 <> n_1995 OR sum_1994 <> sum_1995 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL OUTER JOIN b USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin)
   )
 }
