@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality monitoring operators (north-star extension, round 12):
+  * the Deequ-style assertion pass a pipeline runs over every ingested
+  * table, and the trailing-window anomaly gate it runs over arriving
+  * metrics.
+  *
+  *   - constraint suite: completeness / uniqueness / range / accepted-
+  *     values metrics come from ONE aggregation pass over the fact table
+  *     (all partial-aggregated before a single exchange); the one
+  *     referential-integrity check is a broadcast anti-join against the
+  *     dimension. Output is a tiny (constraint, metric, passed) table —
+  *     the 100 TB cost is one scan.
+  *   - trailing-window anomaly flag: per-user daily totals, each day
+  *     judged against its trailing 7-day window. The 2σ rule
+  *     |x − Σx/n| > 2σ is squared and cleared of divisions to
+  *     (n·x − Σx)² > 4·(n·Σx² − (Σx)²), evaluated on int64 value-cents —
+  *     EXACT in both engines, so no float tolerance or rounding can flip
+  *     the flag.
+  */
+object QualityChecks {
+
+  val all: Map[String, Q] = Map(
+
+    // -- constraint suite over lineitem (+ orders→customer RI). Metrics
+    //    are exact ratios (integer/integer in IEEE double — identical in
+    //    any engine); `passed` thresholds compare those exact values. --
+    "q_dq_checks" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val a = li.agg(
+          count(lit(1)).as("n"),
+          count(col("l_quantity")).as("qty_nn"),
+          count(when(col("l_quantity") >= 1 && col("l_quantity") <= 50, 1))
+            .as("qty_in_range"),
+          count(when(col("l_returnflag").isin("A", "N", "R"), 1)).as("rf_ok"),
+          countDistinct(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_extendedprice")).as("key_nd"))
+        val orphans = Tables.orders(s, d).select(col("o_custkey"))
+          .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        val checks = a.crossJoin(orphans).select(explode(array(
+          struct(lit("completeness:l_quantity").as("check_name"),
+            (col("qty_nn").cast("double") / col("n")).as("metric"),
+            (col("qty_nn") === col("n")).as("passed")),
+          struct(lit("uniqueness:lineitem_key").as("check_name"),
+            (col("key_nd").cast("double") / col("n")).as("metric"),
+            (col("key_nd") === col("n")).as("passed")),
+          struct(lit("range:l_quantity_1_50").as("check_name"),
+            (col("qty_in_range").cast("double") / col("n")).as("metric"),
+            (col("qty_in_range") === col("n")).as("passed")),
+          struct(lit("accepted:l_returnflag_ANR").as("check_name"),
+            (col("rf_ok").cast("double") / col("n")).as("metric"),
+            (col("rf_ok") === col("n")).as("passed")),
+          struct(lit("ri:orders_custkey").as("check_name"),
+            col("n_orphan").cast("double").as("metric"),
+            (col("n_orphan") === 0).as("passed")))).as("c"))
+        checks.select(col("c.*")).orderBy("check_name")
+      },
+      """WITH a AS (SELECT count(*)::BIGINT AS n,
+        |    count(l_quantity)::BIGINT AS qty_nn,
+        |    count(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 END)::BIGINT AS qty_in_range,
+        |    count(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 END)::BIGINT AS rf_ok,
+        |    count(DISTINCT (l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice))::BIGINT AS key_nd
+        |  FROM lineitem),
+        |o AS (SELECT count(*)::BIGINT AS n_orphan FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT * FROM (
+        |  SELECT 'completeness:l_quantity' AS check_name, qty_nn::DOUBLE / n AS metric, qty_nn = n AS passed FROM a
+        |  UNION ALL
+        |  SELECT 'uniqueness:lineitem_key', key_nd::DOUBLE / n, key_nd = n FROM a
+        |  UNION ALL
+        |  SELECT 'range:l_quantity_1_50', qty_in_range::DOUBLE / n, qty_in_range = n FROM a
+        |  UNION ALL
+        |  SELECT 'accepted:l_returnflag_ANR', rf_ok::DOUBLE / n, rf_ok = n FROM a
+        |  UNION ALL
+        |  SELECT 'ri:orders_custkey', n_orphan::DOUBLE, n_orphan = 0 FROM a CROSS JOIN o
+        |) ORDER BY check_name""".stripMargin),
+
+    // -- trailing-window anomaly flag, decimal-exact (see object doc).
+    //    One user_id shuffle: daily rollup and the trailing window both
+    //    cluster on user_id (day extends the grouping key). Windows use
+    //    RANGE over the integer day so calendar gaps shorten the window
+    //    instead of silently stretching it. --
+    //    All window statistics are int64 value-CENTS (the 2-decimal day
+    //    sum × 100): n ≤ 7, Σx ≤ ~1e8, so every product below stays far
+    //    inside 64 bits — no decimal typing games, no overflow. --
+    "q_anomaly" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(sum(col("v")).as("x"))
+          .select(col("user_id"), col("day"), col("x"),
+            (col("x") * 100).cast("long").as("mv"))
+        val w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("mv")).over(w))
+          .withColumn("sxx", sum(col("mv") * col("mv")).over(w))
+          .select(col("user_id"), col("day"),
+            col("x").cast("double").as("day_sum"), col("n").as("n_window"),
+            (col("n") >= 4 &&
+              (col("n") * col("mv") - col("sx")) * (col("n") * col("mv") - col("sx"))
+                > (col("n") * col("sxx") - col("sx") * col("sx")) * 4)
+              .as("is_anomaly"))
+          .orderBy("user_id", "day")
+      },
+      """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT *, CAST(x * 100 AS BIGINT) AS mv FROM daily),
+        |w AS (SELECT *, count(*) OVER win AS n,
+        |    CAST(SUM(mv) OVER win AS BIGINT) AS sx,
+        |    CAST(SUM(mv * mv) OVER win AS BIGINT) AS sxx
+        |  FROM m
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day, CAST(x AS DOUBLE) AS day_sum, n::BIGINT AS n_window,
+        |  (n >= 4 AND (n * mv - sx) * (n * mv - sx) > (n * sxx - sx * sx) * 4)
+        |    AS is_anomaly
+        |FROM w ORDER BY user_id, day""".stripMargin)
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.QualityChecks
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Constraint suite + anomaly gate: semantic checks on the harness data
+  * and the plan shapes (one-pass agg + broadcast anti-join; single
+  * user_id shuffle for the anomaly window). */
+class QualityChecksSpec extends SparkSpec {
+
+  test("dq checks: five constraints, clean harness data passes the clean ones") {
+    val rows = QualityChecks.all("q_dq_checks").fn(spark, sf0).collect()
+    assert(rows.length === 5)
+    val byName = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    // harness lineitem has no null quantities and intact RI
+    assert(byName("completeness:l_quantity")._2)
+    assert(byName("ri:orders_custkey") === ((0.0, true)))
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0, "metrics are ratios or counts")
+    }
+  }
+
+  test("dq plan: RI check is a broadcast anti-join") {
+    val p = QualityChecks.all("q_dq_checks").fn(spark, sf0).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"RI must be a broadcast anti-join:\n$p")
+    // the only nested-loop join is the 1-row x 1-row scalar crossJoin of
+    // the two aggregate summaries — data-proportional BNLJs stay banned
+    // (count tree nodes only; the details section repeats each name)
+    val tree = p.split("\n\n")(0)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(tree).size <= 1, p)
+  }
+
+  test("anomaly: flags exist only with enough window support; math is exact") {
+    val rows = QualityChecks.all("q_anomaly").fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getBoolean(4)) assert(r.getLong(3) >= 4,
+        "anomaly requires >= 4 trailing days of support")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 7, "trailing window is 7 days")
+    }
+  }
+
+  test("anomaly plan: raw events never shuffle — both exchanges move daily rows") {
+    // two hash exchanges is the RIGHT scale shape here: the partial
+    // aggregate reduces raw events to per-(user, day) rows BEFORE the
+    // first shuffle, and the second exchange re-clusters those daily
+    // rows by user for the trailing window. Forcing a single exchange
+    // would shuffle the full raw event log by user instead.
+    val df = QualityChecks.all("q_anomaly").fn(spark, sf0)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size === 2, p)
+    // partial aggregation happens below (deeper than) the innermost
+    // exchange — the tree prints outermost first, so the reduction
+    // must appear after the last Exchange line
+    val tree = p.substring(0, p.indexOf("(1) Scan"))
+    val belowInnermostExchange = tree.substring(tree.lastIndexOf("Exchange"))
+    assert(belowInnermostExchange.contains("HashAggregate"),
+      s"partial agg must precede the first shuffle:\n$p")
+  }
+}
