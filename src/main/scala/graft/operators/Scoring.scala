@@ -150,7 +150,10 @@ object Scoring {
 
     // -- duplicated-span fraction: distinct strided 16-token span hashes
     //    per doc; a span is "duplicated" when a smaller doc_id also
-    //    contains it. Only (doc_id, hash) pairs shuffle. --
+    //    contains it. The owner (min doc_id per span hash) comes from a
+    //    window over the hash — ONE pass over the corpus, no self-join
+    //    (the groupBy+join-back formulation scans the tokenize+shingle
+    //    explode twice); only (doc_id, hash) pairs shuffle. --
     "q_dup_span_frac" -> Q(
       (s, d) => {
         GraftFunctions.register(s)
@@ -162,8 +165,9 @@ object Scoring {
               sequence(lit(0), expr(s"(size(t) - $spanLen) div $spanStride")),
               i => md5Hash60(concat_ws(" ",
                 slice(col("t"), i * spanStride + 1, lit(spanLen))))))).as("h"))
-        val owner = spans.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
-        spans.join(owner, "h")
+        spans
+          .withColumn("owner", min(col("doc_id"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_spans"),
             sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_dup"))
@@ -179,11 +183,11 @@ object Scoring {
          |          range(0, (n - $spanLen) // $spanStride + 1),
          |          i -> array_to_string(t[i * $spanStride + 1 : i * $spanStride + $spanLen], ' '))) AS sp
          |        FROM d)),
-         |o AS (SELECT h, min(doc_id) AS owner FROM s GROUP BY h)
-         |SELECT s.doc_id, count(*)::BIGINT AS n_spans,
-         |  sum(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dup,
-         |  sum(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         |o AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS owner FROM s)
+         |SELECT doc_id, count(*)::BIGINT AS n_spans,
+         |  sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+         |  sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*)
          |    AS dup_span_frac
-         |FROM s JOIN o USING (h) GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
+         |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

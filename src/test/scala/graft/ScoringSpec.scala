@@ -62,4 +62,11 @@ class ScoringSpec extends SparkSpec {
     val first = rows.minBy(_.getLong(0))
     assert(first.getLong(2) === 0L)
   }
+
+  test("dup-span plan: one corpus scan (window owner, no self-join)") {
+    val p = plan(run("q_dup_span_frac"))
+    val tree = p.split("\n\n")(0)
+    assert("Scan parquet".r.findAllIn(tree).size === 1,
+      s"span signal must derive the explode once:\n$p")
+  }
 }
