@@ -286,4 +286,35 @@ class PlanSpec extends SparkSpec {
     }
     assert(out.count() >= 0)
   }
+
+  test("fact-fact join is runtime-bloom-filter-ready at scale") {
+    // At 100 TB the lineitem x filtered-orders join runs as a shuffle
+    // join, and Spark's runtime bloom filter (creation side = the
+    // selective orders branch) prunes fact rows BEFORE the exchange.
+    // The harness data sits under the 10 GB application-side threshold,
+    // so the injection rightly never fires in the registry plans — this
+    // test lowers the thresholds to the harness scale and asserts the
+    // engine's join shape still qualifies for injection (single equi-key,
+    // selective creation side, no structural blocker).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf0).select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.orders(spark, sf0)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"runtime bloom filter must inject on the shuffled fact-fact join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
