@@ -143,6 +143,73 @@ object EventStreams {
       .select(unix_micros(col("session_window.start")).as("session_start_us"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** Streaming anomaly gate — the at-ingest twin of the batch `q_anomaly`
+    * operator. Per-user state is the map day → value-cents (the daily
+    * rollup); whenever a batch touches a day, every day whose trailing
+    * 7-day window includes a touched day is RE-JUDGED and re-emitted with
+    * a per-user version counter, so keeping the highest-version emission
+    * per (user, day) converges to exactly the batch answer regardless of
+    * how arrivals split across micro-batches. The 2σ rule is the same
+    * division-free int64-cents comparison as batch — bit-equal flags.
+    *
+    * State size: O(days in the retention horizon) per user — the harness
+    * log spans 30 days. At 100 TB the map is pruned at the watermark
+    * minus 6 days (older days can neither change nor be re-judged once
+    * late data is fenced); the harness source defines no lateness, so
+    * the prune is documented rather than dialed in here. */
+  def streamingAnomaly(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    readStream(spark, sfDir, glob, maxFilesPerTrigger)
+      .select(col("user_id"),
+        expr("ts_ns div 86400000000000").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[Long, Long]), (Long, Long, Double, Long, Boolean, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val (ver0, m0) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          val m = scala.collection.mutable.Map.empty[Long, Long] ++= m0
+          val touched = scala.collection.mutable.Set.empty[Long]
+          it.foreach { case (_, day, cents) =>
+            m.update(day, m.getOrElse(day, 0L) + cents)
+            touched += day
+          }
+          val ver = ver0 + 1
+          state.update((ver, m.toMap))
+          val affected = m.keys
+            .filter(d => touched.exists(t => t <= d && d <= t + 6)).toSeq.sorted
+          affected.iterator.map { d =>
+            val win = m.collect { case (k, c) if k >= d - 6 && k <= d => c }
+            val n = win.size.toLong
+            val sx = win.sum
+            val sxx = win.map(c => c * c).sum
+            val d1 = n * m(d) - sx
+            val flag = n >= 4 && d1 * d1 > 4 * (n * sxx - sx * sx)
+            (uid, d, m(d) / 100.0, n, flag, ver)
+          }
+      }
+      .toDF("user_id", "day", "day_sum", "n_window", "is_anomaly", "ver")
+  }
+
+  /** Drive [[streamingAnomaly]] to completion and keep the highest-version
+    * emission per (user, day) — the converged at-ingest judgment, equal to
+    * the batch `q_anomaly` answer however arrivals split across batches. */
+  def streamingAnomalyFinal(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snaps = runUpdatesToBatch(spark,
+      streamingAnomaly(spark, sfDir, glob, maxFilesPerTrigger))
+    val w = Window.partitionBy(col("user_id"), col("day")).orderBy(col("ver").desc)
+    snaps.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("user_id", "day", "day_sum", "n_window", "is_anomaly")
+      .orderBy("user_id", "day")
+  }
+
   /** Custom state machine per user via `mapGroupsWithState`: exact running
     * (count, sum) totals. Sums accumulate in integer cents so the result is
     * independent of row arrival order within a batch (double addition is

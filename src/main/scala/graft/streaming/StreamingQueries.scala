@@ -53,6 +53,16 @@ object StreamingQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin),
 
+    // streaming anomaly gate: the at-ingest twin of batch q_anomaly —
+    // flatMapGroupsWithState keeps the per-user day→cents rollup and
+    // re-judges every day whose trailing window a batch touches; the
+    // highest-version emission per (user, day) equals the batch answer
+    // exactly (division-free int64 flag), so the BATCH oracle is reused
+    // verbatim
+    "q_stream_anomaly" -> Q(
+      (s, d) => EventStreams.streamingAnomalyFinal(s, d),
+      graft.operators.QualityChecks.all("q_anomaly").oracle.get),
+
     // streaming ingest quality gate: documents stream in, the per-row
     // quality filter (>= 20 tokens AND < 20% punctuation) admits or drops
     // each AS IT ARRIVES, per-lang admission counts aggregate in complete

@@ -99,4 +99,23 @@ class StreamingSpec extends SparkSpec {
       s"watermark not expiring interval-join state: $stateRows state rows " +
         s"retained of $inputRows total click+purchase inputs")
   }
+
+  test("streaming anomaly gate: multi-batch arrival converges to the batch answer") {
+    // The property the versioned re-emission exists for: split the corpus
+    // into 8 time-ordered files fed one per micro-batch (so trailing
+    // windows straddle batch boundaries and early judgments of a day are
+    // WRONG until its window fills), then assert the highest-version
+    // emissions equal the single-pass batch operator exactly.
+    val dir = java.nio.file.Files.createTempDirectory("graft_anomaly_").toString
+    Tables.events(spark, sf0).drop("ts_ns")
+      .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val streamed = EventStreams
+      .streamingAnomalyFinal(spark, dir, "part-*.parquet", Some(1))
+      .collect().map(_.toSeq)
+    val batch = graft.operators.QualityChecks.all("q_anomaly")
+      .fn(spark, sf0).collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
