@@ -16,7 +16,11 @@ object Bench {
     "q_dedup_embed_lsh", "q_bloom_novel", "q_ann_topk_agg", "q_ann_lsh",
     "q_ann_kmeans", "q_lang_id", "q_tfidf", "q_gapfill",
     "q_rep_signals", "q_contamination",
-    "q_stream_tumbling", "q_stream_join", "q_stream_stateful")
+    "q_sessionize", "q_scd2", "q_bm25", "q_quality_classifier",
+    "q_dup_span_frac", "q_pagerank", "q_snapshot_diff", "q_dq_checks",
+    "q_anomaly",
+    "q_stream_tumbling", "q_stream_join", "q_stream_stateful",
+    "q_stream_anomaly")
 
   /** Named warm-up rows: each is the designated first consumer of a
     * session-scoped shared artifact (ParityQueries' lineitem row-id index +
