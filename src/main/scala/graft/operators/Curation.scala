@@ -207,11 +207,75 @@ object Curation {
          |  COALESCE(any_value(hits.n_hit), 0)::BIGINT AS n_hit,
          |  COALESCE(any_value(hits.n_hit), 0)::DOUBLE / count(*) AS contamination
          |FROM train t LEFT JOIN hits ON t.doc_id = hits.doc_id
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+
+    // -- the composed end-to-end pipeline (see [[pipelineManifest]]) --
+    "q_pipeline_e2e" -> Q(
+      (s, d) => pipelineManifest(s, d),
+      s"""WITH toks AS (SELECT doc_id, source, text, $repTokSql AS t FROM documents),
+         |s1 AS (SELECT doc_id, source, text, len(t)::BIGINT AS n_toks
+         |       FROM toks WHERE len(t) >= 20),
+         |s2 AS (SELECT doc_id, source, n_toks FROM (
+         |         SELECT *, min(doc_id) OVER (
+         |           PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT) AS owner
+         |         FROM s1)
+         |       WHERE doc_id = owner),
+         |shares(source, share) AS (VALUES
+         |  ('src0', 0.25), ('src1', 0.25), ('src2', 0.0625), ('src3', 0.0625),
+         |  ('src4', 0.0625), ('src5', 0.0625), ('src6', 0.0625), ('src7', 0.0625),
+         |  ('src8', 0.0625), ('src9', 0.0625)),
+         |cnt AS (SELECT source, count(*)::BIGINT AS c FROM s2 GROUP BY 1),
+         |nt AS (SELECT floor(min(c::DOUBLE / share))::BIGINT AS n
+         |       FROM cnt JOIN shares USING (source)),
+         |thr AS (SELECT source,
+         |          CAST(trunc((share * n::DOUBLE / c::DOUBLE)
+         |            * 1152921504606846976.0) AS BIGINT) AS th
+         |        FROM cnt JOIN shares USING (source) CROSS JOIN nt),
+         |s3 AS (SELECT s2.* FROM s2 JOIN thr USING (source)
+         |       WHERE ('0x' || substr(md5('mix_' || doc_id::VARCHAR), 1, 15))::BIGINT < th),
+         |s4 AS (SELECT source, n_toks,
+         |         1 + ((greatest(n_toks - 64, 0) + 47) // 48) AS n_chunks
+         |       FROM s3)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chunks)::BIGINT AS n_chunks, sum(n_toks)::BIGINT AS n_tokens
+         |FROM s4 GROUP BY source ORDER BY source""".stripMargin)
   )
 
   /** DuckDB token split shared by this object's oracles (same regex as
     * [[GraftFunctions.tokens]]). */
   private def repTokSql: String =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** The end-to-end curation pipeline as ONE composed query — the proof
+    * that the stage operators compose: token-count quality gate → exact
+    * dedup (min doc_id per text digest, window over the digest — the
+    * survivors keep their columns) → deterministic domain mixing over the
+    * SURVIVORS' per-source counts → 64/48 chunk planning → per-source
+    * manifest (docs / chunks / tokens). Shuffle ledger at 100 TB: one
+    * digest-keyed exchange (dedup), one narrow per-source count
+    * (driver-side, bounded by #sources), one source-keyed aggregate for
+    * the manifest; the gate, mix filter and chunk arithmetic are pure
+    * scan work. The oracle replays all four stages as one CTE chain
+    * (same md5-60 digest, same rate arithmetic, same chunk formula). */
+  def pipelineManifest(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val gated = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .where(col("n_toks") >= 20)
+    val deduped = gated
+      .withColumn("owner", min(col("doc_id"))
+        .over(Window.partitionBy(md5Hash60(col("text")))))
+      .where(col("doc_id") === col("owner"))
+      .drop("owner")
+    val mixed = mixDomains(deduped, "doc_id", "source", targetMix)
+    mixed
+      .select(col("source"), col("n_toks"),
+        (lit(1) + expr("(greatest(n_toks - 64, 0L) + 47) div 48")).as("n_chunks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chunks")).as("n_chunks"),
+        sum(col("n_toks")).as("n_tokens"))
+      .orderBy("source")
+  }
 }

@@ -78,4 +78,21 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits.contains(999L) && !hits.contains(998L))
   }
+
+  test("pipeline manifest: stage invariants hold end-to-end") {
+    val rows = Curation.pipelineManifest(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    val docs = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (nDocs, nChunks, nTokens) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nChunks >= nDocs, "every kept doc yields at least one chunk")
+      assert(nTokens >= 20L * nDocs, "the quality gate floor survives composition")
+    }
+    // the exact per-source mix is the ORACLE's check (hash-rank replay);
+    // at sf0.001 the per-source survivor counts are single digits, so a
+    // ratio assertion would just test binomial noise. Here: determinism.
+    val again = Curation.pipelineManifest(spark, sf0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(docs === again, "the composed pipeline must be deterministic")
+  }
 }
