@@ -58,6 +58,8 @@ object Scoring {
   val spanLen = 16
   val spanStride = 8
 
+  private val statsCache = new graft.core.SessionCache[org.apache.spark.sql.DataFrame]
+
   val all: Map[String, Q] = Map(
 
     // -- BM25 retrieval: score every doc for the fixed 3-term query and
@@ -77,11 +79,18 @@ object Scoring {
         val base = Tables.documents(s, d)
           .select(col("doc_id"), t.as("t"))
           .select(col("doc_id") +: size(col("t")).as("dl") +: tf: _*)
-        val statCols = count(lit(1)).as("n_docs") +:
-          sum(col("dl")).as("sum_dl") +:
-          bm25Terms.indices.map(i =>
-            count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
-        val stats = base.agg(statCols.head, statCols.tail: _*)
+        // corpus stats (N, Σdl, per-term df) are a property of (corpus,
+        // query terms), not of this invocation — computed once per
+        // session and checkpointed, so repeat retrievals pay ONE corpus
+        // scan, not two (same pattern as Graph.edges / Curation.gramSets)
+        val stats = statsCache.getOrElseUpdate(s,
+            s"bm25:$d:${bm25Terms.mkString(",")}") {
+          val statCols = count(lit(1)).as("n_docs") +:
+            sum(col("dl")).as("sum_dl") +:
+            bm25Terms.indices.map(i =>
+              count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
+          base.agg(statCols.head, statCols.tail: _*).localCheckpoint()
+        }
         val avgdl = col("sum_dl").cast("double") / col("n_docs")
         val termScore = bm25Terms.indices.map { i =>
           log((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))

@@ -50,4 +50,29 @@ class SinkSpec extends SparkSpec {
     val n = spark.read.parquet(dir).count()
     assert(n > 0)
   }
+
+  test("dynamic partition overwrite: refresh one shard, siblings untouched") {
+    val dir = Files.createTempDirectory("graft_dpo_").toString
+    val docs = Tables.documents(spark, sf0)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    graft.sources.Sinks.writePartitioned(docs, dir, Seq("source"))
+
+    // refresh ONLY src0 with bumped payloads
+    val refreshed = docs.where(col("source") === "src0")
+      .withColumn("n_chars", col("n_chars") + 1000000L)
+    graft.sources.Sinks.overwritePartitions(refreshed, dir, Seq("source"))
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count(), "row count preserved across refresh")
+    assert(back.where(col("source") === "src0")
+      .agg(min(col("n_chars"))).head.getLong(0) >= 1000000L,
+      "refreshed shard must carry the new payload")
+    val untouchedWant = docs.where(col("source") === "src3")
+      .select("doc_id", "n_chars").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val untouchedGot = back.where(col("source") === "src3")
+      .select("doc_id", "n_chars").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(untouchedGot === untouchedWant, "sibling partitions must be untouched")
+  }
 }
