@@ -59,4 +59,33 @@ class QualityChecksSpec extends SparkSpec {
     assert(belowInnermostExchange.contains("HashAggregate"),
       s"partial agg must precede the first shuffle:\n$p")
   }
+
+  test("anomaly flag property: int64 rule == exact-rational 2-sigma rule") {
+    // the division-free int64 comparison (n*x - sx)^2 > 4*(n*sxx - sx^2)
+    // must equal |x - mean| > 2*sigma computed in exact rational
+    // arithmetic, for random windows including adversarial near-boundary
+    // values — this is the claim that lets the engine skip all float
+    // tolerance in the oracle compare
+    val rnd = new scala.util.Random(12)
+    for (_ <- 1 to 2000) {
+      val n = 1 + rnd.nextInt(7)
+      val win = Seq.fill(n)(rnd.nextInt(2000001).toLong - 1000000L)
+      val x = win(rnd.nextInt(n))
+      val sx = win.sum
+      val sxx = win.map(c => c * c).sum
+      val intFlag = n >= 4 && {
+        val d1 = n * x - sx
+        d1 * d1 > 4 * (n * sxx - sx * sx)
+      }
+      // exact rational: mean = sx/n, var = (sxx - sx^2/n)/n, test
+      // (x - mean)^2 > 4*var  <=>  (n*x - sx)^2 > 4*(n*sxx - sx^2)
+      val bd = BigDecimal
+      val mean = bd(sx) / bd(n)
+      val variance = (bd(sxx) - bd(sx) * bd(sx) / bd(n)) / bd(n)
+      val lhs = (bd(x) - mean).pow(2)
+      val exactFlag = n >= 4 && lhs > variance * 4
+      assert(intFlag === exactFlag,
+        s"flag mismatch on window $win at x=$x: int=$intFlag exact=$exactFlag")
+    }
+  }
 }
