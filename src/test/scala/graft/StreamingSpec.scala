@@ -118,4 +118,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length === batch.length)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("stateful streams run on the RocksDB state store (larger-than-heap state path)") {
+    // The default HDFS-backed state store keeps every version on the
+    // executor heap - fine at harness scale, an OOM at 100 TB key
+    // cardinality. The engine's stateful operators must run unchanged on
+    // the spillable RocksDB provider; assert identical results on the
+    // anomaly gate (map-typed state, the heaviest state shape we carry).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = EventStreams.streamingAnomalyFinal(spark, sf0)
+        .collect().map(_.toSeq)
+      val batch = graft.operators.QualityChecks.all("q_anomaly")
+        .fn(spark, sf0).collect().map(_.toSeq)
+      assert(rocks.toSeq === batch.toSeq,
+        "RocksDB-backed stream must equal the batch answer")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
