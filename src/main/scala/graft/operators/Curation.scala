@@ -67,6 +67,48 @@ object Curation {
       md5Hash60(concat(lit(salt + "_"), col(idCol).cast("string"))) < thresh)
   }
 
+  /** Temperature-scaled source rates (T = 0.5 fixed): w_s = √c_s,
+    * share_s = w_s / Σw, rate_s = share_s · N / c_s with N = Σc_s —
+    * the corpus size is preserved in expectation while the source
+    * distribution is flattened (XLM-R-style temperature sampling; tail
+    * sources upsample, head sources downsample). T is pinned to 0.5
+    * because √ is CORRECTLY ROUNDED in every IEEE engine (pow is not),
+    * and Σw folds over sources in NAME ORDER — so the oracle replays
+    * every double bit-for-bit. */
+  def temperatureRates(counts: Map[String, Long]): Seq[(String, Double)] = {
+    val sorted = counts.toSeq.sortBy(_._1)
+    val ws = sorted.map { case (s, c) => s -> math.sqrt(c.toDouble) }
+    val sumw = ws.foldLeft(0.0)(_ + _._2)
+    val nTot = sorted.map(_._2).sum
+    ws.map { case (s, w) => s -> (((w / sumw) * nTot.toDouble) / counts(s)) }
+  }
+
+  /** Temperature mixing WITH upsampling: each doc of source s emits
+    * `floor(rate_s)` replicas plus one more when its md5-60 rank falls
+    * under the fractional remainder — deterministic, replayable, and a
+    * pure scan + bounded explode (max ⌈rate⌉ per row); the only
+    * aggregation is the narrow per-source count. */
+  def mixTemperature(docs: DataFrame, idCol: String, sourceCol: String,
+      salt: String = "temp"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val counts = docs.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = temperatureRates(counts)
+    def chain(f: ((String, Double)) => Column): Column =
+      rates.tail.foldLeft(when(col(sourceCol) === rates.head._1, f(rates.head))) {
+        case (acc, sr) => acc.when(col(sourceCol) === sr._1, f(sr))
+      }
+    val kCol = chain { case (_, r) => lit(math.floor(r).toLong) }.otherwise(lit(0L))
+    val thrCol = chain { case (_, r) =>
+      lit(Sampling.threshold(r - math.floor(r))) }.otherwise(lit(0L))
+    docs
+      .withColumn("n_replicas", kCol +
+        when(md5Hash60(concat(lit(salt + "_"), col(idCol).cast("string"))) < thrCol,
+          1L).otherwise(0L))
+      .where(col("n_replicas") > 0)
+      .withColumn("replica_ix", explode(sequence(lit(1L), col("n_replicas"))))
+  }
+
   private val cache = new graft.core.SessionCache[DataFrame]
 
   /** Distinct 5-gram md5-60 hashes per document — shared by the
@@ -208,6 +250,42 @@ object Curation {
          |  COALESCE(any_value(hits.n_hit), 0)::DOUBLE / count(*) AS contamination
          |FROM train t LEFT JOIN hits ON t.doc_id = hits.doc_id
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+
+    // -- temperature mixing (see [[mixTemperature]]): the oracle replays
+    //    √-scaled rates with the SAME operation order (name-ordered Σw
+    //    fold, ((w/Σw)·N)/c), the same trunc'd 2^60 fractional threshold
+    //    and the same md5-60 rank, so the replica multiset matches
+    //    exactly. --
+    //    The n_chars >= 300 pre-filter induces real per-source skew (the
+    //    raw harness counts are uniform, which would make every rate
+    //    exactly 1.0 and exercise nothing): scarce sources upsample with
+    //    k ≥ 1 plus a fractional hash draw, abundant ones downsample. --
+    "q_mix_temperature" -> Q(
+      (s, d) => mixTemperature(
+          Tables.documents(s, d).where(col("n_chars") >= 300),
+          "doc_id", "source")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_out"))
+        .orderBy("source"),
+      """WITH base AS (SELECT * FROM documents WHERE n_chars >= 300),
+        |cnt AS (SELECT source, count(*)::BIGINT AS c FROM base GROUP BY 1),
+        |agg AS (SELECT list(sqrt(c::DOUBLE) ORDER BY source) AS ws,
+        |          sum(c)::BIGINT AS ntot FROM cnt),
+        |sw AS (SELECT list_reduce(list_prepend(0.0, ws), (a, b) -> a + b) AS sumw,
+        |         ntot FROM agg),
+        |r AS (SELECT source, ((sqrt(c::DOUBLE) / sumw) * ntot::DOUBLE) / c AS rate
+        |      FROM cnt CROSS JOIN sw),
+        |k AS (SELECT source, CAST(floor(rate) AS BIGINT) AS kk,
+        |        CAST(trunc((rate - floor(rate)) * 1152921504606846976.0) AS BIGINT) AS thr
+        |      FROM r),
+        |rep AS (SELECT d.doc_id, d.source,
+        |          kk + CASE WHEN ('0x' || substr(md5('temp_' || d.doc_id::VARCHAR), 1, 15))::BIGINT < thr
+        |               THEN 1 ELSE 0 END AS nrep
+        |        FROM base d JOIN k USING (source))
+        |SELECT source, count(CASE WHEN nrep > 0 THEN 1 END)::BIGINT AS n_docs,
+        |  CAST(sum(nrep) AS BIGINT) AS n_out
+        |FROM rep GROUP BY source HAVING sum(nrep) > 0 ORDER BY source""".stripMargin),
 
     // -- the composed end-to-end pipeline (see [[pipelineManifest]]) --
     "q_pipeline_e2e" -> Q(

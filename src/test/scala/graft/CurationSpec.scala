@@ -95,4 +95,31 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(docs === again, "the composed pipeline must be deterministic")
   }
+
+  test("temperature mix: corpus size preserved in expectation; tails upsampled") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, sf0).where(col("n_chars") >= 300)
+    val out = Curation.mixTemperature(base, "doc_id", "source")
+    val nIn = base.count()
+    val nOut = out.count()
+    // E[n_out] = N exactly (rates sum to N); the only noise is the
+    // per-doc fractional hash draw
+    assert(math.abs(nOut - nIn) <= math.max(4L, nIn / 10),
+      s"temperature mix should preserve corpus size in expectation: $nOut vs $nIn")
+    // the scarcest source must be upsampled (rate > 1): more replicas
+    // than distinct docs
+    val bySource = out.groupBy("source")
+      .agg(countDistinct("doc_id").as("d"), count(lit(1)).as("o"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val inCounts = base.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scarcest = inCounts.minBy(_._2)._1
+    val (_, d, o) = bySource.find(_._1 == scarcest).get
+    assert(o > d, s"scarcest source $scarcest must upsample: $o replicas of $d docs")
+    // replica indexes are dense 1..n per doc
+    val bad = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("replica_ix").as("mx"), min("replica_ix").as("mn"))
+      .where(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(bad === 0L, "replica_ix must be dense 1..n per doc")
+  }
 }
