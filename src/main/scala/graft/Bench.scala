@@ -15,7 +15,7 @@ object Bench {
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_clusters",
     "q_dedup_embed_lsh", "q_bloom_novel", "q_ann_topk_agg", "q_ann_lsh",
     "q_ann_kmeans", "q_lang_id", "q_tfidf", "q_gapfill",
-    "q_rep_signals", "q_contamination",
+    "q_rep_signals", "q_contamination", "q_pipeline_e2e", "q_mix_temperature",
     "q_sessionize", "q_scd2", "q_bm25", "q_quality_classifier",
     "q_dup_span_frac", "q_pagerank", "q_snapshot_diff", "q_dq_checks",
     "q_anomaly",
