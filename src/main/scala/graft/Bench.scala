@@ -60,10 +60,16 @@ object Bench {
   private def gitSha: String =
     sys.env.get("SPARK_GRAFT_GIT_SHA").getOrElse {
       try {
+        // bounded: a hung git (stale index.lock, slow fs) must not block
+        // the summary line after every query has already run (r12 review)
         val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
           .redirectErrorStream(true).start()
-        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
-        if (p.waitFor() == 0 && out.matches("[0-9a-f]{4,40}")) out else "unknown"
+        if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly(); "unknown"
+        } else {
+          val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+          if (p.exitValue() == 0 && out.matches("[0-9a-f]{4,40}")) out else "unknown"
+        }
       } catch { case _: Throwable => "unknown" }
     }
 

@@ -51,6 +51,11 @@ object Curation {
     GraftFunctions.register(docs.sparkSession)
     val counts = docs.groupBy(col(sourceCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // no recipe source present (or empty input): the mix of nothing is
+    // nothing — return an empty frame instead of crashing on empty.min
+    // (r12 review)
+    if (!shares.exists(sh => counts.contains(sh._1)))
+      return docs.where(lit(false))
     val nTarget = math.floor(
       shares.collect { case (s, sh) if counts.contains(s) =>
         counts(s).toDouble / sh }.min).toLong
@@ -63,8 +68,7 @@ object Curation {
       case (acc, (s, rate)) =>
         acc.when(col(sourceCol) === s, lit(Sampling.threshold(rate)))
     }.otherwise(lit(0L)) // sources outside the recipe are dropped
-    docs.where(
-      md5Hash60(concat(lit(salt + "_"), col(idCol).cast("string"))) < thresh)
+    docs.where(Sampling.rankHash(col(idCol), salt) < thresh)
   }
 
   /** Temperature-scaled source rates (T = 0.5 fixed): w_s = √c_s,
@@ -93,6 +97,12 @@ object Curation {
     GraftFunctions.register(docs.sparkSession)
     val counts = docs.groupBy(col(sourceCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // empty input: no sources, no rates — empty output with the same
+    // added columns the normal path produces (r12 review)
+    if (counts.isEmpty)
+      return docs.where(lit(false))
+        .withColumn("n_replicas", lit(0L))
+        .withColumn("replica_ix", lit(0L))
     val rates = temperatureRates(counts)
     def chain(f: ((String, Double)) => Column): Column =
       rates.tail.foldLeft(when(col(sourceCol) === rates.head._1, f(rates.head))) {
@@ -103,8 +113,7 @@ object Curation {
       lit(Sampling.threshold(r - math.floor(r))) }.otherwise(lit(0L))
     docs
       .withColumn("n_replicas", kCol +
-        when(md5Hash60(concat(lit(salt + "_"), col(idCol).cast("string"))) < thrCol,
-          1L).otherwise(0L))
+        when(Sampling.rankHash(col(idCol), salt) < thrCol, 1L).otherwise(0L))
       .where(col("n_replicas") > 0)
       .withColumn("replica_ix", explode(sequence(lit(1L), col("n_replicas"))))
   }

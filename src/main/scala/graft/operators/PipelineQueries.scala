@@ -1153,12 +1153,16 @@ object PipelineQueries {
         |    (a, b) -> a + b) / len(v), 9) AS mse
         |FROM s ORDER BY vec_id""".stripMargin),
 
-    // deterministic stratified sampling: keep a doc iff
+    // deterministic per-language rate sampling: keep a doc iff
     // md5-60("smp_"+doc_id) mod 1000 < rate(lang)‰ — the scalable sampling
     // method (no RNG state, reproducible on any cluster, stable across
     // reruns), with per-stratum rates like a training-mix recipe. The
-    // oracle replays the same md5 arithmetic.
-    "q_sample_stratified" -> Q(
+    // oracle replays the same md5 arithmetic. (Registered as its own name:
+    // r12 review found this entry SHADOWED by the fixed-cap
+    // q_sample_stratified lower in this Map literal — last binding wins
+    // in a Scala Map — so it had silently dropped out of the registry;
+    // RegistrySpec now greps the operator sources for duplicate keys.)
+    "q_sample_rate_lang" -> Q(
       (s, d) => {
         GraftFunctions.register(s)
         val permille = md5Hash60(concat(lit("smp_"), col("doc_id").cast("string"))) % 1000

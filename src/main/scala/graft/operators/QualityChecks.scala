@@ -39,8 +39,13 @@ object QualityChecks {
           count(when(col("l_quantity") >= 1 && col("l_quantity") <= 50, 1))
             .as("qty_in_range"),
           count(when(col("l_returnflag").isin("A", "N", "R"), 1)).as("rf_ok"),
-          countDistinct(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-            col("l_suppkey"), col("l_extendedprice")).as("key_nd"))
+          // struct-wrapped so NULL-bearing key tuples still count (DuckDB's
+          // tuple-DISTINCT semantics); bare countDistinct(c1..c5) drops any
+          // row with a NULL component — exactly the dirty rows a uniqueness
+          // check exists to see (r12 review)
+          countDistinct(struct(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_extendedprice")))
+            .as("key_nd"))
         val orphans = Tables.orders(s, d).select(col("o_custkey"))
           .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
             col("o_custkey") === col("c_custkey"), "left_anti")

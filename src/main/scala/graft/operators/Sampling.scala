@@ -21,7 +21,7 @@ object Sampling {
 
   /** The 60-bit ranking hash: `md5_60(salt + "_" + id)` — DuckDB twin
     * `('0x' || substr(md5(salt || '_' || id::VARCHAR), 1, 15))::BIGINT`. */
-  private def rankHash(id: Column, salt: String): Column =
+  private[operators] def rankHash(id: Column, salt: String): Column =
     md5Hash60(concat(lit(salt + "_"), id.cast("string")))
 
   /** Bernoulli-style sample keeping ~`frac` of rows: hash < frac·2^60.

@@ -101,11 +101,18 @@ object EventStreams {
     // would "succeed" on empty input (how ladder-rung streaming numbers
     // briefly read 2× too fast in r11). Directory tables stream from the
     // directory itself, no leaf filter needed.
+    // Glob sources (test/ladder paths) have no single file to fingerprint,
+    // so a cached entry could serve a stale schema after regeneration —
+    // the exact 1000x-timestamp-misread class the fingerprint exists to
+    // prevent (r12 review). They re-probe on every construction instead;
+    // single-file/dir sources keep the (path, mtime+length)-keyed cache.
     val (isDir, fingerprint) =
       if (hasGlobMeta(glob)) (false, "glob")
       else statSource(spark, s"$sfDir/$glob")
-    val stored = probedSchemas.computeIfAbsent(s"$sfDir/$glob|$fingerprint",
-      _ => spark.read.parquet(s"$sfDir/$glob").schema)
+    val stored =
+      if (hasGlobMeta(glob)) spark.read.parquet(s"$sfDir/$glob").schema
+      else probedSchemas.computeIfAbsent(s"$sfDir/$glob|$fingerprint",
+        _ => spark.read.parquet(s"$sfDir/$glob").schema)
     val rd = spark.readStream.schema(stored)
     if (!isDir) rd.option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))

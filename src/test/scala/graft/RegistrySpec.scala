@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry integrity tripwires.
+  *
+  * A duplicate key inside a Scala `Map(...)` literal is legal and silently
+  * last-wins — exactly how the rate-based stratified sampler dropped out
+  * of the registry unnoticed (r12 review: two `"q_sample_stratified"`
+  * bindings in PipelineQueries). The compiler can't catch it, and the
+  * merged registry can't see it, so this spec greps the operator sources
+  * for query-key literals and fails on any duplicate within a file; the
+  * cross-file case is covered by comparing the merged registry size with
+  * the sum of the per-object map sizes. */
+class RegistrySpec extends AnyFunSuite {
+
+  private val keyRe = """"((?:q|lf)_[a-z0-9_]+)"\s*->\s*Q""".r
+
+  test("no duplicate query keys within any operator source file") {
+    val roots = Seq("src/main/scala/graft/operators",
+      "src/main/scala/graft/streaming")
+    val files = roots.flatMap { r =>
+      val d = new java.io.File(r)
+      if (d.isDirectory) d.listFiles.toSeq.filter(_.getName.endsWith(".scala"))
+      else Seq.empty
+    }
+    assert(files.nonEmpty, "operator sources not found — run tests from the repo root")
+    for (f <- files) {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val keys = try keyRe.findAllMatchIn(src.mkString).map(_.group(1)).toSeq
+      finally src.close()
+      val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
+      assert(dups.isEmpty,
+        s"${f.getName}: duplicate query key(s) ${dups.mkString(", ")} — " +
+          "a Scala Map literal silently keeps only the LAST binding")
+    }
+  }
+
+  test("merged registry keeps every per-object key (no cross-object collisions)") {
+    import graft.operators._
+    val maps = Seq(ParityQueries.all, RelationalQueries.all, AdvancedQueries.all,
+      PipelineQueries.all, Curation.all, EventLifecycle.all, Scoring.all,
+      Graph.all, QualityChecks.all, graft.streaming.StreamingQueries.all)
+    assert(maps.map(_.size).sum === SparkEntry.queries.size,
+      "two operator objects register the same query name")
+  }
+}
