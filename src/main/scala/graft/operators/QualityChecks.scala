@@ -88,6 +88,50 @@ object QualityChecks {
         |  SELECT 'ri:orders_custkey', n_orphan::DOUBLE, n_orphan = 0 FROM a CROSS JOIN o
         |) ORDER BY check_name""".stripMargin),
 
+    // -- distribution drift (PSI) between two yearly order-price
+    //    snapshots: prices bin at 50k width, one scan + ONE bin-keyed
+    //    aggregate yields both years' counts, totals broadcast back.
+    //    Per-bin PSI terms (p−q)·ln(p/q) are emitted as rows (the global
+    //    sum is the consumer's ordered fold — emitting terms avoids an
+    //    order-dependent float total); bins missing from either year are
+    //    reported with a NULL psi term instead of the classic epsilon
+    //    fudge, which would be an engine-specific constant. ln() drifts a
+    //    last ulp across libms → psi rounded to 6. --
+    "q_psi_drift" -> Q(
+      (s, d) => {
+        val binned = Tables.orders(s, d)
+          .select(year(col("o_orderdate").cast("date")).as("yr"),
+            expr("cast(floor(o_totalprice / 50000) as bigint)").as("bin"))
+          .where(col("yr").isin(1994, 1995))
+          .groupBy(col("bin"))
+          .agg(count(when(col("yr") === 1994, 1)).as("n_a"),
+            count(when(col("yr") === 1995, 1)).as("n_b"))
+        val totals = binned.agg(sum(col("n_a")).as("tot_a"),
+          sum(col("n_b")).as("tot_b"))
+        binned.crossJoin(broadcast(totals))
+          .select(col("bin"), col("n_a"), col("n_b"),
+            when(col("n_a") > 0 && col("n_b") > 0,
+              round((col("n_a").cast("double") / col("tot_a")
+                  - col("n_b").cast("double") / col("tot_b"))
+                * log((col("n_a").cast("double") / col("tot_a"))
+                  / (col("n_b").cast("double") / col("tot_b"))), 6))
+              .as("psi_term"))
+          .orderBy("bin")
+      },
+      """WITH b AS (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        |    count(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1994 THEN 1 END)::BIGINT AS n_a,
+        |    count(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995 THEN 1 END)::BIGINT AS n_b
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1994, 1995)
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |        CAST(sum(n_b) AS BIGINT) AS tot_b FROM b)
+        |SELECT bin, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    round((n_a::DOUBLE / tot_a - n_b::DOUBLE / tot_b)
+        |      * ln((n_a::DOUBLE / tot_a) / (n_b::DOUBLE / tot_b)), 6)
+        |  END AS psi_term
+        |FROM b CROSS JOIN t ORDER BY bin""".stripMargin),
+
     // -- trailing-window anomaly flag, decimal-exact (see object doc).
     //    One user_id shuffle: daily rollup and the trailing window both
     //    cluster on user_id (day extends the grouping key). Windows use

@@ -157,6 +157,50 @@ object Scoring {
          |  (w_sum / n_toks > 0.0) AS keep
          |FROM f ORDER BY doc_id""".stripMargin),
 
+    // -- token-distribution Shannon entropy (the Gopher-family "gibberish
+    //    or boilerplate" signal): H = -Σ (c/n)·ln(c/n) over the per-type
+    //    counts. Counts are SORTED before the fold, so both engines fold
+    //    an identical array in identical order — entropy depends only on
+    //    the count multiset, and sorting removes the one cross-engine
+    //    hazard (list_distinct's element order is not a contract).
+    //    Per-element ln() can still drift a last ulp, so the result is
+    //    rounded to 6 decimals (accumulated drift ≤ n·ulp ≈ 1e-13).
+    //    Pure per-row projection: zero shuffle. --
+    "q_entropy" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val t = tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), t.as("t"))
+          .where(size(col("t")) > 0)
+          .select(col("doc_id"), size(col("t")).cast("long").as("n_toks"),
+            size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+            array_sort(transform(array_distinct(col("t")),
+              x => size(filter(col("t"), y => y === x)))).as("cnts"))
+          .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+            // abs: a uniform-singleton doc folds to -0.0, which can hash
+            // differently from 0.0 in the driver compare
+            abs(round(-aggregate(col("cnts"), lit(0.0),
+              (acc, c) => acc + (c.cast("double") / col("n_toks"))
+                * log(c.cast("double") / col("n_toks"))), 6)).as("entropy"))
+          .withColumn("low_entropy", col("entropy") < 2.0)
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |c AS (SELECT doc_id, len(t)::BIGINT AS n_toks,
+         |    len(list_distinct(t))::BIGINT AS n_distinct,
+         |    list_sort(list_transform(list_distinct(t),
+         |      x -> len(list_filter(t, y -> y = x)))) AS cnts
+         |  FROM toks WHERE len(t) > 0)
+         |SELECT doc_id, n_toks, n_distinct,
+         |  abs(round(-list_reduce(list_prepend(0.0, list_transform(cnts,
+         |      c -> (c::DOUBLE / n_toks) * ln(c::DOUBLE / n_toks))),
+         |    (a, b) -> a + b), 6)) AS entropy,
+         |  (abs(round(-list_reduce(list_prepend(0.0, list_transform(cnts,
+         |      c -> (c::DOUBLE / n_toks) * ln(c::DOUBLE / n_toks))),
+         |    (a, b) -> a + b), 6)) < 2.0) AS low_entropy
+         |FROM c ORDER BY doc_id""".stripMargin),
+
     // -- duplicated-span fraction: distinct strided 16-token span hashes
     //    per doc; a span is "duplicated" when a smaller doc_id also
     //    contains it. The owner (min doc_id per span hash) comes from a

@@ -88,4 +88,16 @@ class QualityChecksSpec extends SparkSpec {
         s"flag mismatch on window $win at x=$x: int=$intFlag exact=$exactFlag")
     }
   }
+
+  test("psi drift: terms non-negative; null only when a side is empty") {
+    val rows = QualityChecks.all("q_psi_drift").fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb) = (r.getLong(1), r.getLong(2))
+      assert(na > 0 || nb > 0, "bins come from observed rows only")
+      if (r.isNullAt(3)) assert(na == 0 || nb == 0)
+      else assert(r.getDouble(3) >= 0.0,
+        "(p-q)*ln(p/q) is non-negative by construction")
+    }
+  }
 }

@@ -69,4 +69,15 @@ class ScoringSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(tree).size === 1,
       s"span signal must derive the explode once:\n$p")
   }
+
+  test("entropy: bounds [0, ln n_distinct]; uniform-repetition lowers it") {
+    val rows = run("q_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, h) = (r.getLong(2), r.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(nd.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln($nd)]")
+      assert(r.getBoolean(4) === (h < 2.0))
+    }
+  }
 }
