@@ -106,6 +106,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_synth_avi",
       (e: Seq[Expression]) => invokeIn(VideoCodec.getClass, BinaryType, "synthAvi", e,
         Seq(LongType)), "scala_udf")
+    // ISO-BMFF (MP4) metadata codec (Mp4Codec — big-endian box walk)
+    reg.createOrReplaceTempFunction("graft_mp4_field",
+      (e: Seq[Expression]) => invokeIn(Mp4Codec.getClass, IntegerType, "mp4Field", e,
+        Seq(BinaryType, IntegerType)), "scala_udf")
   }
 
   // Column-API wrappers (register(spark) must have been called in the session)
@@ -130,6 +134,7 @@ object GraftFunctions {
   def aviField(c: Column, which: Int): Column = call_function("graft_avi_field", c, lit(which))
   def aviFrames(c: Column): Column = call_function("graft_avi_frames", c)
   def synthAvi(id: Column): Column = call_function("graft_synth_avi", id)
+  def mp4Field(c: Column, which: Int): Column = call_function("graft_mp4_field", c, lit(which))
 
   /** Lowercase alphanumeric word tokens (both engines: split on
     * `[^a-z0-9]+`, drop empties). */

@@ -112,11 +112,8 @@ object ImageCodec {
   def synthImage(id: Long): Array[Byte] = {
     (id % 4) match {
       case 3 if id % 8 == 3 => VideoCodec.synthAvi(id)
-      case 3 =>
-        val bb = java.nio.ByteBuffer.allocate(20)
-        bb.putInt(20).put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII"))
-          .putInt(0x200).put("isom".getBytes("US-ASCII"))
-        bb.array()
+      case 3 if id % 16 == 7 => Mp4Codec.synthMp4(id) // real box tree (r12)
+      case 3 => Mp4Codec.synthUnknown(id) // id%16==15: the stub-fallback row
       case k =>
         val w = (8 + id % 97).toInt
         val h = (8 + id % 53).toInt

@@ -195,3 +195,146 @@ object VideoCodec {
     out.toArray
   }
 }
+
+/** Pure-JVM ISO-BMFF (MP4) METADATA codec — upgrades the planted `ftyp`
+  * rows from the stub fallback to a real header probe (round 12). No MP4
+  * *video* codec ships in the JDK, so pixels stay undecodable, but the
+  * container metadata that a curation pipeline actually filters on —
+  * track dimensions, timescale, duration — lives in plain big-endian
+  * boxes (`moov`/`mvhd`, `trak`/`tkhd`) and needs no codec at all. The
+  * write path builds a spec-shaped box tree (ftyp + moov(mvhd, trak(tkhd))
+  * + mdat); the read path is an independent box walk; the unknown-codec
+  * FALLBACK path stays exercised by planted EBML-magic rows
+  * ([[synthUnknown]]) that nothing here parses.
+  *
+  * Scale shape: [[mp4Field]] touches only the box headers — an O(header)
+  * probe inside one codegen projection, like [[VideoCodec.aviField]]. */
+object Mp4Codec {
+
+  /** Sentinel for "not an MP4 container" (mirrors [[VideoCodec.NOT_AVI]]). */
+  final val NOT_MP4: Int = Int.MinValue
+
+  /** Movie timescale used by [[synthMp4]] (units per second). */
+  final val Timescale: Int = 600
+
+  private def cc4(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Deterministic dims/duration for `id` — same dim arithmetic as the
+    * still-image synthesizer so the oracle shares one formula. */
+  def widthOf(id: Long): Int = (8 + id % 97).toInt
+  def heightOf(id: Long): Int = (8 + id % 53).toInt
+  def durationOf(id: Long): Int = (1 + id % 240).toInt * Timescale
+
+  /** A minimal structurally-valid MP4: `ftyp` + `moov`(`mvhd` v0 +
+    * `trak`(`tkhd` v0)) + a small `mdat`. All sizes/fields big-endian per
+    * ISO/IEC 14496-12; tkhd width/height are 16.16 fixed point. */
+  def synthMp4(id: Long): Array[Byte] = {
+    val mvhd = ByteBuffer.allocate(108)
+    mvhd.putInt(108).put(cc4("mvhd"))
+      .putInt(0)                    // version + flags
+      .putInt(0).putInt(0)          // creation, modification
+      .putInt(Timescale)
+      .putInt(durationOf(id))
+      .putInt(0x00010000)           // rate 1.0
+      .putShort(0x0100.toShort)     // volume 1.0
+      .putShort(0)
+      .putLong(0L)                  // reserved
+      .putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // predefined
+      .putInt(2)                    // next track id
+    val tkhd = ByteBuffer.allocate(92)
+    tkhd.putInt(92).put(cc4("tkhd"))
+      .putInt(7)                    // version 0, flags: enabled|in-movie|in-preview
+      .putInt(0).putInt(0)          // creation, modification
+      .putInt(1)                    // track id
+      .putInt(0)                    // reserved
+      .putInt(durationOf(id))
+      .putLong(0L)                  // reserved
+      .putShort(0).putShort(0)      // layer, alternate group
+      .putShort(0).putShort(0)      // volume (video: 0), reserved
+      .putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(widthOf(id) << 16)    // 16.16 fixed
+      .putInt(heightOf(id) << 16)
+    val trak = ByteBuffer.allocate(100)
+    trak.putInt(100).put(cc4("trak")).put(tkhd.array())
+    val moov = ByteBuffer.allocate(8 + 108 + 100)
+    moov.putInt(8 + 108 + 100).put(cc4("moov")).put(mvhd.array()).put(trak.array())
+    val mdatPayload = Array.tabulate[Byte](16)(i => ((id + i) % 251).toByte)
+    val out = ByteBuffer.allocate(20 + moov.capacity() + 8 + 16)
+    out.putInt(20).put(cc4("ftyp")).put(cc4("isom")).putInt(0x200).put(cc4("isom"))
+      .put(moov.array())
+      .putInt(8 + 16).put(cc4("mdat")).put(mdatPayload)
+    out.array()
+  }
+
+  /** A planted UNKNOWN container (EBML/Matroska magic + id-derived bytes):
+    * no codec in this engine parses it, so it keeps the documented stub
+    * fallback path exercised now that MP4 probes for real. */
+  def synthUnknown(id: Long): Array[Byte] = {
+    val out = ByteBuffer.allocate(16)
+    out.putInt(0x1A45DFA3) // EBML magic
+    out.putInt((id % 0x7FFFFFFF).toInt).putInt(((id * 31) % 0x7FFFFFFF).toInt)
+    out.putInt(0)
+    out.array()
+  }
+
+  private def u32be(b: Array[Byte], off: Int): Long =
+    ByteBuffer.wrap(b, off, 4).order(ByteOrder.BIG_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+
+  private def typeAt(b: Array[Byte], off: Int): String =
+    new String(b, off + 4, 4, "US-ASCII")
+
+  /** Walk sibling boxes in [start, end); calls `f(type, boxStart, size)`. */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off + 8 <= end) {
+      val size = u32be(b, off)
+      if (size < 8 || off + size > end) return // corrupt/truncated: stop
+      f(typeAt(b, off), off, size.toInt)
+      off += size.toInt
+    }
+  }
+
+  private def findBox(b: Array[Byte], start: Int, end: Int, want: String): Int = {
+    var found = -1
+    walkBoxes(b, start, end) { (t, off, _) => if (t == want && found < 0) found = off }
+    found
+  }
+
+  /** Header-only metadata probe. `which`: 0 = track width (integer part),
+    * 1 = track height, 2 = movie timescale, 3 = movie duration,
+    * 4 = top-level box count. Returns [[NOT_MP4]] unless the bytes start
+    * with a well-formed `ftyp` and carry the queried box intact. */
+  def mp4Field(bytes: Array[Byte], which: Int): Int = {
+    if (bytes.length < 16 || typeAt(bytes, 0) != "ftyp") return NOT_MP4
+    if (which == 4) {
+      var n = 0
+      walkBoxes(bytes, 0, bytes.length)((_, _, _) => n += 1)
+      return n
+    }
+    val moov = findBox(bytes, 0, bytes.length, "moov")
+    if (moov < 0) return NOT_MP4
+    val moovEnd = moov + u32be(bytes, moov).toInt
+    which match {
+      case 2 | 3 =>
+        val mvhd = findBox(bytes, moov + 8, moovEnd, "mvhd")
+        if (mvhd < 0 || mvhd + 28 > bytes.length) NOT_MP4
+        else if ((bytes(mvhd + 8) & 0xFF) != 0) NOT_MP4 // v1 (64-bit) unsupported
+        else u32be(bytes, mvhd + (if (which == 2) 20 else 24)).toInt
+      case 0 | 1 =>
+        val trak = findBox(bytes, moov + 8, moovEnd, "trak")
+        if (trak < 0) return NOT_MP4
+        val trakEnd = trak + u32be(bytes, trak).toInt
+        val tkhd = findBox(bytes, trak + 8, trakEnd, "tkhd")
+        if (tkhd < 0 || tkhd + 92 > bytes.length) NOT_MP4
+        else if ((bytes(tkhd + 8) & 0xFF) != 0) NOT_MP4
+        else (u32be(bytes, tkhd + (if (which == 0) 84 else 88)) >> 16).toInt
+      case _ => NOT_MP4
+    }
+  }
+}

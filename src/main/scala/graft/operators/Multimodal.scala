@@ -133,7 +133,8 @@ object Multimodal {
     docs
       .withColumn("mime",
         when(id % 8 === 3, lit("video/avi")) // real MJPEG/AVI container
-          .when(id % 8 === 7, lit("video/mp4")) // undecodable: stub fallback
+          .when(id % 16 === 7, lit("video/mp4")) // real ISO-BMFF metadata
+          .when(id % 16 === 15, lit("video/x-unknown")) // stub fallback row
           .otherwise(element_at(
             array(lit("image/png"), lit("image/jpeg"), lit("image/gif")),
             (id % 4 + 1).cast("int"))))
@@ -160,14 +161,18 @@ object Multimodal {
     val isImg = code =!= lit(graft.functions.ImageCodec.NOT_IMAGE)
     val aviW = GF.aviField(b, 0)
     val isAvi = aviW =!= lit(graft.functions.VideoCodec.NOT_AVI)
+    val mp4W = GF.mp4Field(b, 0)
+    val isMp4 = mp4W =!= lit(graft.functions.Mp4Codec.NOT_MP4)
     df.select(
       col(idCol).cast("long").as("doc_id"),
       col(mimeCol).as("mime"),
       when(code === 1, "png").when(code === 2, "jpeg").when(code === 3, "gif")
-        .when(code === 4, "bmp").when(isAvi, "mjpeg").otherwise("stub").as("codec"),
-      when(isImg, GF.imageField(b, 0)).when(isAvi, aviW).otherwise(lit(0)).as("width"),
+        .when(code === 4, "bmp").when(isAvi, "mjpeg").when(isMp4, "mp4")
+        .otherwise("stub").as("codec"),
+      when(isImg, GF.imageField(b, 0)).when(isAvi, aviW).when(isMp4, mp4W)
+        .otherwise(lit(0)).as("width"),
       when(isImg, GF.imageField(b, 1)).when(isAvi, GF.aviField(b, 1))
-        .otherwise(lit(0)).as("height"),
+        .when(isMp4, GF.mp4Field(b, 1)).otherwise(lit(0)).as("height"),
       // AVI frames are JPEG (lossy) — pixel0 stays NULL by the same contract
       when(lossless, GF.imagePixel0(b)).otherwise(lit(null).cast("int")).as("pixel0"))
   }

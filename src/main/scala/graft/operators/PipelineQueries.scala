@@ -1420,16 +1420,17 @@ object PipelineQueries {
     // ImageIO round-trip differential: the Spark side ENCODES a solid
     // image with doc_id-derived dims/color per row (ImageIO.write — PNG /
     // JPEG / GIF by id%4; id%4=3 plants VIDEO: a real MJPEG/AVI container
-    // when id%8=3, decoded for real via the RIFF walk + avih probe, or an
-    // MP4 ftyp box when id%8=7 — the deliberate unknown-codec row that
-    // keeps the stub FALLBACK exercised), then DECODES it back through the
-    // independent reader path (byte-magic dispatch, header-only dim probe,
-    // frame-0 pixel decode for lossless codecs). The oracle replays none
-    // of the codec work — it predicts codec/width/height/pixel0 purely
-    // from doc_id arithmetic, so any defect in either codec path (or in
-    // the dispatch) hash-mismatches. JPEG (and MJPEG) pixel0 is NULL by
-    // contract (lossy: decoded values are encoder/decoder-pair-dependent;
-    // dims still check), ftyp rows report the stub (codec 'stub', dims 0).
+    // when id%8=3 (RIFF walk + avih probe), a real ISO-BMFF box tree when
+    // id%16=7 (Mp4Codec big-endian walk, tkhd dims — r12), or an
+    // EBML-magic blob when id%16=15 — the deliberate unknown-codec row
+    // that keeps the stub FALLBACK exercised), then DECODES it back
+    // through the independent reader path (byte-magic dispatch,
+    // header-only dim probe, frame-0 pixel decode for lossless codecs).
+    // The oracle replays none of the codec work — it predicts
+    // codec/width/height/pixel0 purely from doc_id arithmetic, so any
+    // defect in either codec path (or the dispatch) hash-mismatches.
+    // JPEG (and MJPEG) pixel0 is NULL by contract (lossy); unknown rows
+    // report the stub (codec 'stub', dims 0).
     "q_mm_decode_imageio" -> Q(
       (s, d) => {
         val media = Multimodal.synthesizeMedia(
@@ -1438,17 +1439,19 @@ object PipelineQueries {
       },
       """SELECT doc_id,
         |  CASE WHEN doc_id % 8 = 3 THEN 'video/avi'
-        |       WHEN doc_id % 8 = 7 THEN 'video/mp4'
+        |       WHEN doc_id % 16 = 7 THEN 'video/mp4'
+        |       WHEN doc_id % 16 = 15 THEN 'video/x-unknown'
         |       WHEN doc_id % 4 = 0 THEN 'image/png'
         |       WHEN doc_id % 4 = 1 THEN 'image/jpeg'
         |       ELSE 'image/gif' END AS mime,
         |  CASE WHEN doc_id % 8 = 3 THEN 'mjpeg'
-        |       WHEN doc_id % 8 = 7 THEN 'stub'
+        |       WHEN doc_id % 16 = 7 THEN 'mp4'
+        |       WHEN doc_id % 16 = 15 THEN 'stub'
         |       WHEN doc_id % 4 = 0 THEN 'png'
         |       WHEN doc_id % 4 = 1 THEN 'jpeg'
         |       ELSE 'gif' END AS codec,
-        |  (CASE WHEN doc_id % 8 = 7 THEN 0 ELSE 8 + doc_id % 97 END)::INT AS width,
-        |  (CASE WHEN doc_id % 8 = 7 THEN 0 ELSE 8 + doc_id % 53 END)::INT AS height,
+        |  (CASE WHEN doc_id % 16 = 15 THEN 0 ELSE 8 + doc_id % 97 END)::INT AS width,
+        |  (CASE WHEN doc_id % 16 = 15 THEN 0 ELSE 8 + doc_id % 53 END)::INT AS height,
         |  (CASE WHEN doc_id % 4 IN (0, 2)
         |        THEN (doc_id % 256) * 65536 + ((doc_id // 3) % 256) * 256 + (doc_id // 7) % 256
         |   END)::INT AS pixel0
@@ -1477,6 +1480,36 @@ object PipelineQueries {
         |  (8 + doc_id % 53)::INT AS frame_h,
         |  2::INT AS fmt_code
         |FROM f ORDER BY doc_id, frame_ix""".stripMargin),
+
+    // MP4 metadata probe over the ISO-BMFF rows: the independent box
+    // walk must recover the synthesized tkhd dims, mvhd timescale and
+    // duration; the oracle predicts every field from doc_id arithmetic
+    // (timescale 600, duration (1+id%240)*600, dims = the shared image
+    // formula), so a defect in either the writer's box layout or the
+    // reader's offsets hash-mismatches.
+    "q_mm_mp4" -> Q(
+      (s, d) => {
+        import graft.functions.{GraftFunctions => GFF}
+        GFF.register(s)
+        val media = Multimodal.synthesizeMedia(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id")
+          .where(col("mime") === "video/mp4")
+        media.select(col("doc_id"),
+          GFF.mp4Field(col("payload"), 0).as("width"),
+          GFF.mp4Field(col("payload"), 1).as("height"),
+          GFF.mp4Field(col("payload"), 2).as("timescale"),
+          GFF.mp4Field(col("payload"), 3).as("duration"),
+          (GFF.mp4Field(col("payload"), 3)
+            / GFF.mp4Field(col("payload"), 2)).cast("long").as("duration_s"),
+          GFF.mp4Field(col("payload"), 4).as("n_boxes"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, (8 + doc_id % 97)::INT AS width,
+        | (8 + doc_id % 53)::INT AS height, 600::INT AS timescale,
+        | ((1 + doc_id % 240) * 600)::INT AS duration,
+        | (1 + doc_id % 240)::BIGINT AS duration_s,
+        | 3::INT AS n_boxes
+        |FROM documents WHERE doc_id % 16 = 7 ORDER BY doc_id""".stripMargin),
 
     "q_mm_decode" -> Q(
       (s, d) => {

@@ -114,12 +114,16 @@ class MultimodalSpec extends SparkSpec {
     for (id <- Seq(0L, 1L, 2L, 41L, 42L, 43L, 420L)) {
       val bytes = ImageCodec.synthImage(id)
       (id % 4) match {
-        case 3 => // video: no still-image reader claims either container;
-          // id%8==3 is a real AVI (VideoCodec's domain), id%8==7 an ftyp stub
+        case 3 => // video: no still-image reader claims any container;
+          // id%8==3 is a real AVI, id%16==7 a real MP4 box tree,
+          // id%16==15 the planted unknown (EBML magic)
           assert(ImageCodec.imageField(bytes, 2) == ImageCodec.NOT_IMAGE)
           val isAvi = graft.functions.VideoCodec.aviField(bytes, 0) !=
             graft.functions.VideoCodec.NOT_AVI
           assert(isAvi == (id % 8 == 3))
+          val isMp4 = graft.functions.Mp4Codec.mp4Field(bytes, 0) !=
+            graft.functions.Mp4Codec.NOT_MP4
+          assert(isMp4 == (id % 16 == 7))
         case k =>
           assert(ImageCodec.imageField(bytes, 2) == k + 1) // 1 png, 2 jpeg, 3 gif
           assert(ImageCodec.imageField(bytes, 0) == 8 + id % 97)
@@ -153,9 +157,11 @@ class MultimodalSpec extends SparkSpec {
         case 2 => assert(codec == "gif" && !r.isNullAt(5))
         case _ if id % 8 == 3 => // real MJPEG/AVI: container dims, lossy → no pixel0
           assert(codec == "mjpeg" && r.isNullAt(5))
+        case _ if id % 16 == 7 => // real ISO-BMFF: tkhd dims, no pixels by design
+          assert(codec == "mp4" && r.isNullAt(5))
         case _ => assert(codec == "stub" && r.getInt(3) == 0 && r.getInt(4) == 0)
       }
-      if (id % 4 < 3 || id % 8 == 3) {
+      if (id % 4 < 3 || id % 8 == 3 || id % 16 == 7) {
         assert(r.getInt(3) == 8 + id % 97)
         assert(r.getInt(4) == 8 + id % 53)
       }
@@ -198,6 +204,24 @@ class MultimodalSpec extends SparkSpec {
       val s = r.getDouble(3)
       assert(s <= 1.0 && ow >= 1 && oh >= 1 && ow <= 64 && oh <= 64)
       assert(ow <= sw && oh <= sh) // never upscale
+    }
+  }
+
+  test("Mp4Codec: synth round-trips the box walk; truncation and EBML fall to sentinel") {
+    import graft.functions.Mp4Codec
+    for (id <- Seq(7L, 23L, 103L, 1007L)) {
+      val b = Mp4Codec.synthMp4(id)
+      assert(Mp4Codec.mp4Field(b, 0) == 8 + id % 97)
+      assert(Mp4Codec.mp4Field(b, 1) == 8 + id % 53)
+      assert(Mp4Codec.mp4Field(b, 2) == Mp4Codec.Timescale)
+      assert(Mp4Codec.mp4Field(b, 3) == (1 + id % 240) * Mp4Codec.Timescale)
+      assert(Mp4Codec.mp4Field(b, 4) == 3) // ftyp + moov + mdat
+      // truncated mid-moov: sentinel, not a throw or a garbage read
+      val cut = java.util.Arrays.copyOfRange(b, 0, 40)
+      assert(Mp4Codec.mp4Field(cut, 0) == Mp4Codec.NOT_MP4)
+      assert(Mp4Codec.mp4Field(Mp4Codec.synthUnknown(id), 0) == Mp4Codec.NOT_MP4)
+      assert(graft.functions.VideoCodec.aviField(b, 0) ==
+        graft.functions.VideoCodec.NOT_AVI, "AVI reader must not claim MP4 bytes")
     }
   }
 }
