@@ -124,6 +124,18 @@ object PipelineQueries {
   private def docsSpread(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions)
+  /** One bigram pass per (session, dir): the (doc_id, p, w) adjacent-pair
+    * table feeds surprisal scoring AND model training. */
+  private def bigrams(s: org.apache.spark.sql.SparkSession, d: String) =
+    pairsCache.getOrElseUpdate(s, s"bg:$d") {
+      docsSpread(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS p, t[i] AS w))")).as("b"))
+        .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+        .localCheckpoint()
+    }
   private def tokStream(s: org.apache.spark.sql.SparkSession, d: String) =
     pairsCache.getOrElseUpdate(s, s"tok:$d")(
       docsSpread(s, d)
@@ -1087,18 +1099,10 @@ object PipelineQueries {
     // (repetitive token-soup scores low here even when unigrams look fine).
     "q_lm_bigram" -> Q(
       (s, d) => {
-        // checkpointed: the bigram table feeds the bigram counts, the
-        // prefix counts AND the final per-doc join — without it the
-        // tokenize→explode scan runs three times (the r1 minhash lesson)
-        val big = pairsCache.getOrElseUpdate(s, s"bg:$d") {
-          docsSpread(s, d)
-            .select(col("doc_id"), tokens(col("text")).as("t"))
-            .where(size(col("t")) >= 2)
-            .select(col("doc_id"), explode(expr(
-              "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS p, t[i] AS w))")).as("b"))
-            .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
-            .localCheckpoint()
-        }
+        // checkpointed bigram table (shared with q_lm_train): feeds the
+        // bigram counts, the prefix counts AND the final per-doc join —
+        // without it the tokenize→explode scan runs three times
+        val big = bigrams(s, d)
         val cb = big.groupBy("p", "w").agg(count(lit(1)).cast("double").as("cb"))
         val cp = big.groupBy("p").agg(count(lit(1)).cast("double").as("cp"))
         big.join(cb, Seq("p", "w")).join(cp, Seq("p"))
@@ -1119,6 +1123,36 @@ object PipelineQueries {
          |  round(-avg(ln(cb / cp) / ln(2)), 6) AS bits_per_bigram
          |FROM big JOIN cb USING (p, w) JOIN cp USING (p)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // count-based bigram LM TRAINING: the corpus-level conditional
+    // probability table P(w|p) = c(p,w)/c(p) — the model the surprisal
+    // query consumes, materialized as its own artifact (top 50 by
+    // evidence, deterministic ties). Two hash aggregations over the
+    // shared checkpointed pair table, join on the prefix — the word-count
+    // shape that scales to any corpus; probabilities are single exact
+    // integer divisions, bit-equal in any engine. --
+    "q_lm_train" -> Q(
+      (s, d) => {
+        val big = bigrams(s, d)
+        val cb = big.groupBy("p", "w").agg(count(lit(1)).as("c_bigram"))
+        val cp = big.groupBy("p").agg(count(lit(1)).as("c_prefix"))
+        cb.join(cp, "p")
+          .select(col("p"), col("w"), col("c_bigram"), col("c_prefix"),
+            (col("c_bigram").cast("double") / col("c_prefix")).as("cond_p"))
+          .orderBy(col("c_bigram").desc, col("p"), col("w"))
+          .limit(50)
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, t[i] AS p, t[i+1] AS w
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |        FROM toks WHERE len(t) >= 2)),
+         |cb AS (SELECT p, w, count(*)::BIGINT AS c_bigram FROM big GROUP BY 1, 2),
+         |cp AS (SELECT p, count(*)::BIGINT AS c_prefix FROM big GROUP BY 1)
+         |SELECT p, w, c_bigram, c_prefix,
+         |  c_bigram::DOUBLE / c_prefix AS cond_p
+         |FROM cb JOIN cp USING (p)
+         |ORDER BY c_bigram DESC, p, w LIMIT 50""".stripMargin),
 
     // int8 embedding quantization (per-vector symmetric scale): emit the
     // scale and the reconstruction MSE. Spark side is an ORDERED
