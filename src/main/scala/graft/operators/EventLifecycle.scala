@@ -132,6 +132,100 @@ object EventLifecycle {
         |  min(ts_us) AS valid_from_us, min(nxt) AS valid_to_us,
         |  count(*)::BIGINT AS n_events, (min(nxt) IS NULL) AS is_current
         |FROM g GROUP BY user_id, ver
-        |ORDER BY user_id, version""".stripMargin)
+        |ORDER BY user_id, version""".stripMargin),
+
+    // -- cumulative-distinct window: per event_type and day, the number
+    //    of FIRST-seen users that day and the running distinct-user total
+    //    — computed from each user's first-occurrence day (one user-keyed
+    //    aggregate), so no per-day distinct state ever materializes: the
+    //    window sums daily new-user counts, the shape that stays bounded
+    //    at any history length. --
+    "q_window_cume_distinct" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_type"), col("user_id"),
+            expr("ts_ns div 86400000000000").as("day"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(min(col("day")).as("first_day"))
+          .groupBy(col("event_type"), col("first_day").as("day"))
+          .agg(count(lit(1)).as("n_new"))
+          .withColumn("cume_distinct", sum(col("n_new")).over(w))
+          .orderBy("event_type", "day")
+      },
+      """WITH f AS (SELECT event_type, user_id,
+        |    min(epoch_us(ts) // 86400000000) AS first_day
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, first_day AS day, count(*)::BIGINT AS n_new
+        |      FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, n_new,
+        |  CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume_distinct
+        |FROM d ORDER BY event_type, day""".stripMargin),
+
+    // -- ordered funnel (view → click → purchase): stage k's entry time
+    //    is the user's FIRST stage-k event strictly after their stage-
+    //    (k−1) entry — three user-keyed aggregates chained by
+    //    co-partitioned joins (hash(user_id) satisfies every step: one
+    //    shuffle total at scale). Output is the per-stage user count. --
+    "q_funnel" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_ns"))
+        val t1 = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t1"))
+        val t2 = ev.where(col("event_type") === "click").join(t1, "user_id")
+          .where(col("ts_ns") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t2"))
+        val t3 = ev.where(col("event_type") === "purchase").join(t2, "user_id")
+          .where(col("ts_ns") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t3"))
+        val counts = t1.agg(count(lit(1)).as("n")).select(lit(1).as("stage"),
+            lit("view").as("event_type"), col("n"))
+          .unionAll(t2.agg(count(lit(1)).as("n")).select(lit(2).as("stage"),
+            lit("click_after_view").as("event_type"), col("n")))
+          .unionAll(t3.agg(count(lit(1)).as("n")).select(lit(3).as("stage"),
+            lit("purchase_after_click").as("event_type"), col("n")))
+        counts.orderBy("stage")
+      },
+      """WITH t1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t1.t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t2.t2 GROUP BY 1)
+        |SELECT 1 AS stage, 'view' AS event_type, count(*)::BIGINT AS n FROM t1
+        |UNION ALL
+        |SELECT 2, 'click_after_view', count(*)::BIGINT FROM t2
+        |UNION ALL
+        |SELECT 3, 'purchase_after_click', count(*)::BIGINT FROM t3
+        |ORDER BY stage""".stripMargin),
+
+    // -- retention cohorts: users grouped by first-seen week, counted as
+    //    active in each later week they appear — first-seen via one
+    //    user-keyed aggregate, activity via distinct (user, week), then a
+    //    co-partitioned join and a small (cohort, offset) rollup. --
+    "q_retention" -> Q(
+      (s, d) => {
+        val weeks = Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 604800000000000").as("week"))
+          .distinct()
+        val cohort = weeks.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort_week"))
+        weeks.join(cohort, "user_id")
+          .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 604800000000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(*)::BIGINT AS n_active
+        |FROM weeks JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)
   )
 }

@@ -67,4 +67,35 @@ class EventLifecycleSpec extends SparkSpec {
     assert(exchanges(run("q_sessionize")) === 1)
     assert(exchanges(run("q_scd2")) === 1)
   }
+
+  test("analytics trio: funnel monotone, retention triangular, cume-distinct consistent") {
+    val funnel = run("q_funnel").collect()
+    assert(funnel.length === 3)
+    val ns = funnel.sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), "funnel stages can only lose users")
+
+    val ret = run("q_retention").collect()
+    val cohorts = ret.map(_.getLong(0)).distinct
+    cohorts.foreach { c =>
+      val rows = ret.filter(_.getLong(0) == c)
+      // offset 0 is the cohort itself and is its maximum activity row
+      val off0 = rows.find(_.getLong(1) == 0L).get.getLong(2)
+      assert(rows.forall(_.getLong(2) <= off0))
+      assert(rows.forall(_.getLong(1) >= 0L))
+    }
+
+    val cume = run("q_window_cume_distinct").collect()
+    val byType = cume.groupBy(_.getString(0))
+    val users = graft.core.Tables.events(spark, sf0)
+      .select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.length.toLong }
+    byType.foreach { case (t, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // running total is the prefix sum of n_new and ends at the true
+      // distinct-user count
+      var acc = 0L
+      sorted.foreach { r => acc += r.getLong(2); assert(r.getLong(3) === acc) }
+      assert(acc === users(t))
+    }
+  }
 }
