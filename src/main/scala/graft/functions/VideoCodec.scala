@@ -323,7 +323,10 @@ object Mp4Codec {
     which match {
       case 2 | 3 =>
         val mvhd = findBox(bytes, moov + 8, moovEnd, "mvhd")
-        if (mvhd < 0 || mvhd + 28 > bytes.length) NOT_MP4
+        // bound by the box's own DECLARED size, not the file length — an
+        // undersized mvhd followed by a sibling box would otherwise read
+        // the sibling's bytes as fields (r12 review)
+        if (mvhd < 0 || u32be(bytes, mvhd) < 32 || mvhd + 28 > bytes.length) NOT_MP4
         else if ((bytes(mvhd + 8) & 0xFF) != 0) NOT_MP4 // v1 (64-bit) unsupported
         else u32be(bytes, mvhd + (if (which == 2) 20 else 24)).toInt
       case 0 | 1 =>
@@ -331,7 +334,7 @@ object Mp4Codec {
         if (trak < 0) return NOT_MP4
         val trakEnd = trak + u32be(bytes, trak).toInt
         val tkhd = findBox(bytes, trak + 8, trakEnd, "tkhd")
-        if (tkhd < 0 || tkhd + 92 > bytes.length) NOT_MP4
+        if (tkhd < 0 || u32be(bytes, tkhd) < 92 || tkhd + 92 > bytes.length) NOT_MP4
         else if ((bytes(tkhd + 8) & 0xFF) != 0) NOT_MP4
         else (u32be(bytes, tkhd + (if (which == 0) 84 else 88)) >> 16).toInt
       case _ => NOT_MP4

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * VIDEO decodes for real too, as MJPEG in an AVI container
   * ([[graft.functions.VideoCodec]] — pure-JVM RIFF walk; frames are plain
   * JPEGs through the same ImageIO path). Only genuinely unknown codecs
-  * (the planted MP4 `ftyp` rows — no MP4 codec ships in the JDK) take the
+  * (the planted EBML-magic rows — nothing in this engine parses Matroska) take the
   * documented fallback, with `TextHashes.fakeDim`'s deterministic
   * pseudo-dimensions as the clearly-marked splice point where a real
   * external decoder would attach. The Spark-side plumbing is what
@@ -122,8 +122,9 @@ object Multimodal {
 
   /** Synthesize mixed-codec media via [[graft.functions.ImageCodec]]: the
     * id%4 cycle plants PNG / JPEG / GIF (real `ImageIO.write` encodings of
-    * a solid image with doc_id-derived dims and color) and an MP4 `ftyp`
-    * stub for the video rows. The write path (encoder) and the read path
+    * a solid image with doc_id-derived dims and color) a real ISO-BMFF box
+    * tree (Mp4Codec) and a planted EBML-magic unknown for the video rows.
+    * The write path (encoder) and the read path
     * ([[decodeMedia]]'s header probe + pixel decode) are independent codec
     * implementations, so the arithmetic oracle over doc_id checks a real
     * encode→decode round trip. */
@@ -148,9 +149,11 @@ object Multimodal {
     * row reports NULL and the oracle checks its dims only). MJPEG/AVI
     * video decodes FOR REAL ([[graft.functions.VideoCodec]] — RIFF header
     * probe for dims, frames are plain JPEG): codec 'mjpeg', dims from
-    * `avih`. Only genuinely unknown payloads (the planted MP4 `ftyp` rows
-    * — no MP4 codec in the JDK) take the documented stub fallback (codec
-    * 'stub', dims 0). Dispatch is per-row byte-magic sniffing, not the
+    * `avih`; MP4 rows probe their ISO-BMFF metadata for real (Mp4Codec box
+    * walk: codec 'mp4', tkhd dims — pixels stay undecodable, no MP4 video
+    * codec in the JDK). Only genuinely unknown payloads (the planted
+    * EBML-magic rows) take the documented stub fallback (codec 'stub',
+    * dims 0). Dispatch is per-row byte-magic sniffing, not the
     * mime column, and readers are cached per thread — the shape a 100 TB
     * multi-codec decode stage keeps. */
   def decodeMedia(df: DataFrame, idCol: String, blobCol: String, mimeCol: String): DataFrame = {

@@ -159,24 +159,34 @@ object Scoring {
 
     // -- token-distribution Shannon entropy (the Gopher-family "gibberish
     //    or boilerplate" signal): H = -Σ (c/n)·ln(c/n) over the per-type
-    //    counts. Counts are SORTED before the fold, so both engines fold
-    //    an identical array in identical order — entropy depends only on
-    //    the count multiset, and sorting removes the one cross-engine
-    //    hazard (list_distinct's element order is not a contract).
-    //    Per-element ln() can still drift a last ulp, so the result is
-    //    rounded to 6 decimals (accumulated drift ≤ n·ulp ≈ 1e-13).
+    //    counts. Counts come from RUN LENGTHS of the sorted token array
+    //    (run ends = positions where the next element differs, padded
+    //    with an empty-string sentinel no [a-z0-9]+ token can equal) —
+    //    O(n log n) per row, not the O(n·d) nested count-per-distinct
+    //    scan (r12 review). Counts are then SORTED before the fold, so
+    //    both engines fold an identical array in identical order —
+    //    entropy depends only on the count multiset, and sorting removes
+    //    the cross-engine element-order hazard. Per-element ln() can
+    //    still drift a last ulp, so the result is rounded to 6 decimals.
     //    Pure per-row projection: zero shuffle. --
     "q_entropy" -> Q(
       (s, d) => {
         GraftFunctions.register(s)
         val t = tokens(col("text"))
+        val st = array_sort(col("t"))
+        val n = size(col("t"))
+        val nxt = concat(slice(st, lit(2), n - 1), array(lit("")))
+        val ends = filter(sequence(lit(1), n),
+          i => element_at(st, i) =!= element_at(nxt, i))
+        val runCounts = transform(sequence(lit(1), size(ends)),
+          j => when(j === 1, element_at(ends, 1))
+            .otherwise(element_at(ends, j) - element_at(ends, j - 1)))
         Tables.documents(s, d)
           .select(col("doc_id"), t.as("t"))
           .where(size(col("t")) > 0)
-          .select(col("doc_id"), size(col("t")).cast("long").as("n_toks"),
-            size(array_distinct(col("t"))).cast("long").as("n_distinct"),
-            array_sort(transform(array_distinct(col("t")),
-              x => size(filter(col("t"), y => y === x)))).as("cnts"))
+          .select(col("doc_id"), n.cast("long").as("n_toks"),
+            size(ends).cast("long").as("n_distinct"),
+            array_sort(runCounts).as("cnts"))
           .select(col("doc_id"), col("n_toks"), col("n_distinct"),
             // abs: a uniform-singleton doc folds to -0.0, which can hash
             // differently from 0.0 in the driver compare
@@ -187,11 +197,19 @@ object Scoring {
           .orderBy("doc_id")
       },
       s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
-         |c AS (SELECT doc_id, len(t)::BIGINT AS n_toks,
-         |    len(list_distinct(t))::BIGINT AS n_distinct,
-         |    list_sort(list_transform(list_distinct(t),
-         |      x -> len(list_filter(t, y -> y = x)))) AS cnts
-         |  FROM toks WHERE len(t) > 0)
+         |srt AS (SELECT doc_id, len(t) AS n, list_sort(t) AS st
+         |  FROM toks WHERE len(t) > 0),
+         |sh AS (SELECT doc_id, n, st, list_concat(st[2:n], ['']) AS nxt
+         |  FROM srt),
+         |runs AS (SELECT doc_id, n,
+         |    list_filter(range(1, n + 1), i -> st[i] <> nxt[i]) AS ends
+         |  FROM sh),
+         |c AS (SELECT doc_id, n::BIGINT AS n_toks,
+         |    len(ends)::BIGINT AS n_distinct,
+         |    list_sort(list_transform(range(1, len(ends) + 1),
+         |      j -> CASE WHEN j = 1 THEN ends[1]
+         |                ELSE ends[j] - ends[j - 1] END)) AS cnts
+         |  FROM runs)
          |SELECT doc_id, n_toks, n_distinct,
          |  abs(round(-list_reduce(list_prepend(0.0, list_transform(cnts,
          |      c -> (c::DOUBLE / n_toks) * ln(c::DOUBLE / n_toks))),
