@@ -30,7 +30,51 @@ object RelationalQueries {
   private val revenue =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
+  private val bucketedCache = new graft.core.SessionCache[Boolean]
+
+  /** Create the co-bucketed lineitem/orders tables once per (session,
+    * dir): 8 buckets on the join key, sorted within buckets, data under
+    * the (gitignored, ephemeral) `target/` path — at 100 TB this write
+    * is the one-time layout investment that removes the fact-fact
+    * shuffle from EVERY later join on the key (BucketingSpec proves the
+    * joint read is exchange-free). */
+  private def ensureBucketed(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    bucketedCache.getOrElseUpdate(s, s"bucketed:$d") {
+      s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .option("path", s"target/bucketed_q/li_${math.abs(d.hashCode)}")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_li_bucketed")
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .option("path", s"target/bucketed_q/o_${math.abs(d.hashCode)}")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_o_bucketed")
+      true
+    }
+
   val all: Map[String, Q] = Map(
+
+    // -- co-bucketed fact-fact join: the same revenue-by-priority answer
+    //    as a plain join (which IS the oracle), computed from the
+    //    bucketed layout so the join reads shuffle-free (plan property
+    //    locked by BucketingSpec; this row locks the CORRECTNESS of the
+    //    bucketed write→read round trip under the driver gate). --
+    "q_join_bucketed" -> Q(
+      (s, d) => {
+        ensureBucketed(s, d)
+        s.table("graft_li_bucketed")
+          .join(s.table("graft_o_bucketed"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), revenueCol.as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      s"""SELECT o_orderpriority, count(*)::BIGINT AS n, $revenue AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
 
     // -- TPC-H Q1-shaped aggregation: partial agg + single shuffle on 4 keys --
     "q1_agg" -> Q(
