@@ -32,6 +32,14 @@ object RelationalQueries {
 
   private val bucketedCache = new graft.core.SessionCache[Boolean]
 
+  /** ABSOLUTE path under target/ for bucketed-table data: a relative
+    * `path` option resolves against the session WAREHOUSE dir, which for
+    * a default session is ./spark-warehouse — an untracked repo-root
+    * directory the round's auto-commit would then swallow (r12: caught as
+    * a stray 704K spark-warehouse/ after the first run). */
+  private def bucketPath(name: String): String =
+    new java.io.File(s"target/bucketed_q/$name").getAbsolutePath
+
   /** Create the co-bucketed lineitem/orders tables once per (session,
     * dir): 8 buckets on the join key, sorted within buckets, data under
     * the (gitignored, ephemeral) `target/` path — at 100 TB this write
@@ -44,12 +52,12 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .write.mode("overwrite")
-        .option("path", s"target/bucketed_q/li_${math.abs(d.hashCode)}")
+        .option("path", bucketPath(s"li_${math.abs(d.hashCode)}"))
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("graft_li_bucketed")
       Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
         .write.mode("overwrite")
-        .option("path", s"target/bucketed_q/o_${math.abs(d.hashCode)}")
+        .option("path", bucketPath(s"o_${math.abs(d.hashCode)}"))
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("graft_o_bucketed")
       true
