@@ -44,4 +44,14 @@ class RegistrySpec extends AnyFunSuite {
     assert(maps.map(_.size).sum === SparkEntry.queries.size,
       "two operator objects register the same query name")
   }
+
+  test("bench headline and warmup names all resolve in the registry") {
+    // a typo'd headline name would silently drop that row from the bench
+    // artifact's per-query maps (the filter just misses)
+    val keys = SparkEntry.queries.keySet
+    val missingH = Bench.headline.filterNot(keys)
+    assert(missingH.isEmpty, s"headline names not in registry: $missingH")
+    val missingW = Bench.warmupRows.filterNot(keys)
+    assert(missingW.isEmpty, s"warmup names not in registry: $missingW")
+  }
 }
