@@ -49,16 +49,22 @@ object RelationalQueries {
   private def ensureBucketed(s: org.apache.spark.sql.SparkSession, d: String): Unit =
     bucketedCache.getOrElseUpdate(s, s"bucketed:$d") {
       s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+      // bucket count = the session's parallelism, NOT a fixed dial: each
+      // bucket is one task in the shuffle-free join, so a fixed 8 caps
+      // join parallelism at 8 regardless of data (measured: 5.7 s at the
+      // x64 rung vs sub-second shapes). At 100 TB the same rule applies
+      // with cluster parallelism (thousands of buckets).
+      val buckets = s.sessionState.conf.numShufflePartitions
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .write.mode("overwrite")
         .option("path", bucketPath(s"li_${math.abs(d.hashCode)}"))
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("graft_li_bucketed")
       Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
         .write.mode("overwrite")
         .option("path", bucketPath(s"o_${math.abs(d.hashCode)}"))
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("graft_o_bucketed")
       true
     }
