@@ -157,6 +157,29 @@ object Scoring {
          |  (w_sum / n_toks > 0.0) AS keep
          |FROM f ORDER BY doc_id""".stripMargin),
 
+    // -- top-k per group (the grouped-retrieval shape: "best 3 docs per
+    //    language"): rank-within-partition + filter — the window sorts
+    //    only inside each group's partition, so the operator never global-
+    //    sorts the corpus; ties broken by doc_id for determinism. --
+    "q_group_topk" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("lang"), col("rk").cast("long").as("rk"),
+            col("doc_id"), col("n_chars"))
+          .orderBy("lang", "rk")
+      },
+      """SELECT lang, rk, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin),
+
     // -- token-distribution Shannon entropy (the Gopher-family "gibberish
     //    or boilerplate" signal): H = -Σ (c/n)·ln(c/n) over the per-type
     //    counts. Counts come from RUN LENGTHS of the sorted token array
