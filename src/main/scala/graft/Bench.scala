@@ -218,8 +218,17 @@ object Bench {
     // the final ~2000 chars of interleaved output then sees per-query rows
     // but no summary (exactly how BENCH_r07.json ended up "parsed": null).
     // Emitting it last-on-stderr guarantees the tail always carries it.
+    // r12 postmortem: the FULL record itself outgrew the driver's fixed-size
+    // tail window (41 headline queries + med/warmup maps pushed it past the
+    // capture), truncating `"metric":"total"` mid-line. So a second, COMPACT
+    // record — total + the attribution fields only, bounded well under any
+    // tail window — is emitted AFTER the full one on both streams. Whatever
+    // the window size, the LAST line always parses.
+    val compact = s"""{"metric":"total_compact","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"n_failed":${results.count(_._2.isEmpty)},"gc_ms":$gcMeasured,"git_sha":"$gitSha","contended":$contended,"sf":"$sfDir"}"""
     System.err.println(summary)
+    System.err.println(compact)
     println(summary)
+    println(compact)
     spark.stop()
   }
 }

@@ -277,7 +277,12 @@ object Mp4Codec {
   def synthUnknown(id: Long): Array[Byte] = {
     val out = ByteBuffer.allocate(16)
     out.putInt(0x1A45DFA3) // EBML magic
-    out.putInt((id % 0x7FFFFFFF).toInt).putInt(((id * 31) % 0x7FFFFFFF).toInt)
+    // OR the high bit into each byte of the id-derived words: non-ASCII
+    // filler can never spell a four-character box type ("ftyp" etc.), so
+    // the unknown blob can't coincidentally pass mp4Field's container
+    // check for ids congruent to a box-type word (r12 advice).
+    out.putInt(((id % 0x7FFFFFFF).toInt) | 0x80808080)
+      .putInt((((id * 31) % 0x7FFFFFFF).toInt) | 0x80808080)
     out.putInt(0)
     out.array()
   }

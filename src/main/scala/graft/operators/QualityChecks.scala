@@ -75,7 +75,7 @@ object QualityChecks {
         |    count(DISTINCT (l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice))::BIGINT AS key_nd
         |  FROM lineitem),
         |o AS (SELECT count(*)::BIGINT AS n_orphan FROM orders
-        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
         |SELECT * FROM (
         |  SELECT 'completeness:l_quantity' AS check_name, qty_nn::DOUBLE / n AS metric, qty_nn = n AS passed FROM a
         |  UNION ALL

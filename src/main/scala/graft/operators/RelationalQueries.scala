@@ -40,6 +40,16 @@ object RelationalQueries {
   private def bucketPath(name: String): String =
     new java.io.File(s"target/bucketed_q/$name").getAbsolutePath
 
+  /** Catalog table names for the co-bucketed pair, discriminated by the
+    * dataset dir the same way bucketPath already is: the cache below is
+    * keyed per (session, dir), so with session-GLOBAL table names a
+    * dir-A → dir-B → dir-A sequence would cache-hit for A on the third
+    * call while the catalog tables still held B's data (r12 advice). */
+  private def bucketedNames(d: String): (String, String) = {
+    val h = math.abs(d.hashCode)
+    (s"graft_li_bucketed_$h", s"graft_o_bucketed_$h")
+  }
+
   /** Create the co-bucketed lineitem/orders tables once per (session,
     * dir): 8 buckets on the join key, sorted within buckets, data under
     * the (gitignored, ephemeral) `target/` path — at 100 TB this write
@@ -48,6 +58,7 @@ object RelationalQueries {
     * joint read is exchange-free). */
   private def ensureBucketed(s: org.apache.spark.sql.SparkSession, d: String): Unit =
     bucketedCache.getOrElseUpdate(s, s"bucketed:$d") {
+      val (liName, oName) = bucketedNames(d)
       s.conf.set("spark.sql.sources.bucketing.enabled", "true")
       // bucket count = the session's parallelism, NOT a fixed dial: each
       // bucket is one task in the shuffle-free join, so a fixed 8 caps
@@ -60,12 +71,12 @@ object RelationalQueries {
         .write.mode("overwrite")
         .option("path", bucketPath(s"li_${math.abs(d.hashCode)}"))
         .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_li_bucketed")
+        .saveAsTable(liName)
       Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
         .write.mode("overwrite")
         .option("path", bucketPath(s"o_${math.abs(d.hashCode)}"))
         .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_o_bucketed")
+        .saveAsTable(oName)
       true
     }
 
@@ -79,8 +90,9 @@ object RelationalQueries {
     "q_join_bucketed" -> Q(
       (s, d) => {
         ensureBucketed(s, d)
-        s.table("graft_li_bucketed")
-          .join(s.table("graft_o_bucketed"),
+        val (liName, oName) = bucketedNames(d)
+        s.table(liName)
+          .join(s.table(oName),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"), revenueCol.as("revenue"))
