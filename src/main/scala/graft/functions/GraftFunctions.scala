@@ -110,6 +110,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_mp4_field",
       (e: Seq[Expression]) => invokeIn(Mp4Codec.getClass, IntegerType, "mp4Field", e,
         Seq(BinaryType, IntegerType)), "scala_udf")
+    // pinned-merge BPE subword tokenizer (TextBpe)
+    reg.createOrReplaceTempFunction("graft_bpe",
+      (e: Seq[Expression]) => invokeIn(TextBpe.getClass,
+        ArrayType(StringType, containsNull = false), "bpe", e,
+        Seq(StringType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_count",
+      (e: Seq[Expression]) => invokeIn(TextBpe.getClass, LongType, "bpeCount", e,
+        Seq(StringType)), "scala_udf")
   }
 
   // Column-API wrappers (register(spark) must have been called in the session)
@@ -135,6 +143,8 @@ object GraftFunctions {
   def aviFrames(c: Column): Column = call_function("graft_avi_frames", c)
   def synthAvi(id: Column): Column = call_function("graft_synth_avi", id)
   def mp4Field(c: Column, which: Int): Column = call_function("graft_mp4_field", c, lit(which))
+  def bpeTokens(c: Column): Column = call_function("graft_bpe", c)
+  def bpeCount(c: Column): Column = call_function("graft_bpe_count", c)
 
   /** Lowercase alphanumeric word tokens (both engines: split on
     * `[^a-z0-9]+`, drop empties). */

@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenizer kernel with a pinned merge table.
+  *
+  * Every token-budget operator in a pretraining pipeline (chunking, shard
+  * packing, per-doc token counts, LM surprisal) should measure REAL subword
+  * tokens, not whitespace words — whitespace counts misestimate sequence
+  * lengths ~1.3-1.5×. This kernel is the engine's subword tokenizer: the
+  * classic BPE encode loop (repeatedly merge the lowest-rank adjacent token
+  * pair — the algorithm behind the GPT-2/RoBERTa tokenizers, Sennrich et
+  * al. 2016) against a PINNED, deterministic merge table, exposed as a
+  * `StaticInvoke` codegen kernel like the rest of [[TextHashes]].
+  *
+  * The merge table is the single source of truth for BOTH engines: the
+  * Scala kernel consults `rank`, and [[mergeValuesSql]] renders the same
+  * table as a DuckDB `VALUES` list that the oracle replays with a
+  * recursive CTE of sequential `replace()` calls over a delimited token
+  * string (see [[graft.operators.Tokenize]]).
+  *
+  * Oracle-replay soundness: the SQL replay applies each merge ONCE, in rank
+  * order, as a global string replace; the kernel runs the min-rank loop.
+  * The two are equivalent because the table is WELL-FORMED — each side of a
+  * merge is a single character or the result of an earlier merge — so a
+  * later merge can never create a new occurrence of an earlier pair (its
+  * output token is not a side of any earlier rule), and within one rule a
+  * left-to-right global replace merges exactly the occurrences the loop
+  * merges. `BpeSpec` property-tests this equivalence on random inputs.
+  *
+  * Tokens are delimited in the replay string as `|tok|` with boundaries
+  * doubled between tokens (`||a||b||`); a merge (a,b)→ab is the replace
+  * `|a||b|` → `|ab|`. The doubling makes patterns anchor on whole tokens
+  * ONLY (a pattern can never match the tail of a longer token, and
+  * adjacent matches never share delimiter characters, so global replace
+  * is exactly the left-to-right non-overlapping merge).
+  *
+  * Normalization (identical in both engines, ASCII-only so no libc/ICU
+  * case-folding divergence): keep `[A-Za-z0-9 ]`, lowercase A-Z, then map
+  * the space to `_` (the word-boundary marker, as in SentencePiece).
+  */
+object TextBpe {
+
+  /** Pinned merges, rank order (rank = index). WELL-FORMED by construction:
+    * each side is a single normalized char or the output of an EARLIER
+    * merge — required for the sequential-replay oracle equivalence. */
+  val merges: Vector[(String, String)] = Vector(
+    "t" -> "h", "i" -> "n", "e" -> "r", "a" -> "n", "r" -> "e", // 1-5
+    "o" -> "n", "h" -> "e", "a" -> "t", "e" -> "n", "e" -> "s", // 6-10
+    "o" -> "r", "t" -> "e", "e" -> "d", "i" -> "s", "i" -> "t", // 11-15
+    "a" -> "l", "a" -> "r", "s" -> "t", "t" -> "o", "n" -> "g", // 16-20
+    "s" -> "e", "h" -> "a", "o" -> "u", "l" -> "e", "m" -> "e", // 21-25
+    "d" -> "e", "c" -> "o", "r" -> "o", "l" -> "i",             // 26-29
+    "th" -> "e", "in" -> "g", "an" -> "d", "i" -> "on",         // 30-33
+    "er" -> "s",                                                // 34
+    "_" -> "t", "_" -> "a", "_" -> "the", "_t" -> "o",          // 35-38
+    "_a" -> "n", "0" -> "0")                                    // 39-40
+
+  // pair "a b" -> rank; java.util.HashMap so the hot encode loop does one
+  // string concat + one map probe per adjacent pair, no tuple boxing
+  private val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val prev = m.put(a + " " + b, Integer.valueOf(i))
+      require(prev == null, s"duplicate merge pair ($a,$b)")
+    }
+    m
+  }
+
+  // well-formedness: every side is a single char or an earlier output
+  {
+    val seen = scala.collection.mutable.Set[String]()
+    merges.foreach { case (a, b) =>
+      require(a.length == 1 || seen(a), s"merge side '$a' not yet formed")
+      require(b.length == 1 || seen(b), s"merge side '$b' not yet formed")
+      seen += (a + b)
+    }
+  }
+
+  /** ASCII-only normalization: keep [A-Za-z0-9 ], lowercase, space→'_'.
+    * SQL twin: `replace(lower(regexp_replace(text,'[^a-zA-Z0-9 ]','','g')),
+    * ' ', '_')` — identical because only ASCII survives the strip. */
+  def normalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      else if (c == ' ') sb.append('_')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The BPE encode loop: start from normalized chars; repeatedly find the
+    * lowest-rank adjacent pair present and merge ALL its left-to-right
+    * non-overlapping occurrences; stop when no pair is in the table.
+    * O(#distinct-merges-applied × length) — rank lookup is O(1), so this
+    * is the production shape (works unchanged for a 50k-merge vocab). */
+  def encodeJava(text: String): java.util.ArrayList[String] = {
+    val norm = normalize(text)
+    var toks = new java.util.ArrayList[String](norm.length)
+    var i = 0
+    while (i < norm.length) { toks.add(String.valueOf(norm.charAt(i))); i += 1 }
+    var continue = toks.size > 1
+    while (continue) {
+      var best = Int.MaxValue
+      i = 0
+      val n = toks.size
+      while (i < n - 1) {
+        val r = rank.get(toks.get(i) + " " + toks.get(i + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        val (a, b) = merges(best)
+        val merged = a + b
+        val out = new java.util.ArrayList[String](toks.size)
+        i = 0
+        while (i < n) {
+          if (i < n - 1 && toks.get(i) == a && toks.get(i + 1) == b) {
+            out.add(merged); i += 2
+          } else { out.add(toks.get(i)); i += 1 }
+        }
+        toks = out
+        continue = toks.size > 1
+      }
+    }
+    toks
+  }
+
+  /** Reference replay: the oracle's sequential global-replace formulation,
+    * kept in Scala so `BpeSpec` can property-check kernel ≡ replay without
+    * a DuckDB round trip. Mirrors the SQL recursive CTE character for
+    * character (doubled-delimiter encoding, one replace per rank). */
+  def replayJava(text: String): java.util.ArrayList[String] = {
+    val norm = normalize(text)
+    val sb = new java.lang.StringBuilder(norm.length * 3 + 2)
+    sb.append('|')
+    var i = 0
+    while (i < norm.length) {
+      sb.append('|').append(norm.charAt(i)).append('|')
+      i += 1
+    }
+    sb.append('|')
+    var s = sb.toString
+    merges.foreach { case (a, b) =>
+      s = s.replace("|" + a + "||" + b + "|", "|" + a + b + "|")
+    }
+    val out = new java.util.ArrayList[String]()
+    // trim all leading/trailing '|', split on '||', drop empties — the
+    // same trim(s,'|') + string_split + list_filter the oracle uses
+    val trimmed = s.replaceAll("^\\|+|\\|+$", "")
+    if (trimmed.nonEmpty) trimmed.split("\\|\\|").foreach(t => if (t.nonEmpty) out.add(t))
+    out
+  }
+
+  /** StaticInvoke kernel: BPE token array for a document. */
+  def bpe(text: UTF8String): ArrayData = {
+    val toks = encodeJava(text.toString)
+    val arr = new Array[Any](toks.size)
+    var i = 0
+    while (i < toks.size) { arr(i) = UTF8String.fromString(toks.get(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** StaticInvoke kernel: BPE token count only (skips materializing the
+    * UTF8String array — the shape chunk/pack budgets want). */
+  def bpeCount(text: UTF8String): Long = encodeJava(text.toString).size.toLong
+
+  /** The merge table as a DuckDB VALUES list `(rank, pattern, replacement)`
+    * in the doubled-delimiter encoding — the oracle's recursive CTE joins
+    * on rank and applies one `replace` per step. */
+  def mergeValuesSql: String =
+    merges.zipWithIndex.map { case ((a, b), i) =>
+      s"(${i + 1}, '|$a||$b|', '|$a$b|')"
+    }.mkString(", ")
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.{GraftFunctions, TextBpe}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** BPE tokenizer kernel: semantics, the kernel≡oracle-replay equivalence
+  * (the property the recursive-CTE oracle rests on), and plan shape. */
+class BpeSpec extends SparkSpec {
+
+  private def enc(s: String): Seq[String] = TextBpe.encodeJava(s).asScala.toSeq
+
+  test("normalization: ASCII lowercase, strip, space marker") {
+    assert(TextBpe.normalize("Hello, World! 42") == "hello_world_42")
+    assert(TextBpe.normalize("\tnew\nline") == "newline") // \t,\n stripped, no space
+    assert(TextBpe.normalize("汉字 only") == "_only")
+    assert(TextBpe.normalize("") == "")
+  }
+
+  test("known words tokenize through the pinned merges") {
+    // "the" = (t,h)->th then (th,e)->the
+    assert(enc("the") == Seq("the"))
+    // "testing": t,e,s,t,i,n,g -> min-rank (i,n)r2 -> (e,s)r10 -> (in,g)r31
+    // -> [t, es, t, ing] ... then (es,t)? not a rule; (t,es)? not a rule
+    assert(enc("testing") == Seq("t", "es", "t", "ing"))
+    // word-boundary marker merges: " the" -> _the via (_ , the)
+    assert(enc("on the mat") == Seq("on", "_the", "_", "m", "at"))
+    assert(enc("") == Seq.empty)
+  }
+
+  test("kernel ≡ sequential-replace oracle replay on random inputs") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "aethinorsdg_ 0THE.!x" // dense in merge-active chars
+    for (i <- 1 to 2000) {
+      val len = rnd.nextInt(60)
+      val s = Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val k = TextBpe.encodeJava(s).asScala.toSeq
+      val r = TextBpe.replayJava(s).asScala.toSeq
+      assert(k == r, s"mismatch on <$s>: kernel=$k replay=$r")
+      // concatenated tokens reconstruct the normalized string (lossless)
+      assert(k.mkString == TextBpe.normalize(s))
+    }
+  }
+
+  test("bpeCount agrees with the token array; kernels stay in codegen") {
+    GraftFunctions.register(spark)
+    // spark.range (not a local Seq): ConvertToLocalRelation would fold a
+    // LocalRelation projection at plan time and leave no codegen stage
+    val df = spark.range(1, 4).toDF("id")
+      .select(col("id"),
+        when(col("id") === 1, "the testing of the tokenizer")
+          .when(col("id") === 2, "").otherwise("汉字").as("text"))
+      .select(col("id"),
+        size(GraftFunctions.bpeTokens(col("text"))).cast("long").as("n_arr"),
+        GraftFunctions.bpeCount(col("text")).as("n_cnt"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)))
+    assert(rows.find(_.getLong(0) == 2L).get.getLong(1) == 0L)
+    // whole-stage codegen must cover the kernel projection (StaticInvoke,
+    // not a UDF): the formatted plan shows the project inside a codegen span
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"kernel projection fell out of codegen:\n$plan")
+  }
+}
