@@ -640,6 +640,68 @@ object AdvancedQueries {
         |       WHEN n_1994 <> n_1995 OR sum_1994 <> sum_1995 THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM a FULL OUTER JOIN b USING (o_custkey)
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin),
+
+    // -- CDC APPLY / MERGE upsert: the other half of the incremental-
+    //    corpus story (q_snapshot_diff computes a change set; this applies
+    //    one). Given a base snapshot and changes (key, op ∈ I/U/D,
+    //    new_<payload>), produce the next snapshot in ONE co-partitioned
+    //    full-outer join on the key: I/U take the change payload, D drops
+    //    the row, untouched base rows pass through. No driver state, no
+    //    second exchange — at 100 TB this is a single keyed shuffle of
+    //    base ∪ changes (CdcApplySpec locks exactly 2 exchanges, both
+    //    hashpartitioning on the key). Change set here is derived
+    //    deterministically from customer (key%10: 0→insert of a new key,
+    //    1→delete, 2,3→update acctbal+100), so both engines construct
+    //    identical inputs; the +100 update is the same IEEE add on the
+    //    same parquet double on both sides. --
+    "q_cdc_apply" -> Q(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val base = cust.where(col("c_custkey") % 10 =!= 0)
+        val changes = cust.where((col("c_custkey") % 10).isin(0, 1, 2, 3))
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 10 === 1, "D")
+              .when((col("c_custkey") % 10).isin(2, 3), "U")
+              .otherwise("I").as("op"),
+            col("c_name").as("new_c_name"),
+            when((col("c_custkey") % 10).isin(2, 3), col("c_acctbal") + 100)
+              .otherwise(col("c_acctbal")).as("new_c_acctbal"))
+        cdcApply(base, changes, "c_custkey").orderBy("c_custkey")
+      },
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey % 10 <> 0),
+        |ch AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 1 THEN 'D'
+        |         WHEN c_custkey % 10 IN (2,3) THEN 'U' ELSE 'I' END AS op,
+        |    c_name AS new_c_name,
+        |    CASE WHEN c_custkey % 10 IN (2,3) THEN c_acctbal + 100
+        |         ELSE c_acctbal END AS new_c_acctbal
+        |  FROM customer WHERE c_custkey % 10 IN (0,1,2,3))
+        |SELECT c_custkey,
+        |  CASE WHEN op IN ('I','U') THEN new_c_name ELSE c_name END AS c_name,
+        |  CASE WHEN op IN ('I','U') THEN new_c_acctbal ELSE c_acctbal END AS c_acctbal
+        |FROM base FULL OUTER JOIN ch USING (c_custkey)
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY c_custkey""".stripMargin)
   )
+
+  /** MERGE/upsert operator: apply a change set to a base snapshot.
+    *
+    * `changes` carries (`key`, `op` ∈ {"I","U","D"}, and `new_<c>` for
+    * every base payload column c). Result = base with D-keys removed,
+    * U-keys' payload replaced, I-keys appended — the standard MERGE
+    * WHEN MATCHED UPDATE/DELETE + WHEN NOT MATCHED INSERT, computed as
+    * one full-outer join hash-partitioned on the key (both inputs
+    * shuffle once on the same key; nothing else moves). */
+  def cdcApply(base: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
+    val payload = base.columns.filterNot(_ == key)
+    val applied = col("op").isin("I", "U")
+    base.join(changes, Seq(key), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col(key) +: payload.map(c =>
+        when(applied, col(s"new_$c")).otherwise(col(c)).as(c)): _*)
+  }
 }
