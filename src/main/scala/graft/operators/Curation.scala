@@ -134,7 +134,76 @@ object Curation {
         .localCheckpoint()
     }
 
+  /** Span-level decontamination (Lee et al.-style: drop the contaminated
+    * SPAN, keep the document — the production follow-through to
+    * [[q_contamination]]'s scoring). Any token covered by a k-gram whose
+    * hash appears in `benchGrams` is removed; the rest of the document
+    * survives with `textCol` rewritten.
+    *
+    * Scale shape: positional grams are a per-row projection + posexplode
+    * (no shuffle); the benchmark side BROADCASTS (eval suites are small
+    * by nature); covered-position sets are one doc-keyed aggregation of
+    * HIT grams only (rows ∝ contaminated grams, not corpus); the
+    * join-back is corpus ⋈ tiny — AQE broadcasts it at any realistic
+    * contamination rate, and if a pathological benchmark contaminates
+    * everything the SMJ fallback is still one keyed exchange. Token
+    * removal itself is a per-row indexed-lambda filter in codegen. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchGrams: DataFrame, k: Int = 5): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val toksCol = tokens(col(textCol))
+    val pos = docs.select(col(idCol),
+        posexplode(shingles(toksCol, k)))
+      .select(col(idCol), col("pos"), md5Hash60(col("col")).as("h"))
+    val cov = pos.join(broadcast(benchGrams.select(col("h")).distinct()), "h")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .groupBy(col(idCol)).agg(collect_set(col("p")).as("__cov"))
+    val keepTok = filter(toksCol, (_, i) =>
+      !coalesce(array_contains(col("__cov"), i), lit(false)))
+    val outCols = docs.columns.map {
+      case c if c == textCol => concat_ws(" ", keepTok).as(textCol)
+      case c => col(c)
+    } :+ coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed")
+    docs.join(cov, Seq(idCol), "left").select(outCols.toSeq: _*)
+  }
+
   val all: Map[String, Q] = Map(
+
+    // -- span-level decontamination: remove every token covered by a
+    //    benchmark 5-gram (bench = every 50th doc, as in
+    //    q_contamination), keep the rest of the document. The bench gram
+    //    set reuses the session-cached distinct-gram scan. Oracle replays
+    //    positional grams 1-based and filters with DuckDB's indexed
+    //    list lambda — counts and the rewritten text must match exactly. --
+    "q_decontaminate" -> Q(
+      (s, d) => {
+        val bench = gramSets(s, d).where(col("doc_id") % 50 === 0).select("h")
+        val train = Tables.documents(s, d).where(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("text"),
+            size(tokens(col("text"))).cast("long").as("n_toks"))
+        decontaminate(train, "doc_id", "text", bench)
+          .select(col("doc_id"), col("n_toks"), col("n_removed"),
+            col("text").as("cleaned"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $repTokSql AS t FROM documents),
+         |g AS (SELECT doc_id, i,
+         |    ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-4, 0)+1)) AS i
+         |        FROM toks)),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 50 = 0),
+         |hits AS (SELECT g.doc_id, g.i FROM g JOIN bench USING (h)
+         |         WHERE g.doc_id % 50 <> 0),
+         |cov AS (SELECT doc_id, list(p) AS cov FROM
+         |         (SELECT DISTINCT doc_id, unnest(range(i, i+5)) AS p FROM hits)
+         |        GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.t)::BIGINT AS n_toks,
+         |  COALESCE(len(cov.cov), 0)::BIGINT AS n_removed,
+         |  array_to_string(
+         |    list_filter(t.t, (x, i) -> cov.cov IS NULL OR NOT list_contains(cov.cov, i)),
+         |    ' ') AS cleaned
+         |FROM toks t LEFT JOIN cov USING (doc_id)
+         |WHERE t.doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin),
 
     // -- Gopher/MassiveText-style repetition signals: distinct-token
     //    ratio, heaviest-token share, fraction of tokens belonging to
@@ -307,18 +376,32 @@ object Curation {
          |           PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT) AS owner
          |         FROM s1)
          |       WHERE doc_id = owner),
+         |g AS (SELECT doc_id, i,
+         |    ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-4, 0)+1)) AS i
+         |        FROM toks)),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 50 = 0),
+         |s2t AS (SELECT doc_id, source, n_toks FROM s2 WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT g.doc_id, g.i FROM g JOIN bench USING (h)
+         |         JOIN s2t ON g.doc_id = s2t.doc_id),
+         |cov AS (SELECT doc_id, count(DISTINCT p)::BIGINT AS nrem FROM
+         |         (SELECT doc_id, unnest(range(i, i+5)) AS p FROM hits)
+         |        GROUP BY doc_id),
+         |s2d AS (SELECT doc_id, source, n_toks - COALESCE(nrem, 0) AS n_toks
+         |        FROM s2t LEFT JOIN cov USING (doc_id)
+         |        WHERE n_toks - COALESCE(nrem, 0) > 0),
          |shares(source, share) AS (VALUES
          |  ('src0', 0.25), ('src1', 0.25), ('src2', 0.0625), ('src3', 0.0625),
          |  ('src4', 0.0625), ('src5', 0.0625), ('src6', 0.0625), ('src7', 0.0625),
          |  ('src8', 0.0625), ('src9', 0.0625)),
-         |cnt AS (SELECT source, count(*)::BIGINT AS c FROM s2 GROUP BY 1),
+         |cnt AS (SELECT source, count(*)::BIGINT AS c FROM s2d GROUP BY 1),
          |nt AS (SELECT floor(min(c::DOUBLE / share))::BIGINT AS n
          |       FROM cnt JOIN shares USING (source)),
          |thr AS (SELECT source,
          |          CAST(trunc((share * n::DOUBLE / c::DOUBLE)
          |            * 1152921504606846976.0) AS BIGINT) AS th
          |        FROM cnt JOIN shares USING (source) CROSS JOIN nt),
-         |s3 AS (SELECT s2.* FROM s2 JOIN thr USING (source)
+         |s3 AS (SELECT s2d.* FROM s2d JOIN thr USING (source)
          |       WHERE ('0x' || substr(md5('mix_' || doc_id::VARCHAR), 1, 15))::BIGINT < th),
          |s4 AS (SELECT source, n_toks,
          |         1 + ((greatest(n_toks - 64, 0) + 47) // 48) AS n_chunks
@@ -336,14 +419,19 @@ object Curation {
   /** The end-to-end curation pipeline as ONE composed query — the proof
     * that the stage operators compose: token-count quality gate → exact
     * dedup (min doc_id per text digest, window over the digest — the
-    * survivors keep their columns) → deterministic domain mixing over the
-    * SURVIVORS' per-source counts → 64/48 chunk planning → per-source
+    * survivors keep their columns) → SPAN-LEVEL DECONTAMINATION
+    * ([[decontaminate]]: bench docs leave the pipeline, train docs lose
+    * benchmark-covered 5-gram spans, token budgets re-derived by exact
+    * arithmetic) → deterministic domain mixing over the DECONTAMINATED
+    * survivors' per-source counts → 64/48 chunk planning → per-source
     * manifest (docs / chunks / tokens). Shuffle ledger at 100 TB: one
-    * digest-keyed exchange (dedup), one narrow per-source count
+    * digest-keyed exchange (dedup), one doc-keyed aggregate of HIT grams
+    * + a broadcast bench set (decon), one narrow per-source count
     * (driver-side, bounded by #sources), one source-keyed aggregate for
     * the manifest; the gate, mix filter and chunk arithmetic are pure
-    * scan work. The oracle replays all four stages as one CTE chain
-    * (same md5-60 digest, same rate arithmetic, same chunk formula). */
+    * scan work. The oracle replays all five stages as one CTE chain
+    * (same md5-60 digest/grams, same rate arithmetic, same chunk
+    * formula). */
   def pipelineManifest(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
@@ -356,7 +444,17 @@ object Curation {
         .over(Window.partitionBy(md5Hash60(col("text")))))
       .where(col("doc_id") === col("owner"))
       .drop("owner")
-    val mixed = mixDomains(deduped, "doc_id", "source", targetMix)
+    // decontamination stage (r12 verdict #4): benchmark docs (every 50th)
+    // leave the pipeline entirely, surviving train docs lose any token
+    // span covered by a benchmark 5-gram; hollowed-out docs (all tokens
+    // removed) drop. n_toks is updated by exact arithmetic — span removal
+    // deletes exactly n_removed tokens, no re-tokenization pass needed.
+    val bench = gramSets(s, d).where(col("doc_id") % 50 === 0).select("h")
+    val decon = decontaminate(
+        deduped.where(col("doc_id") % 50 =!= 0), "doc_id", "text", bench)
+      .withColumn("n_toks", col("n_toks") - col("n_removed"))
+      .where(col("n_toks") > 0)
+    val mixed = mixDomains(decon, "doc_id", "source", targetMix)
     mixed
       .select(col("source"), col("n_toks"),
         (lit(1) + expr("(greatest(n_toks - 64, 0L) + 47) div 48")).as("n_chunks"))

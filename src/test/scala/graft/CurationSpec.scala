@@ -122,4 +122,41 @@ class CurationSpec extends SparkSpec {
       .where(col("mx") =!= col("n") || col("mn") =!= 1).count()
     assert(bad === 0L, "replica_ix must be dense 1..n per doc")
   }
+
+  test("decontaminate: planted benchmark span removed, rest of doc survives") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val benchText = "alpha beta gamma delta epsilon" // exactly one 5-gram
+    val docs = Seq(
+      // doc 1: contaminated span in the middle, clean prefix/suffix
+      (1L, s"clean start here now $benchText and a clean tail follows after"),
+      (2L, "totally unrelated words that never overlap the benchmark suite"),
+      (3L, "alpha beta gamma different tail words")) // 3-token overlap only: no 5-gram hit
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1(benchText)).toDF("g")
+      .select(graft.functions.GraftFunctions.md5Hash60(col("g")).as("h"))
+    val out = Curation.decontaminate(docs, "doc_id", "text", bench)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1L,
+      "clean start here now and a clean tail follows after", 5L)))
+    assert(out(1) == ((2L,
+      "totally unrelated words that never overlap the benchmark suite", 0L)))
+    assert(out(2) == ((3L, "alpha beta gamma different tail words", 0L)))
+  }
+
+  test("decontaminate: overlapping hits union their spans; full wipe allowed") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // bench doc contributes two overlapping 5-grams (6 tokens)
+    val doc = (1L, "a b c d e f")
+    val bench = Seq("a b c d e", "b c d e f").toDF("g")
+      .select(graft.functions.GraftFunctions.md5Hash60(col("g")).as("h"))
+    val out = Curation.decontaminate(Seq(doc).toDF("doc_id", "text"),
+        "doc_id", "text", bench)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.head == (("", 6L))) // both spans union to the whole doc
+  }
 }
