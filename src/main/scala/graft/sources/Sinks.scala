@@ -50,6 +50,35 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
 
+  /** Sorted-layout parquet write: range-partition on `sortCols`, sort
+    * within partitions, and cap the parquet row-group size so each file
+    * holds MANY row groups with tight, mostly-disjoint column statistics.
+    *
+    * Why this exists (r12 verdict #5): predicate pushdown can only SKIP
+    * row groups whose min/max excludes the filter value — and the
+    * as-shipped harness layout (one 600 K-row row group, every value
+    * present in it) makes zero skipping possible no matter how good the
+    * reader is. Locality is a WRITE-time decision. After this write, an
+    * equality/range filter on a leading sort column prunes whole row
+    * groups from the scan (SortedLayoutSpec proves the footer stats are
+    * disjoint; SCALE.md carries the measured before/after).
+    *
+    * At 100 TB the same dial is the difference between "scan everything"
+    * and "scan the one shard range that can match": repartitionByRange
+    * gives globally non-overlapping file ranges (file-level skip via
+    * footer min/max), the within-partition sort gives row-group-level
+    * skip inside each file. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      rowGroupBytes: Long = 1L << 20): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = sortCols.map(col)
+    df.repartitionByRange(cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
+
   /** Dynamic partition overwrite: replace ONLY the partitions present in
     * `df`, leaving sibling partitions untouched — the incremental corpus
     * refresh shape (re-ingest one source/day without rewriting the other
