@@ -76,10 +76,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+    // Optional state-store override for the streaming rows, e.g.
+    // SPARK_GRAFT_STATE_STORE=org.apache.spark.sql.execution.streaming
+    // .state.RocksDBStateStoreProvider — the deployment-sizing A/B
+    // (SCALE.md r13 carries the measured delta per streaming query).
+    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach(v =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", v))
+    val spark = builder
       // streaming state partitions sized to the single-file harness input,
       // not the 32-way batch shuffle width (see EventStreams doc). Default 4
       // by r11 A/B at sf0.1 {2: 2.31 s, 4: 2.61, 8: 3.15 on q_stream_join}
