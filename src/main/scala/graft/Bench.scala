@@ -20,7 +20,8 @@ object Bench {
     "q_dup_span_frac", "q_pagerank", "q_snapshot_diff", "q_dq_checks",
     "q_anomaly",
     "q_stream_tumbling", "q_stream_join", "q_stream_stateful",
-    "q_stream_anomaly")
+    "q_stream_anomaly",
+    "q_tokenize_bpe", "q_cdc_apply", "q_decontaminate")
 
   /** Named warm-up rows: each is the designated first consumer of a
     * session-scoped shared artifact (ParityQueries' lineitem row-id index +
@@ -38,6 +39,18 @@ object Bench {
     "q_vocab",         // tokenize pass (tokStream checkpoint)
     "q_winnow_fp",     // winnowing fingerprint checkpoint
     "q_ann_kmeans")    // k-means codebook fit
+
+  /** Full-materialization execution: run the query's OWN physical plan and
+    * iterate every output row. `df.count()` instead re-plans with an
+    * Aggregate on top, letting Catalyst PRUNE the output projections —
+    * r13 caught q_tokenize_bpe "costing" 0.11 s because the count plan
+    * never ran the tokenizer at all (and sorts get eliminated the same
+    * way). The reference baseline timed full extraction, so the bench
+    * must too. toRdd executes the plan exactly as the query shapes it;
+    * iterating the partitions forces every projection without collecting
+    * anything to the driver. */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
 
   private def loadavg1: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
@@ -147,7 +160,7 @@ object Bench {
     val warm: Seq[(String, Double)] =
       (if (doWarm) warmupRows.filter(selected.contains) else Seq.empty).map { n =>
         val t0 = System.nanoTime()
-        try { selected(n)(spark, sfDir).count(); (n, (System.nanoTime() - t0) / 1e9) }
+        try { materialize(selected(n)(spark, sfDir)); (n, (System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => (n, -1.0) }
       }
 
@@ -163,7 +176,7 @@ object Bench {
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
           }

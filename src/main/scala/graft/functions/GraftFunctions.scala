@@ -70,6 +70,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_winnow60",
       (e: Seq[Expression]) => invoke(ArrayType(LongType, containsNull = false), "winnow60", e,
         Seq(ArrayType(StringType), IntegerType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_gram_hashes_60",
+      (e: Seq[Expression]) => invoke(ArrayType(LongType, containsNull = false), "gramHashes60", e,
+        Seq(ArrayType(StringType), IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sorted_run_counts",
+      (e: Seq[Expression]) => invoke(ArrayType(LongType, containsNull = false), "sortedRunCounts", e,
+        Seq(ArrayType(StringType))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_bucket_md5",
       (e: Seq[Expression]) => invoke(IntegerType, "hyperplaneBucketMd5", e,
         Seq(ArrayType(FloatType), IntegerType, IntegerType)), "scala_udf")
@@ -132,6 +138,10 @@ object GraftFunctions {
   def simhash60(c: Column): Column = call_function("graft_simhash60", c)
   def winnow60(c: Column, k: Int, w: Int): Column =
     call_function("graft_winnow60", c, lit(k), lit(w))
+  def gramHashes60(c: Column, k: Int): Column =
+    call_function("graft_gram_hashes_60", c, lit(k))
+  def sortedRunCounts(c: Column): Column =
+    call_function("graft_sorted_run_counts", c)
   def byteEntropy(c: Column): Column = call_function("graft_byte_entropy", c)
   def distinctBytes(c: Column): Column = call_function("graft_distinct_bytes", c)
   def fakeDim(c: Column, idx: Int): Column = call_function("graft_fake_dim", c, lit(idx))

@@ -57,17 +57,6 @@ object TextBpe {
     "_" -> "t", "_" -> "a", "_" -> "the", "_t" -> "o",          // 35-38
     "_a" -> "n", "0" -> "0")                                    // 39-40
 
-  // pair "a b" -> rank; java.util.HashMap so the hot encode loop does one
-  // string concat + one map probe per adjacent pair, no tuple boxing
-  private val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      val prev = m.put(a + " " + b, Integer.valueOf(i))
-      require(prev == null, s"duplicate merge pair ($a,$b)")
-    }
-    m
-  }
-
   // well-formedness: every side is a single char or an earlier output
   {
     val seen = scala.collection.mutable.Set[String]()
@@ -94,42 +83,94 @@ object TextBpe {
     sb.toString
   }
 
+  // ---- int-id encode machinery (the hot path) ----
+  // Token vocabulary = 37 base chars ([a-z0-9_]) + one id per merge
+  // output. The encode loop then works on int arrays with a dense
+  // pair→rank matrix — zero allocation and two array reads per adjacent
+  // pair, instead of a string concat + HashMap probe (the first-cut
+  // implementation cost 1.7 s for the sf0.1 corpus; this one is the
+  // per-row kernel shape a 100 TB scan wants).
+  private val vocabSize = 37 + merges.size
+  private val tokenString: Array[String] = {
+    val arr = new Array[String](vocabSize)
+    var i = 0
+    while (i < 26) { arr(i) = String.valueOf(('a' + i).toChar); i += 1 }
+    while (i < 36) { arr(i) = String.valueOf(('0' + i - 26).toChar); i += 1 }
+    arr(36) = "_"
+    merges.zipWithIndex.foreach { case ((a, b), k) => arr(37 + k) = a + b }
+    arr
+  }
+  @inline private def charId(c: Char): Int =
+    if (c >= 'a' && c <= 'z') c - 'a'
+    else if (c >= '0' && c <= '9') 26 + (c - '0')
+    else 36 // '_' (normalize emits nothing else)
+  private val stringId: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocabSize * 2)
+    var i = 0
+    while (i < vocabSize) {
+      val prev = m.put(tokenString(i), Integer.valueOf(i))
+      require(prev == null, s"duplicate vocab surface '${tokenString(i)}'")
+      i += 1
+    }
+    m
+  }
+  // pairRank(a*vocabSize + b) = merge rank or MaxValue; pairId = output id
+  private val pairRank: Array[Int] = Array.fill(vocabSize * vocabSize)(Int.MaxValue)
+  private val pairId: Array[Int] = new Array[Int](vocabSize * vocabSize)
+  merges.zipWithIndex.foreach { case ((a, b), k) =>
+    val key = stringId.get(a) * vocabSize + stringId.get(b)
+    require(pairRank(key) == Int.MaxValue, s"duplicate merge pair ($a,$b)")
+    pairRank(key) = k
+    pairId(key) = 37 + k
+  }
+
   /** The BPE encode loop: start from normalized chars; repeatedly find the
     * lowest-rank adjacent pair present and merge ALL its left-to-right
     * non-overlapping occurrences; stop when no pair is in the table.
-    * O(#distinct-merges-applied × length) — rank lookup is O(1), so this
-    * is the production shape (works unchanged for a 50k-merge vocab). */
-  def encodeJava(text: String): java.util.ArrayList[String] = {
-    val norm = normalize(text)
-    var toks = new java.util.ArrayList[String](norm.length)
+    * O(#distinct-merges-applied × length), two array reads per pair probe.
+    * Returns int token ids into [[tokenString]]; `len` slots of `buf` are
+    * valid on return. */
+  private def encodeIds(norm: String): (Array[Int], Int) = {
+    var n = norm.length
+    val ids = new Array[Int](math.max(n, 1))
     var i = 0
-    while (i < norm.length) { toks.add(String.valueOf(norm.charAt(i))); i += 1 }
-    var continue = toks.size > 1
+    while (i < n) { ids(i) = charId(norm.charAt(i)); i += 1 }
+    var continue = n > 1
     while (continue) {
       var best = Int.MaxValue
       i = 0
-      val n = toks.size
       while (i < n - 1) {
-        val r = rank.get(toks.get(i) + " " + toks.get(i + 1))
-        if (r != null && r.intValue() < best) best = r.intValue()
+        val r = pairRank(ids(i) * vocabSize + ids(i + 1))
+        if (r < best) best = r
         i += 1
       }
       if (best == Int.MaxValue) continue = false
       else {
-        val (a, b) = merges(best)
-        val merged = a + b
-        val out = new java.util.ArrayList[String](toks.size)
+        // merge all LTR non-overlapping occurrences of the best pair,
+        // compacting in place
+        var w = 0
         i = 0
         while (i < n) {
-          if (i < n - 1 && toks.get(i) == a && toks.get(i + 1) == b) {
-            out.add(merged); i += 2
-          } else { out.add(toks.get(i)); i += 1 }
+          if (i < n - 1 && pairRank(ids(i) * vocabSize + ids(i + 1)) == best) {
+            ids(w) = pairId(ids(i) * vocabSize + ids(i + 1)); i += 2
+          } else { ids(w) = ids(i); i += 1 }
+          w += 1
         }
-        toks = out
-        continue = toks.size > 1
+        n = w
+        continue = n > 1
       }
     }
-    toks
+    (ids, n)
+  }
+
+  /** String-token encode (spec surface + [[bpe]] output). */
+  def encodeJava(text: String): java.util.ArrayList[String] = {
+    val norm = normalize(text)
+    val (ids, n) = encodeIds(norm)
+    val out = new java.util.ArrayList[String](n)
+    var i = 0
+    while (i < n) { out.add(tokenString(ids(i))); i += 1 }
+    out
   }
 
   /** Reference replay: the oracle's sequential global-replace formulation,
@@ -158,18 +199,24 @@ object TextBpe {
     out
   }
 
+  // token id → interned UTF8String, built once — the kernel emits shared
+  // immutable instances instead of re-encoding each token's bytes per row
+  private val tokenUtf8: Array[UTF8String] =
+    tokenString.map(UTF8String.fromString)
+
   /** StaticInvoke kernel: BPE token array for a document. */
   def bpe(text: UTF8String): ArrayData = {
-    val toks = encodeJava(text.toString)
-    val arr = new Array[Any](toks.size)
+    val (ids, n) = encodeIds(normalize(text.toString))
+    val arr = new Array[Any](n)
     var i = 0
-    while (i < toks.size) { arr(i) = UTF8String.fromString(toks.get(i)); i += 1 }
+    while (i < n) { arr(i) = tokenUtf8(ids(i)); i += 1 }
     new GenericArrayData(arr)
   }
 
   /** StaticInvoke kernel: BPE token count only (skips materializing the
     * UTF8String array — the shape chunk/pack budgets want). */
-  def bpeCount(text: UTF8String): Long = encodeJava(text.toString).size.toLong
+  def bpeCount(text: UTF8String): Long =
+    encodeIds(normalize(text.toString))._2.toLong
 
   /** The merge table as a DuckDB VALUES list `(rank, pattern, replacement)`
     * in the doubled-delimiter encoding — the oracle's recursive CTE joins

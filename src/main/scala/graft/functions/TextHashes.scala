@@ -237,10 +237,12 @@ object TextHashes {
     * the distinct selected hashes sorted. The selected VALUE set equals
     * the rightmost-min formulation (ties share the value), and every step
     * is plain SQL: grams → md5-60 → windowed min → distinct. */
-  def winnow60(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+  /** md5-60 of every k-gram (space-joined) of a token array, positional
+    * order — shared by [[winnow60]] and the [[gramHashes60]] kernel. */
+  private def gramHash60Array(tokens: ArrayData, k: Int): Array[Long] = {
     val n = tokens.numElements()
     val nGrams = n - k + 1
-    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    if (nGrams <= 0) return Array.emptyLongArray
     val grams = new Array[Long](nGrams)
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -255,6 +257,64 @@ object TextHashes {
       grams(i) = md5Bits60(sb.toString.getBytes("UTF-8"))
       i += 1
     }
+    grams
+  }
+
+  /** StaticInvoke kernel: ascending per-type occurrence counts of a token
+    * array (sort tokens binary, run-length the runs, sort the counts) —
+    * the input the Shannon-entropy fold wants. SQL twin:
+    * `list_sort(run-length counts of list_sort(t))`; UTF8String.compareTo
+    * is binary like DuckDB's default collation, and the count MULTISET is
+    * collation-independent anyway.
+    *
+    * Exists because the pure-expression formulation (array_sort +
+    * element_at over filter(sequence) over a sorted copy) INLINES every
+    * intermediate into one interpreted expression tree — each element
+    * access re-evaluates the inner sort, a combinatorial blow-up that put
+    * one sf0.1 q_entropy task at 30+ CPU-minutes (r13; count()-pruned
+    * benches had hidden it). This loop is O(n log n) per row, flat. */
+  def sortedRunCounts(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      arr(i) = if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8
+               else tokens.getUTF8String(i)
+      i += 1
+    }
+    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    val counts = new java.util.ArrayList[Long](16)
+    var runStart = 0
+    i = 1
+    while (i <= n) {
+      if (i == n || arr(i).compareTo(arr(runStart)) != 0) {
+        counts.add((i - runStart).toLong); runStart = i
+      }
+      i += 1
+    }
+    val out = new Array[Long](counts.size)
+    i = 0
+    while (i < out.length) { out(i) = counts.get(i); i += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /** StaticInvoke kernel: positional k-gram md5-60 hash array. The codegen
+    * replacement for `transform(shingles(t, k), g -> md5Hash60(g))`: the
+    * interpreted HOF chain (transform + slice + concat_ws per gram) costs
+    * ~3.0 s per sf0.1 corpus pass vs ~0.2 s for this loop — the hashing
+    * was never the expensive part, the per-gram expression interpretation
+    * was. Element i covers tokens [i, i+k-1] (0-based), exactly the
+    * positional contract span-decontamination needs. */
+  def gramHashes60(tokens: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(gramHash60Array(tokens, k))
+
+  def winnow60(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val grams = gramHash60Array(tokens, k)
+    val nGrams = grams.length
+    if (nGrams == 0) return new GenericArrayData(Array.emptyLongArray)
+    var i = 0
     val selected = scala.collection.mutable.SortedSet.empty[Long]
     if (nGrams <= w) {
       var m = grams(0); i = 1

@@ -129,8 +129,7 @@ object Curation {
       GraftFunctions.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(array_distinct(shingles(tokens(col("text")), 5))).as("g"))
-        .select(col("doc_id"), md5Hash60(col("g")).as("h"))
+          explode(array_distinct(gramHashes60(tokens(col("text")), 5))).as("h"))
         .localCheckpoint()
     }
 
@@ -153,8 +152,8 @@ object Curation {
     GraftFunctions.register(docs.sparkSession)
     val toksCol = tokens(col(textCol))
     val pos = docs.select(col(idCol),
-        posexplode(shingles(toksCol, k)))
-      .select(col(idCol), col("pos"), md5Hash60(col("col")).as("h"))
+        posexplode(gramHashes60(toksCol, k)))
+      .select(col(idCol), col("pos"), col("col").as("h"))
     val cov = pos.join(broadcast(benchGrams.select(col("h")).distinct()), "h")
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .groupBy(col(idCol)).agg(collect_set(col("p")).as("__cov"))
@@ -450,10 +449,18 @@ object Curation {
     // removed) drop. n_toks is updated by exact arithmetic — span removal
     // deletes exactly n_removed tokens, no re-tokenization pass needed.
     val bench = gramSets(s, d).where(col("doc_id") % 50 === 0).select("h")
+    // localCheckpoint = the stage materialization boundary: downstream,
+    // the corpus is consumed three more times (decon's own join-back,
+    // mixDomains' per-source counts, the final manifest), and without a
+    // boundary each consumer re-runs gate+dedup+gram-join from the scan
+    // (measured 9.0 s vs 1.1 s at sf0.1). At 100 TB this is the point a
+    // curation pipeline writes the decontaminated corpus to storage —
+    // stage outputs are reused artifacts, not throwaway subtrees.
     val decon = decontaminate(
         deduped.where(col("doc_id") % 50 =!= 0), "doc_id", "text", bench)
       .withColumn("n_toks", col("n_toks") - col("n_removed"))
       .where(col("n_toks") > 0)
+      .localCheckpoint()
     val mixed = mixDomains(decon, "doc_id", "source", targetMix)
     mixed
       .select(col("source"), col("n_toks"),

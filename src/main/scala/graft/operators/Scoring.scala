@@ -195,22 +195,19 @@ object Scoring {
     "q_entropy" -> Q(
       (s, d) => {
         GraftFunctions.register(s)
-        val t = tokens(col("text"))
-        val st = array_sort(col("t"))
-        val n = size(col("t"))
-        val nxt = concat(slice(st, lit(2), n - 1), array(lit("")))
-        val ends = filter(sequence(lit(1), n),
-          i => element_at(st, i) =!= element_at(nxt, i))
-        val runCounts = transform(sequence(lit(1), size(ends)),
-          j => when(j === 1, element_at(ends, 1))
-            .otherwise(element_at(ends, j) - element_at(ends, j - 1)))
+        // ascending run counts from the sortedRunCounts KERNEL, not the
+        // array_sort/element_at expression chain: the pure-HOF version
+        // inlined every intermediate (st, nxt, ends) into one interpreted
+        // tree, so each element access re-evaluated the inner sort — a
+        // combinatorial blow-up (30+ CPU-min on one sf0.1 task, r13).
+        // The remaining fold runs over a materialized small long array.
         Tables.documents(s, d)
-          .select(col("doc_id"), t.as("t"))
+          .select(col("doc_id"), tokens(col("text")).as("t"))
           .where(size(col("t")) > 0)
-          .select(col("doc_id"), n.cast("long").as("n_toks"),
-            size(ends).cast("long").as("n_distinct"),
-            array_sort(runCounts).as("cnts"))
-          .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+          .select(col("doc_id"), size(col("t")).cast("long").as("n_toks"),
+            GraftFunctions.sortedRunCounts(col("t")).as("cnts"))
+          .select(col("doc_id"), col("n_toks"),
+            size(col("cnts")).cast("long").as("n_distinct"),
             // abs: a uniform-singleton doc folds to -0.0, which can hash
             // differently from 0.0 in the driver compare
             abs(round(-aggregate(col("cnts"), lit(0.0),

@@ -84,6 +84,19 @@ class TextHashesSpec extends SparkSpec {
     assert(TextHashes.byteEntropy((0 until 256).map(_.toByte).toArray) == 8.0)
   }
 
+  test("gramHashes60 ≡ md5Hash60 of each space-joined k-gram, positional") {
+    val toks = Seq("a", "bb", "c", "dd", "e")
+    for (k <- 1 to 5) {
+      val got = TextHashes.gramHashes60(arr(toks), k).toLongArray().toSeq
+      val want = toks.sliding(k).map(g =>
+        TextHashes.md5Hash60(UTF8String.fromString(g.mkString(" ")))).toSeq
+      assert(got == want, s"k=$k")
+    }
+    // shorter-than-k input → empty, matching shingles()'s guard
+    assert(TextHashes.gramHashes60(arr(Seq("a", "b")), 3).numElements() == 0)
+    assert(TextHashes.gramHashes60(arr(Seq.empty), 2).numElements() == 0)
+  }
+
   test("property: minhash sig of a superset never exceeds the subset sig elementwise") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 100) {
