@@ -75,4 +75,53 @@ object HyperLogLog {
           .otherwise(lit(AlphaMM) / (col("sum_int") / math.pow(2.0, RankBits + 1))),
           4).as("est"))
   }
+
+  /** SPARSE per-group register table: `(groupCols…, bucket, mj)` with only
+    * the OBSERVED buckets present (observed ⇒ mj ≥ 1; absent ⇒ mj = 0).
+    * Sparse is the mergeable-state shape a 100 TB rollup ships between
+    * levels: ≤ m rows per group, pre-combined map-side, one exchange on
+    * `(groupCols, bucket)`. */
+  def registersBy(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val h = md5Hash60(concat(lit("hll_"), col(keyCol).cast("string")))
+    val g = groupCols.map(col)
+    df.select(g :+ shiftrightunsigned(h, RankBits).as("bucket")
+        :+ h.bitwiseAND(lit((1L << RankBits) - 1)).as("low"): _*)
+      .select(g :+ col("bucket") :+
+        when(col("low") === 0L, lit(RankBits + 1))
+          .otherwise(lit(RankBits + 1) - length(bin(col("low")))).cast("long").as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("mj"))
+  }
+
+  /** Roll sparse registers up to a COARSER grouping (possibly global,
+    * `coarser = Nil`): register-wise MAX — the whole point of HLL as the
+    * distributed distinct counter. No rescan of the base data; input and
+    * output are both ≤ m rows per group. */
+  def mergeRegisters(regs: DataFrame, coarser: Seq[String]): DataFrame =
+    regs.groupBy((coarser :+ "bucket").map(col): _*)
+      .agg(max(col("mj")).as("mj"))
+
+  /** Grouped estimate from SPARSE registers: absent buckets contribute
+    * v_empty (= m − observed) and 2^(RankBits+1) each to the harmonic sum
+    * — algebraically identical to [[estimate]] over dense registers, all
+    * integer until the final division. */
+  def estimateBy(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = NumBuckets.toDouble
+    val term = call_function("shiftleft", lit(1L),
+      (lit(RankBits + 1) - col("mj")).cast("int"))
+    val grouped =
+      if (groupCols.isEmpty) regs.agg(count(lit(1)).as("n_obs"), sum(term).as("sum_obs"))
+      else regs.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_obs"), sum(term).as("sum_obs"))
+    val vEmpty = lit(NumBuckets.toLong) - col("n_obs")
+    val sumInt = col("sum_obs") + vEmpty * lit(1L << (RankBits + 1))
+    val raw = lit(AlphaMM) / (sumInt / math.pow(2.0, RankBits + 1))
+    grouped.select(groupCols.map(col) :+
+      round(
+        when(vEmpty > 0 && raw <= lit(2.5 * m),
+          lit(m) * log(lit(m) / vEmpty))
+        .otherwise(raw),
+        4).as("est"): _*)
+  }
 }
