@@ -73,6 +73,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_gram_hashes_60",
       (e: Seq[Expression]) => invoke(ArrayType(LongType, containsNull = false), "gramHashes60", e,
         Seq(ArrayType(StringType), IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bucket_fold",
+      (e: Seq[Expression]) => invoke(DoubleType, "bucketFold", e,
+        Seq(ArrayType(LongType), ArrayType(DoubleType))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_sorted_run_counts",
       (e: Seq[Expression]) => invoke(ArrayType(LongType, containsNull = false), "sortedRunCounts", e,
         Seq(ArrayType(StringType))), "scala_udf")
@@ -142,6 +145,8 @@ object GraftFunctions {
     call_function("graft_gram_hashes_60", c, lit(k))
   def sortedRunCounts(c: Column): Column =
     call_function("graft_sorted_run_counts", c)
+  def bucketFold(hashes: Column, lam: Column): Column =
+    call_function("graft_bucket_fold", hashes, lam)
   def byteEntropy(c: Column): Column = call_function("graft_byte_entropy", c)
   def distinctBytes(c: Column): Column = call_function("graft_distinct_bytes", c)
   def fakeDim(c: Column, idx: Int): Column = call_function("graft_fake_dim", c, lit(idx))

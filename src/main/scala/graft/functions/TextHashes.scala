@@ -310,6 +310,24 @@ object TextHashes {
   def gramHashes60(tokens: ArrayData, k: Int): ArrayData =
     new GenericArrayData(gramHash60Array(tokens, k))
 
+  /** StaticInvoke kernel: hashed-feature linear fold Σ_h lam[h mod |lam|]
+    * — the scoring pass of a hashed bag-of-features model (DSIR importance
+    * weights and kin). `lam` is a foldable literal in the plan (the fitted
+    * per-bucket log-ratios), so the whole score is one tight per-row loop
+    * in codegen with zero allocation and zero shuffle. */
+  def bucketFold(hashes: ArrayData, lam: ArrayData): Double = {
+    val m = lam.numElements()
+    if (m == 0) return 0.0
+    var acc = 0.0
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      acc += lam.getDouble(java.lang.Math.floorMod(hashes.getLong(i), m.toLong).toInt)
+      i += 1
+    }
+    acc
+  }
+
   def winnow60(tokens: ArrayData, k: Int, w: Int): ArrayData = {
     val grams = gramHash60Array(tokens, k)
     val nGrams = grams.length

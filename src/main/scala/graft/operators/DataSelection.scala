@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling") — north-star extension:
+  * pick raw-corpus documents whose hashed n-gram distribution looks like a
+  * small high-quality target corpus.
+  *
+  * Model: bag of hashed bigram features (md5-60 of the 2-gram string,
+  * bucketed mod [[DataSelection.B]]). Both the target and raw corpora fit
+  * add-1-smoothed unigram-over-bucket models; a document's log importance
+  * weight is Σ_grams λ_{bucket(gram)} with
+  * λ_b = ln((n_t(b)+1)/(N_t+B)) − ln((n_r(b)+1)/(N_r+B)).
+  * Selection is Gumbel-top-k over logw + g_i, with the Gumbel noise derived
+  * from the deterministic md5-60 rank hash (same salt machinery as
+  * [[Sampling]]) instead of an RNG — so the selected set is reproducible
+  * across runs, task retries and engines, and the DuckDB oracle replays the
+  * whole algorithm: grams, buckets, counts, λ, noise, ranking.
+  *
+  * Scale shape (the 100 TB story):
+  *   - FIT is one narrow aggregation: explode grams → groupBy (side,
+  *     bucket) — partial map-side combine collapses every task's output to
+  *     ≤ 2·B rows before the exchange, and the driver collects a ≤ 2·B-row
+  *     table (bounded by the bucket count, never by rows — same contract as
+  *     [[Curation.mixDomains]]' per-source counts).
+  *   - SCORING is a pure scan: λ ships as a 256-double literal inside the
+  *     plan and [[graft.functions.TextHashes.bucketFold]] folds each row's
+  *     gram hashes through it in one codegen loop — zero shuffle, zero
+  *     joins, embarrassingly parallel.
+  *   - SELECTION is top-k by score: TakeOrdered (per-partition heaps + a
+  *     k-row driver merge), never a global sort.
+  */
+object DataSelection {
+
+  /** Feature-hash bucket count. 2^8 keeps the fitted model a plan literal;
+    * a production run would raise it (DSIR uses 10^4) — the shapes above
+    * are unchanged, only the literal grows. */
+  val B = 256
+
+  /** The stand-in "high-quality target" corpus: src0/src1 (the same two
+    * sources [[Curation.targetMix]] concentrates on). */
+  val targetSources: Seq[String] = Seq("src0", "src1")
+
+  private val TWO60 = 1152921504606846976.0
+
+  private val lamCache = new graft.core.SessionCache[Array[Double]]
+
+  /** Positional bigram md5-60 hashes (with duplicates — DSIR is a COUNT
+    * model, so repeated grams weigh repeatedly). */
+  private def bigramHashes(text: Column): Column =
+    gramHashes60(tokens(text), 2)
+
+  /** Fit the per-bucket log-likelihood-ratio table from exact integer
+    * counts. One narrow aggregation; the collect is bounded by 2·B rows. */
+  def fitLambdas(docs: DataFrame, textCol: String, targetPred: Column): Array[Double] = {
+    GraftFunctions.register(docs.sparkSession)
+    val counts = docs
+      .select(targetPred.as("tgt"), explode(bigramHashes(col(textCol))).as("h"))
+      .groupBy(col("tgt"), pmod(col("h"), lit(B.toLong)).as("b")).count()
+      .collect().map(r => (r.getBoolean(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    val nt = counts.collect { case ((true, _), c) => c }.sum
+    val nr = counts.collect { case ((false, _), c) => c }.sum
+    // identical op order to the oracle: (c+1) long add → toDouble,
+    // (N+B) long add → toDouble, one IEEE divide, ln, one IEEE subtract
+    Array.tabulate(B) { b =>
+      math.log((counts.getOrElse((true, b), 0L) + 1L).toDouble / (nt + B.toLong).toDouble) -
+        math.log((counts.getOrElse((false, b), 0L) + 1L).toDouble / (nr + B.toLong).toDouble)
+    }
+  }
+
+  private def lamFor(s: SparkSession, d: String): Array[Double] =
+    lamCache.getOrElseUpdate(s, s"dsir:$d") {
+      fitLambdas(Tables.documents(s, d), "text",
+        col("source").isin(targetSources: _*))
+    }
+
+  /** Per-document log importance weight over the raw (non-target) corpus:
+    * the fitted λ table inlined as a literal, folded per row in codegen —
+    * the zero-shuffle scoring scan. */
+  def importanceWeights(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val lamLit = array(lamFor(s, d).map(lit(_)).toSeq: _*)
+    Tables.documents(s, d)
+      .where(!col("source").isin(targetSources: _*))
+      .select(col("doc_id"),
+        size(bigramHashes(col("text"))).cast("long").as("n_feats"),
+        round(bucketFold(bigramHashes(col("text")), lamLit), 6).as("logw"))
+  }
+
+  /** Gumbel-top-k importance resample: key_i = logw_i + Gumbel(u_i) with
+    * u_i = (rank_hash_i + 1) / 2^60 — deterministic, engine-replayable.
+    * Top-k by key is TakeOrdered, never a global sort. */
+  def resample(s: SparkSession, d: String, k: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val lamLit = array(lamFor(s, d).map(lit(_)).toSeq: _*)
+    val u = (Sampling.rankHash(col("doc_id"), "dsir") + lit(1L)).cast("double") / lit(TWO60)
+    Tables.documents(s, d)
+      .where(!col("source").isin(targetSources: _*))
+      .select(col("doc_id"),
+        round(bucketFold(bigramHashes(col("text")), lamLit) - log(-log(u)), 6).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB token split (same regex contract as [[GraftFunctions.tokens]]). */
+  private val tokSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Shared oracle CTE chain: grams → buckets → per-side counts → λ →
+    * per-doc raw-corpus scores. */
+  private val fitSql =
+    s"""WITH toks AS (SELECT doc_id, source, $tokSql AS t FROM documents),
+       |g AS (SELECT doc_id, source,
+       |        ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT % 256 AS b
+       |      FROM (SELECT doc_id, source, t,
+       |              unnest(range(1, greatest(len(t)-1, 0)+1)) AS i FROM toks)),
+       |tc AS (SELECT b, count(*)::BIGINT AS c FROM g
+       |       WHERE source IN ('src0','src1') GROUP BY 1),
+       |rc AS (SELECT b, count(*)::BIGINT AS c FROM g
+       |       WHERE source NOT IN ('src0','src1') GROUP BY 1),
+       |tot AS (SELECT (SELECT COALESCE(sum(c), 0) FROM tc) AS nt,
+       |               (SELECT COALESCE(sum(c), 0) FROM rc) AS nr),
+       |lam AS (SELECT bb.b,
+       |          ln((COALESCE(tc.c, 0)+1)::DOUBLE / (tot.nt+256)::DOUBLE)
+       |          - ln((COALESCE(rc.c, 0)+1)::DOUBLE / (tot.nr+256)::DOUBLE) AS l
+       |        FROM (SELECT unnest(range(0, 256)) AS b) bb
+       |        LEFT JOIN tc ON bb.b = tc.b LEFT JOIN rc ON bb.b = rc.b
+       |        CROSS JOIN tot),
+       |sc AS (SELECT g.doc_id, count(*)::BIGINT AS n_feats, sum(lam.l) AS s
+       |       FROM g JOIN lam ON g.b = lam.b
+       |       WHERE g.source NOT IN ('src0','src1') GROUP BY 1)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // -- DSIR importance weights: the full differential oracle rebuilds
+    //    the hashed-bigram buckets, both smoothed models and every λ from
+    //    the same exact integer counts, then re-scores every raw doc.
+    //    round-6 absorbs summation-order and last-ulp-ln differences
+    //    (error ~1e-13 per doc, five orders under the tolerance). --
+    "q_dsir_weights" -> Q(
+      (s, d) => importanceWeights(s, d).orderBy("doc_id"),
+      s"""$fitSql
+         |SELECT d.doc_id, COALESCE(sc.n_feats, 0)::BIGINT AS n_feats,
+         |  round(COALESCE(sc.s, 0.0), 6) AS logw
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |WHERE d.source NOT IN ('src0','src1') ORDER BY doc_id""".stripMargin),
+
+    // -- Gumbel-top-k importance resample (k = 100): the oracle replays
+    //    the md5-60 rank hash, the exact (h+1)/2^60 uniform, the Gumbel
+    //    transform and the (skey DESC, doc_id) ranking. --
+    "q_dsir_sample" -> Q(
+      (s, d) => resample(s, d, 100),
+      s"""$fitSql
+         |SELECT doc_id, skey FROM (
+         |  SELECT d.doc_id,
+         |    round(COALESCE(sc.s, 0.0)
+         |      - ln(-ln((('0x' || substr(md5('dsir_' || d.doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+         |               / 1152921504606846976.0)), 6) AS skey
+         |  FROM documents d LEFT JOIN sc USING (doc_id)
+         |  WHERE d.source NOT IN ('src0','src1'))
+         |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin)
+  )
+}
