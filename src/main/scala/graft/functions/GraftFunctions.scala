@@ -82,6 +82,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_hyperplane_bucket_md5",
       (e: Seq[Expression]) => invoke(IntegerType, "hyperplaneBucketMd5", e,
         Seq(ArrayType(FloatType), IntegerType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_rand_project",
+      (e: Seq[Expression]) => invoke(ArrayType(DoubleType, containsNull = false), "randProject", e,
+        Seq(ArrayType(FloatType), IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine_d",
+      (e: Seq[Expression]) => invoke(DoubleType, "cosineD", e,
+        Seq(ArrayType(DoubleType), ArrayType(DoubleType))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_byte_entropy",
       (e: Seq[Expression]) => invoke(DoubleType, "byteEntropy", e,
         Seq(BinaryType)), "scala_udf")
@@ -147,6 +153,9 @@ object GraftFunctions {
     call_function("graft_sorted_run_counts", c)
   def bucketFold(hashes: Column, lam: Column): Column =
     call_function("graft_bucket_fold", hashes, lam)
+  def randProject(v: Column, r: Int): Column =
+    call_function("graft_rand_project", v, lit(r))
+  def cosineSimD(a: Column, b: Column): Column = call_function("graft_cosine_d", a, b)
   def byteEntropy(c: Column): Column = call_function("graft_byte_entropy", c)
   def distinctBytes(c: Column): Column = call_function("graft_distinct_bytes", c)
   def fakeDim(c: Column, idx: Int): Column = call_function("graft_fake_dim", c, lit(idx))

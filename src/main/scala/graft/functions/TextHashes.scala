@@ -389,6 +389,57 @@ object TextHashes {
     bucket
   }
 
+  /** Signed (±1) random-projection planes, md5-derived ("rp_j_i" keys — a
+    * salt space disjoint from the LSH planes' "t_j_i"), cached per (r, d). */
+  private val projPlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Byte]]]
+
+  private def projPlanes(r: Int, d: Int): Array[Array[Byte]] =
+    projPlaneCache.computeIfAbsent((r, d), { _ =>
+      Array.tabulate(r) { j =>
+        Array.tabulate(d) { i =>
+          val h = md5Bits60(s"rp_${j}_${i}".getBytes("UTF-8"))
+          if (((h >>> 56) & 1L) == 1L) 1.toByte else -1.toByte
+        }
+      }
+    })
+
+  /** StaticInvoke kernel: signed random projection R^d → R^r (the ±1
+    * Achlioptas/JL construction): out_j = Σ_i sign(j,i)·v_i, accumulated
+    * sequentially in double so the SQL oracle's ordered list_sum replay
+    * is bit-identical. Cosine in the projected space approximates cosine
+    * in the original within the JL distortion, at r/d the scan width. */
+  def randProject(v: ArrayData, r: Int): ArrayData = {
+    val d = v.numElements()
+    val pl = projPlanes(r, d)
+    val out = new Array[Double](r)
+    var j = 0
+    while (j < r) {
+      val p = pl(j)
+      var dot = 0.0
+      var i = 0
+      while (i < d) { dot += p(i) * v.getFloat(i).toDouble; i += 1 }
+      out(j) = dot
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine over double vectors (the projected space) — same sequential
+    * accumulation contract as [[cosineF]]. */
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   // ---- byte-level multimodal features (binary payload column) ----
 
   /** Shannon entropy (bits/byte) of a byte histogram, summed over byte

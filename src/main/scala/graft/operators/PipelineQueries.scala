@@ -591,6 +591,43 @@ object PipelineQueries {
          |  FROM s)
          |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
 
+    // random-projection coarse search (r=16 signed JL dims) + exact
+    // rerank of each query's top-20 projected candidates down to top-5.
+    // Full differential oracle: DuckDB rebuilds the md5-derived ±1
+    // projection ("rp_j_i" salt space) with an ORDERED list_sum — the
+    // same sequential double accumulation as the kernel, so projected
+    // values, the candidate cut and the reranked cosines are all
+    // bit-identical across engines.
+    "q_ann_rp" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.rpTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+            r = 16, m = 20, k = 5)
+          .orderBy("qid", "vid")
+      },
+      s"""WITH proj AS (
+         |  SELECT vec_id,
+         |    list_transform(range(0, 16), j ->
+         |      list_sum(list_transform(range(0, 64), i ->
+         |        (CASE WHEN (('0x' || substr(md5('rp_' || j::VARCHAR || '_' || i::VARCHAR), 1, 1))::BIGINT & 1) = 1
+         |              THEN 1.0 ELSE -1.0 END) * CAST(embedding[i + 1] AS DOUBLE)))) AS pv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, pv AS qpv FROM proj WHERE vec_id < 10),
+         |coarse AS (
+         |  SELECT q.qid, p.vec_id AS vid, ${cosSql("q.qpv", "p.pv")} AS pcos
+         |  FROM q JOIN proj p ON p.vec_id <> q.qid),
+         |cand AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, vid) AS rn
+         |    FROM coarse)
+         |  WHERE rn <= 20)
+         |SELECT qid, vid, cos FROM (
+         |  SELECT c.qid, c.vid, ${cosSql("qe.embedding", "ve.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY c.qid ORDER BY ${cosSql("qe.embedding", "ve.embedding")} DESC, c.vid) AS rn
+         |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid
+         |              JOIN embeddings ve ON ve.vec_id = c.vid)
+         |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
+
     "q_ann_ivf" -> Q(
       (s, d) => {
         val e = Tables.embeddings(s, d)

@@ -197,6 +197,47 @@ object Similarity {
       tablesForRecall(bits, targetRecall, designCos))
   }
 
+  /** Random-projection coarse search + exact rerank: project every vector
+    * to `r` dims with a deterministic signed (±1) JL projection, take each
+    * query's top-`m` candidates by PROJECTED cosine, then rerank just
+    * those `m` by exact full-width cosine and keep the top `k`.
+    *
+    * The 100 TB shape: the coarse pass scans `r`-dim projections instead
+    * of `d`-dim vectors (r≪d — a production 1536-dim embedding at r=16 is
+    * ~100× fewer scored bytes), the coarse top-m uses map-side bounded
+    * heaps ([[graft.functions.TopKAggregator]]) so the only corpus-wide
+    * exchange carries O(|Q|·m·partitions) rows, and full-width vectors are
+    * ever touched for only the m·|Q| surviving candidate ids (broadcast
+    * back against the corpus). Recall is the JL distortion dial: raise `r`
+    * (tighter projection) or `m` (deeper rerank pool); m = |corpus|
+    * degenerates to exact search. */
+  def rpTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, r: Int, m: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = emb.select(col(idCol).as("vid"), randProject(col(vecCol), r).as("pv"))
+    val q = queries.select(col(idCol).as("qid"), randProject(col(vecCol), r).as("qpv"))
+    val coarse = e.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosineSimD(col("qpv"), col("pv")).as("pcos"))
+      .as[(Long, Long, Double)]
+    val agg = new graft.functions.TopKAggregator(m)
+    val cand = coarse
+      .groupByKey(_._1)
+      .mapValues { case (_, vid, pcos) => graft.functions.Scored(vid, pcos) }
+      .agg(agg.toColumn)
+      .toDF("qid", "top")
+      .select(col("qid"), explode(col("top.vid")).as("vid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    emb.select(col(idCol).as("vid"), col(vecCol).as("ve"))
+      .join(broadcast(cand), "vid")
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))), "qid")
+      .select(col("qid"), col("vid"), cosineSim(col("qe"), col("ve")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "vid", "cos")
+  }
+
   def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       tau: Double, bits: Int = 12, tables: Int = 8): DataFrame = {
     GraftFunctions.register(emb.sparkSession)

@@ -107,6 +107,53 @@ class SimilaritySpec extends SparkSpec {
     assert(viaUnionFind.nonEmpty && viaIterative == viaUnionFind)
   }
 
+  test("rpTopK: measured recall vs exact top-k; m = corpus degenerates to exact") {
+    val emb = Tables.embeddings(spark, sf0)
+    val q = emb.where(col("vec_id") < 10)
+    def keyed(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyed(Similarity.bruteTopK(emb, q, "vec_id", "embedding", 5))
+    val rp = keyed(Similarity.rpTopK(emb, q, "vec_id", "embedding", r = 16, m = 20, k = 5))
+    // recall here is a parameter property, not a correctness property: the
+    // harness embeddings are a continuum (no near-duplicate structure), so
+    // at r=16 the JL distortion (σ ≈ sqrt((1+cos²)/r) ≈ 0.26) swamps the
+    // tiny cosine gap between the 5th and 50th neighbor — the same regime
+    // the LSH recall test documents. Measure it; assert only the dials.
+    val recall = rp.intersect(exact).size.toDouble / exact.size
+    info(f"RP recall at r=16, m=20: $recall%.3f")
+    assert(recall > 0.0)
+    // deeper rerank pool → candidate supersets → recall can only grow
+    val rp40 = keyed(Similarity.rpTopK(emb, q, "vec_id", "embedding", r = 16, m = 40, k = 5))
+    assert(rp40.intersect(exact).size >= rp.intersect(exact).size)
+    // planted EXACT duplicates survive any projection (projected cosine of
+    // identical vectors is exactly 1 ⇒ top of every coarse list): recall 1
+    val dup = emb.limit(5).select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val withDups = emb.select("vec_id", "embedding").union(dup)
+    val found = keyed(Similarity.rpTopK(withDups, withDups.where(col("vec_id") < 10),
+      "vec_id", "embedding", r = 16, m = 20, k = 5))
+    val planted = emb.where(col("vec_id") < 5).select("vec_id").collect()
+      .map(_.getLong(0)).map(id => (id, id + 100000L)).toSet
+    assert(planted.subsetOf(found), s"missing planted duplicates: ${planted.diff(found)}")
+    // m = |corpus| reranks everything: exact by construction
+    val n = emb.count().toInt
+    val all = keyed(Similarity.rpTopK(emb, q, "vec_id", "embedding", r = 16, m = n, k = 5))
+    assert(all === exact, "full-pool rerank must equal the exact answer")
+  }
+
+  test("rpTopK plan: coarse top-m is a partial aggregation, rerank sides broadcast") {
+    val emb = Tables.embeddings(spark, sf0)
+    val q = emb.where(col("vec_id") < 10)
+    val p = Similarity.rpTopK(emb, q, "vec_id", "embedding", 16, 20, 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // map-side bounded heaps: the typed aggregator runs in partial mode
+    // before the only corpus-wide exchange
+    assert(p.contains("ObjectHashAggregate"), s"typed top-m aggregator expected:\n$p")
+    // candidates and queries re-join the corpus via broadcast, never a
+    // corpus-wide shuffle join
+    assert(p.contains("BroadcastHashJoin"), s"rerank must broadcast the candidate set:\n$p")
+  }
+
   test("TopKAggregator: buffers stay sorted and bounded; merge keeps global best") {
     val agg = new TopKAggregator(3)
     val xs = Seq(0.1, 0.9, 0.5, 0.9, 0.3, 0.7).zipWithIndex
