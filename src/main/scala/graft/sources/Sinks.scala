@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Sink surface for the pipeline extensions. The LazyFrame parity surface
@@ -92,6 +92,66 @@ object Sinks {
     spark.conf.set(key, "dynamic")
     try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
     finally spark.conf.set(key, old)
+  }
+
+  /** Before/after footprint of a [[compact]] run. */
+  final case class CompactionReport(filesIn: Long, bytesIn: Long,
+      filesOut: Long, bytesOut: Long)
+
+  private def parquetStats(spark: SparkSession, path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var files = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { files += 1; bytes += f.getLen }
+    }
+    (files, bytes)
+  }
+
+  /** Small-file compaction: rewrite a fragmented parquet directory into
+    * ~`targetBytes`-sized files, preserving any Hive partition layout.
+    *
+    * Why this exists: streaming ingest ([[streamToParquet]]) and dynamic
+    * partition refresh ([[overwritePartitions]]) both emit one file per
+    * task per trigger — after a day of 1-minute triggers a partition
+    * holds thousands of KB-sized files, and at 100 TB the NameNode/object
+    * listing and per-file open cost come to dominate every scan.
+    * Compaction is the standard maintenance pass (Delta/Iceberg
+    * OPTIMIZE): re-bin the same bytes into few large files.
+    *
+    * Shapes: the FLAT path is shuffle-free — the scan itself bins small
+    * files into splits, and `coalesce` merges those splits without an
+    * exchange, so compaction moves each byte exactly once. The
+    * PARTITIONED path pays one exchange keyed on (partitionCols, salt) so
+    * every output partition directory gets `ceil(avgBytes/target)` writer
+    * tasks → that many output files; the salt is a deterministic row hash,
+    * so the file count is stable across retries. Writes go to `outPath`
+    * (no in-place rename: not atomic on object stores — callers swap
+    * pointers, the table-format way). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): CompactionReport = {
+    import org.apache.spark.sql.functions._
+    val (filesIn, bytesIn) = parquetStats(spark, inPath)
+    val df = spark.read.parquet(inPath)
+    val totalSlots = math.max(1L, (bytesIn + targetBytes - 1) / targetBytes)
+    if (partitionCols.isEmpty) {
+      df.coalesce(totalSlots.toInt).write.mode("overwrite").parquet(outPath)
+    } else {
+      // low-cardinality by the writePartitioned contract, so this count
+      // is bounded by the partition count, never by rows
+      val nVals = math.max(1L, df.select(partitionCols.map(col): _*).distinct().count())
+      val perPart = math.max(1L, (totalSlots + nVals - 1) / nVals).toInt
+      val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
+      val keys = partitionCols.map(col) :+ pmod(hash(dataCols: _*), lit(perPart))
+      df.repartition((nVals * perPart).toInt, keys: _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outPath)
+    }
+    val (filesOut, bytesOut) = parquetStats(spark, outPath)
+    CompactionReport(filesIn, bytesIn, filesOut, bytesOut)
   }
 
   /** Z-order (Morton) layout write: bit-interleave two non-negative

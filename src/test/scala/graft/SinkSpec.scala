@@ -33,6 +33,49 @@ class SinkSpec extends SparkSpec {
       s"partition pruning not visible:\n$plan")
   }
 
+  test("compact (flat): shuffle-free re-bin to ceil(bytes/target) files, values intact") {
+    val in = Files.createTempDirectory("graft_frag_").toString
+    val out = Files.createTempDirectory("graft_compact_").toString
+    val docs = Tables.documents(spark, sf0)
+    docs.repartition(50).write.mode("overwrite").parquet(in)
+
+    val target = 256L << 10
+    val rep = graft.sources.Sinks.compact(spark, in, out, targetBytes = target)
+    assert(rep.filesIn === 50)
+    val expectOut = math.max(1L, (rep.bytesIn + target - 1) / target)
+    assert(rep.filesOut === expectOut,
+      s"expected $expectOut files for ${rep.bytesIn} B at $target B target, got ${rep.filesOut}")
+    assert(rep.filesOut < rep.filesIn)
+
+    val want = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val got = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want), "compaction must move bytes, not change them")
+  }
+
+  test("compact (partitioned): layout preserved, per-partition file count collapses") {
+    val in = Files.createTempDirectory("graft_fragp_").toString
+    val out = Files.createTempDirectory("graft_compactp_").toString
+    val docs = Tables.documents(spark, sf0)
+    docs.repartition(40).write.mode("overwrite").partitionBy("lang").parquet(in)
+
+    val rep = graft.sources.Sinks.compact(spark, in, out,
+      targetBytes = 1L << 30, partitionCols = Seq("lang"))
+    val langs = docs.select("lang").distinct().count()
+    assert(rep.filesIn > langs, "fragmented input: many files per lang")
+    assert(rep.filesOut === langs, "one ≥target-sized slot per partition value")
+
+    // partition layout survives: pruning still works on the compacted copy
+    val back = spark.read.parquet(out)
+    val plan = back.where(col("lang") === "en")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+    val want = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val got = back.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.sameElements(want))
+  }
+
   test("streaming sink: windowed aggregate appends to partitioned parquet") {
     val dir = Files.createTempDirectory("graft_stream_sink_").toString
     val agg = graft.streaming.EventStreams.tumbling(
