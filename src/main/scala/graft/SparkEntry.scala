@@ -15,7 +15,7 @@ object SparkEntry {
   private def registry: Map[String, Q] =
     ParityQueries.all ++ RelationalQueries.all ++ AdvancedQueries.all ++
       PipelineQueries.all ++ Curation.all ++ EventLifecycle.all ++ Scoring.all ++ Graph.all ++ QualityChecks.all ++
-      Tokenize.all ++ IncrementalQueries.all ++ DataSelection.all ++
+      Tokenize.all ++ IncrementalQueries.all ++ DataSelection.all ++ TimeSeries.all ++
       graft.streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -41,7 +41,7 @@ class RegistrySpec extends AnyFunSuite {
     val maps = Seq(ParityQueries.all, RelationalQueries.all, AdvancedQueries.all,
       PipelineQueries.all, Curation.all, EventLifecycle.all, Scoring.all,
       Graph.all, QualityChecks.all, Tokenize.all, IncrementalQueries.all,
-      DataSelection.all,
+      DataSelection.all, TimeSeries.all,
       graft.streaming.StreamingQueries.all)
     assert(maps.map(_.size).sum === SparkEntry.queries.size,
       "two operator objects register the same query name")
