@@ -107,6 +107,24 @@ object DataSelection {
       .limit(k)
   }
 
+  /** Deterministic train/valid/test assignment: the salted md5-60 rank
+    * hash (same machinery as [[Sampling]]) against cumulative-rate
+    * cutoffs. Zero shuffle — a pure codegen scan projection, so the
+    * assignment is reproducible across runs, task retries, repartitioning
+    * and engines (unlike `randomSplit`, whose draw is per-partition), and
+    * a row can never land in two splits. Cutoffs are computed ONCE here
+    * and inlined so both engines compare the identical integer literal. */
+  def splitAssign(df: DataFrame, idCol: String, trainFrac: Double,
+      validFrac: Double, salt: String = "split"): DataFrame = {
+    require(trainFrac >= 0 && validFrac >= 0 && trainFrac + validFrac <= 1.0)
+    GraftFunctions.register(df.sparkSession)
+    val h = Sampling.rankHash(col(idCol), salt)
+    df.withColumn("split",
+      when(h < lit(Sampling.threshold(trainFrac)), "train")
+        .when(h < lit(Sampling.threshold(trainFrac + validFrac)), "valid")
+        .otherwise("test"))
+  }
+
   /** DuckDB token split (same regex contract as [[GraftFunctions.tokens]]). */
   private val tokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -163,6 +181,33 @@ object DataSelection {
          |               / 1152921504606846976.0)), 6) AS skey
          |  FROM documents d LEFT JOIN sc USING (doc_id)
          |  WHERE d.source NOT IN ('src0','src1'))
-         |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin)
+         |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin),
+
+    // -- deterministic 80/10/10 corpus split: the oracle replays hash and
+    //    cutoffs exactly, so every row's assignment is checked. --
+    "q_split_assign" -> Q(
+      (s, d) => splitAssign(Tables.documents(s, d), "doc_id", 0.8, 0.1)
+        .select("doc_id", "split").orderBy("doc_id"),
+      s"""SELECT doc_id,
+         |  CASE WHEN ('0x' || substr(md5('split_' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |            < ${Sampling.threshold(0.8)} THEN 'train'
+         |       WHEN ('0x' || substr(md5('split_' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |            < ${Sampling.threshold(0.8 + 0.1)} THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // -- split balance audit: per (split, lang) counts — the check a
+    //    pipeline runs before trusting a split didn't skew a stratum. --
+    "q_split_balance" -> Q(
+      (s, d) => splitAssign(Tables.documents(s, d), "doc_id", 0.8, 0.1)
+        .groupBy("split", "lang").count().withColumnRenamed("count", "n")
+        .orderBy("split", "lang"),
+      s"""SELECT CASE WHEN ('0x' || substr(md5('split_' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |            < ${Sampling.threshold(0.8)} THEN 'train'
+         |       WHEN ('0x' || substr(md5('split_' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |            < ${Sampling.threshold(0.8 + 0.1)} THEN 'valid'
+         |       ELSE 'test' END AS split,
+         |  lang, count(*)::BIGINT AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
   )
 }

@@ -60,6 +60,32 @@ object TimeSeries {
       filled.as("v"), col("v").isNull.as("filled"))
   }
 
+  /** Exponentially-weighted moving average over each user's observed
+    * daily series: e_1 = v_1, e_t = α·v_t + (1−α)·e_{t−1}.
+    *
+    * The recurrence is inherently sequential PER USER, so it runs as an
+    * ordered fold over the user's collected (day, v) array — bounded by
+    * the series length (days), never by events, and users fold in
+    * parallel. α is pinned to 0.5: both multiplications are exact
+    * halvings in IEEE, so the engine's fold and the oracle's recursive
+    * CTE agree bit-for-bit with no rounding (same reasoning that pinned
+    * the temperature-mix exponent). The interpreted-HOF cost (the
+    * q_entropy lesson) is irrelevant here: the lambda runs once per
+    * rollup element, ~days-per-user rows, not once per event. */
+  def ewmaDaily(events: DataFrame): DataFrame = {
+    val obs = dailyObserved(events)
+    obs.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("s"))
+      .withColumn("e", expr(
+        """aggregate(s, cast(array() as array<double>), (acc, x) ->
+          |  case when size(acc) = 0 then array(x.v)
+          |       else array_append(acc, 0.5D * x.v + 0.5D * element_at(acc, -1)) end)
+          |""".stripMargin))
+      .select(col("user_id"), explode(arrays_zip(col("s"), col("e"))).as("z"))
+      .select(col("user_id"), Norm.dateStr(col("z.s.day")).as("day"),
+        col("z.s.v").as("v"), col("z.e").as("ewma"))
+  }
+
   /** Shared oracle prefix: daily decimal-exact rollup + each observed
     * point's NEXT observed neighbor (segment form — equivalent to the
     * engine's nearest-neighbor windows because every gap is interior). */
@@ -105,6 +131,27 @@ object TimeSeries {
       s"""$segSql
          |SELECT user_id, strftime(gday, '%Y-%m-%d') AS day, v,
          |  (gday <> day) AS filled
-         |FROM fill ORDER BY user_id, day""".stripMargin)
+         |FROM fill ORDER BY user_id, day""".stripMargin),
+
+    // -- EWMA smoothing: the oracle replays the exact recurrence order
+    //    with a recursive CTE (e_t = 0.5·v_t + 0.5·e_{t−1}) over the same
+    //    decimal-exact daily means — bit-identical, no rounding. --
+    "q_ts_ewma" -> Q(
+      (s, d) => ewmaDaily(Tables.events(s, d)).orderBy("user_id", "day"),
+      """WITH RECURSIVE obs AS (
+        |  SELECT user_id, ts::DATE AS day,
+        |    sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ord AS (
+        |  SELECT user_id, day, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM obs),
+        |rec AS (
+        |  SELECT user_id, day, v, rn, v AS ewma FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.day, o.v, o.rn, 0.5 * o.v + 0.5 * r.ewma
+        |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v, ewma
+        |FROM rec ORDER BY user_id, day""".stripMargin)
   )
 }

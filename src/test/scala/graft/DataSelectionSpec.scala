@@ -70,6 +70,26 @@ class DataSelectionSpec extends SparkSpec {
       s"no global sort for a k-row result:\n$p")
   }
 
+  test("split: disjoint, exhaustive, near-rate, deterministic, shuffle-free") {
+    val docs = graft.core.Tables.documents(spark, sf0)
+    val a = DataSelection.splitAssign(docs, "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(a.length === docs.count())
+    assert(a.map(_._1).distinct.length === a.length, "every doc exactly once")
+    val shares = a.groupBy(_._2).view.mapValues(_.length.toDouble / a.length).toMap
+    assert(math.abs(shares("train") - 0.8) < 0.1)
+    assert(math.abs(shares("valid") - 0.1) < 0.06)
+    assert(math.abs(shares("test") - 0.1) < 0.06)
+    // salt-keyed hash ⇒ identical assignment on re-run
+    val b = DataSelection.splitAssign(docs, "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+    // a pure scan projection: no exchange anywhere
+    val p = plan(DataSelection.splitAssign(docs, "doc_id", 0.8, 0.1))
+    assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
+  }
+
   test("resample favors high-weight docs vs uniform sampling") {
     // The mean logw of the selected set must beat the raw-corpus mean:
     // if importance weighting did nothing, Gumbel-top-k degenerates to

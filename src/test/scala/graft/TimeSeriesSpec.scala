@@ -60,6 +60,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(gaps > 0, "harness data must actually exercise gap fill")
   }
 
+  test("ewma: matches the sequential recurrence replayed in memory") {
+    val obs = TimeSeries.dailyObserved(Tables.events(spark, sf0)).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+    val expect = obs.groupBy(_._1).iterator.flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var e = ordered.head._3
+      ordered.zipWithIndex.map { case ((_, day, v), i) =>
+        if (i > 0) e = 0.5 * v + 0.5 * e
+        (uid, day) -> e
+      }
+    }.toMap
+    val got = TimeSeries.ewmaDaily(Tables.events(spark, sf0)).collect()
+    assert(got.length === obs.length)
+    got.foreach { r =>
+      assert(r.getDouble(3) === expect((r.getLong(0), r.getString(1))),
+        s"ewma recurrence diverged at user ${r.getLong(0)} day ${r.getString(1)}")
+    }
+  }
+
   test("plan: events aggregate map-side partial; fills run on the rollup") {
     val p = TimeSeries.resampleDaily(Tables.events(spark, sf0), interpolate = true)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
