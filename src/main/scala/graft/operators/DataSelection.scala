@@ -85,11 +85,15 @@ object DataSelection {
   def importanceWeights(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val lamLit = array(lamFor(s, d).map(lit(_)).toSeq: _*)
+    // two projections so the gram-hash kernel runs ONCE per row
+    // (CollapseProject keeps non-cheap expressions from being inlined
+    // twice); size + fold then read the same array
     Tables.documents(s, d)
       .where(!col("source").isin(targetSources: _*))
+      .select(col("doc_id"), bigramHashes(col("text")).as("h"))
       .select(col("doc_id"),
-        size(bigramHashes(col("text"))).cast("long").as("n_feats"),
-        round(bucketFold(bigramHashes(col("text")), lamLit), 6).as("logw"))
+        size(col("h")).cast("long").as("n_feats"),
+        round(bucketFold(col("h"), lamLit), 6).as("logw"))
   }
 
   /** Gumbel-top-k importance resample: key_i = logw_i + Gumbel(u_i) with
