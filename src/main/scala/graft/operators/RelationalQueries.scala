@@ -238,6 +238,135 @@ object RelationalQueries {
          |  ORDER BY revenue DESC, c_custkey LIMIT 20)
          |ORDER BY c_custkey""".stripMargin),
 
+    // -- TPC-H Q1 shape (the pricing summary — the canonical scan+agg):
+    //    one pass over lineitem with map-side partial aggregation; all
+    //    money sums in DECIMAL(18,2) (exact, order-free), averages as one
+    //    double division of exact operands (single IEEE op, bit-equal
+    //    across engines — never the engines' own AVG, whose accumulation
+    //    order differs). Four output groups regardless of scale: the
+    //    reduce side is constant-size at 100 TB. --
+    "q_tpch_q1" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        val disc = col("l_discount").cast(dec)
+        val price = col("l_extendedprice").cast(dec)
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(price * (lit(1).cast(dec) - disc)).cast("double").as("sum_disc_price"),
+            sum(price * (lit(1).cast(dec) - disc) *
+              (lit(1).cast(dec) + col("l_tax").cast(dec))).cast("double").as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+          .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         |  count(*) AS count_order,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // -- TPC-H Q3 shape (shipping priority): segment-filtered customer
+    //    BROADCASTS into orders (dimension side is the small one), the
+    //    fact-fact lineitem⋈orders shuffles once on the order key, top-10
+    //    via TakeOrderedAndProject (per-partition heaps — no global
+    //    sort at any scale). --
+    "q_tpch_q3" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(li("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+          .agg(revenueCol.as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+          .orderBy("l_orderkey")
+      },
+      s"""SELECT l_orderkey, revenue, o_date, o_orderpriority FROM (
+         |  SELECT l_orderkey, $revenue AS revenue,
+         |         strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+         |  FROM lineitem
+         |   JOIN orders ON l_orderkey = o_orderkey
+         |   JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |    AND o_orderdate < TIMESTAMP '1998-06-01'
+         |    AND l_shipdate > TIMESTAMP '1998-06-01'
+         |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |  ORDER BY revenue DESC, l_orderkey LIMIT 10)
+         |ORDER BY l_orderkey""".stripMargin),
+
+    // -- TPC-H Q18 shape (large-volume customers): the HAVING subquery is
+    //    ONE orderkey-keyed partial aggregation over lineitem (map-side
+    //    combine shrinks it to one row per order before the exchange);
+    //    qualifying orders are a vanishing fraction, so the join back to
+    //    orders/customer is AQE-broadcastable at any scale. Quantity sums
+    //    in DECIMAL — exact, so the >300 gate cuts identically on both
+    //    engines. --
+    "q_tpch_q18" -> Q(
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(dec)).as("__qty"))
+          .where(col("__qty") > 300)
+          .select(col("l_orderkey").as("__ok"), col("__qty").cast("double").as("total_qty"))
+        val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+        o.join(big, o("o_orderkey") === big("__ok"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+          .limit(100)
+          .orderBy("o_orderkey")
+      },
+      s"""SELECT c_custkey, c_name, o_orderkey, o_date, o_totalprice, total_qty FROM (
+         |  SELECT c_custkey, c_name, o_orderkey,
+         |         strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+         |         CAST(q.qty AS DOUBLE) AS total_qty
+         |  FROM orders
+         |   JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+         |         FROM lineitem GROUP BY l_orderkey HAVING qty > 300) q
+         |     ON o_orderkey = q.l_orderkey
+         |   JOIN customer ON o_custkey = c_custkey
+         |  ORDER BY total_qty DESC, o_orderkey LIMIT 100)
+         |ORDER BY o_orderkey""".stripMargin),
+
+    // -- lateral array explode with position (the unnest-with-ordinality
+    //    parity op): every 25th embedding vector flattens to (vec_id,
+    //    pos, val) rows. Pure per-row generator — no shuffle; the float
+    //    elements pass through unchanged (both engines read the same
+    //    parquet FLOAT and cast to double identically). --
+    "q_explode" -> Q(
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .where(col("vec_id") % 25 === 0)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"),
+            col("col").cast("double").as("val"))
+          .orderBy("vec_id", "pos")
+      },
+      s"""SELECT vec_id, u.i - 1 AS pos, CAST(u.v AS DOUBLE) AS val
+         |FROM (SELECT vec_id, unnest(embedding) AS v,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id % 25 = 0) u(vec_id, v, i)
+         |ORDER BY vec_id, pos""".stripMargin),
+
     // -- range (interval-containment) join: shipments landing inside a
     //    30-day window after each sampled order's date. Bin-replicated
     //    equi-join (RangeJoin) — the naive BETWEEN predicate would force a
