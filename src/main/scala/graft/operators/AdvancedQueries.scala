@@ -418,6 +418,45 @@ object AdvancedQueries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_qty
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
 
+    // -- quantile binning (the ML-prep discretizer): exact quartile cut
+    //    points from ONE aggregation pass, then a zero-shuffle CASE
+    //    assignment + per-bin rollup. The 1-row cut frame cross-joins in
+    //    (broadcast by construction). Cut points are interpolated over
+    //    INTEGER-valued quantities: when the interpolation fraction is 0
+    //    the cut is produced exactly, and otherwise it falls strictly
+    //    between integers — either way no data value sits within an ulp
+    //    of a cut, so the <= bin assignment can never diverge between
+    //    engines (the reason this binning column is safe to gate on
+    //    while raw interpolated quantiles ship rounded). --
+    "q_bin_quantile" -> Q(
+      (s, d) => {
+        val cuts = Tables.lineitem(s, d).agg(
+          percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))).as("cs"))
+          .select(element_at(col("cs"), 1).as("c1"),
+            element_at(col("cs"), 2).as("c2"), element_at(col("cs"), 3).as("c3"))
+        Tables.lineitem(s, d).select(col("l_quantity")).crossJoin(cuts)
+          .withColumn("bin",
+            when(col("l_quantity") <= col("c1"), 1)
+              .when(col("l_quantity") <= col("c2"), 2)
+              .when(col("l_quantity") <= col("c3"), 3).otherwise(4))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            min(col("l_quantity")).cast("double").as("lo"),
+            max(col("l_quantity")).cast("double").as("hi"))
+          .orderBy("bin")
+      },
+      """WITH c AS (SELECT quantile_cont(l_quantity, 0.25) AS c1,
+        |             quantile_cont(l_quantity, 0.50) AS c2,
+        |             quantile_cont(l_quantity, 0.75) AS c3 FROM lineitem)
+        |SELECT bin, count(*) AS n, CAST(min(l_quantity) AS DOUBLE) AS lo,
+        |       CAST(max(l_quantity) AS DOUBLE) AS hi
+        |FROM (SELECT CASE WHEN l_quantity <= c1 THEN 1
+        |                  WHEN l_quantity <= c2 THEN 2
+        |                  WHEN l_quantity <= c3 THEN 3 ELSE 4 END AS bin,
+        |             l_quantity
+        |      FROM lineitem CROSS JOIN c)
+        |GROUP BY bin ORDER BY bin""".stripMargin),
+
     // -- sketch percentile, oracled by its error bound: approx_percentile
     //    with accuracy A has rank error ≤ n/A (KLL-style guarantee); with
     //    A=10000 a ±0.005 quantile window is ~50× that bound. The query

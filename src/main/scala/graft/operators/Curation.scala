@@ -148,13 +148,18 @@ object Curation {
     * everything the SMJ fallback is still one keyed exchange. Token
     * removal itself is a per-row indexed-lambda filter in codegen. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
-      benchGrams: DataFrame, k: Int = 5): DataFrame = {
+      benchGrams: DataFrame, k: Int = 5,
+      broadcastGrams: Boolean = true): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val toksCol = tokens(col(textCol))
     val pos = docs.select(col(idCol),
         posexplode(gramHashes60(toksCol, k)))
       .select(col(idCol), col("pos"), col("col").as("h"))
-    val cov = pos.join(broadcast(benchGrams.select(col("h")).distinct()), "h")
+    // benchmark suites are tiny → broadcast; CORPUS-derived gram sets
+    // (boilerplate removal) are unbounded → hash-keyed equi-join instead
+    val gramSide = benchGrams.select(col("h")).distinct()
+    val cov = pos.join(
+        if (broadcastGrams) broadcast(gramSide) else gramSide, "h")
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .groupBy(col(idCol)).agg(collect_set(col("p")).as("__cov"))
     val keepTok = filter(toksCol, (_, i) =>
@@ -198,9 +203,9 @@ object Curation {
          |        GROUP BY doc_id)
          |SELECT t.doc_id, len(t.t)::BIGINT AS n_toks,
          |  COALESCE(len(cov.cov), 0)::BIGINT AS n_removed,
-         |  array_to_string(
+         |  COALESCE(array_to_string(
          |    list_filter(t.t, (x, i) -> cov.cov IS NULL OR NOT list_contains(cov.cov, i)),
-         |    ' ') AS cleaned
+         |    ' '), '') AS cleaned
          |FROM toks t LEFT JOIN cov USING (doc_id)
          |WHERE t.doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin),
 
@@ -363,6 +368,86 @@ object Curation {
         |SELECT source, count(CASE WHEN nrep > 0 THEN 1 END)::BIGINT AS n_docs,
         |  CAST(sum(nrep) AS BIGINT) AS n_out
         |FROM rep GROUP BY source HAVING sum(nrep) > 0 ORDER BY source""".stripMargin),
+
+    // -- corpus-frequency boilerplate removal (the CCNet-style cousin of
+    //    q_decontaminate: the gram set comes from the corpus ITSELF, not a
+    //    benchmark): any 5-gram appearing in ≥3 distinct documents is
+    //    boilerplate; covered spans are dropped, the document survives.
+    //    Scale shape: document frequency is ONE hash-keyed aggregation of
+    //    distinct (doc, gram-hash) pairs (hashes only — 8 B rows); the
+    //    frequent set is NOT broadcast (unlike a benchmark it is
+    //    corpus-proportional), so the hit join is a hash-keyed equi-join
+    //    that AQE may still broadcast when the set turns out small. --
+    "q_boilerplate" -> Q(
+      (s, d) => {
+        val freq = gramSets(s, d).groupBy(col("h")).count()
+          .where(col("count") >= 3).select("h")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            size(tokens(col("text"))).cast("long").as("n_toks"))
+        decontaminate(docs, "doc_id", "text", freq, broadcastGrams = false)
+          .select(col("doc_id"), col("n_toks"), col("n_removed"),
+            col("text").as("cleaned"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $repTokSql AS t FROM documents),
+         |g AS (SELECT doc_id, i,
+         |    ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-4, 0)+1)) AS i
+         |        FROM toks)),
+         |freq AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+         |         GROUP BY h HAVING count(*) >= 3),
+         |hits AS (SELECT g.doc_id, g.i FROM g JOIN freq USING (h)),
+         |cov AS (SELECT doc_id, list(p) AS cov FROM
+         |         (SELECT DISTINCT doc_id, unnest(range(i, i+5)) AS p FROM hits)
+         |        GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.t)::BIGINT AS n_toks,
+         |  COALESCE(len(cov.cov), 0)::BIGINT AS n_removed,
+         |  COALESCE(array_to_string(
+         |    list_filter(t.t, (x, i) -> cov.cov IS NULL OR NOT list_contains(cov.cov, i)),
+         |    ' '), '') AS cleaned
+         |FROM toks t LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- out-of-vocabulary rate (tokenizer-coverage quality metric): the
+    //    vocabulary is the corpus's own top-16 tokens by frequency
+    //    (count desc, token asc — a total, engine-independent order);
+    //    each document reports the fraction of its tokens outside it.
+    //    Scale shape: the vocab is one hash-keyed partial aggregation +
+    //    a bounded top-k (TakeOrdered, never a global sort) collected
+    //    driver-side (16 strings); the per-doc rate is a zero-shuffle
+    //    per-row filter against the literal array. The rate is ONE IEEE
+    //    division of two exact ints — bit-equal across engines. --
+    "q_oov_rate" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val vocab = docs.select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").count()
+          .orderBy(col("count").desc, col("tok"))
+          .limit(16).select("tok")
+          .collect().map(_.getString(0))
+        val t = tokens(col("text"))
+        docs.select(col("doc_id"), t.as("t"))
+          .where(size(col("t")) > 0)
+          .select(col("doc_id"),
+            size(col("t")).cast("long").as("n_toks"),
+            size(filter(col("t"), x =>
+              !array_contains(lit(vocab), x))).cast("long").as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_toks").cast("double"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $repTokSql AS t FROM documents),
+         |u AS (SELECT unnest(t) AS tok FROM toks),
+         |v AS (SELECT list(tok) AS vs FROM
+         |        (SELECT tok FROM (SELECT tok, count(*) AS c FROM u GROUP BY tok
+         |                          ORDER BY c DESC, tok LIMIT 16))),
+         |p AS (SELECT doc_id, len(t)::BIGINT AS n_toks,
+         |        len(list_filter(t, x -> NOT list_contains(vs, x)))::BIGINT AS n_oov
+         |      FROM toks CROSS JOIN v WHERE len(t) > 0)
+         |SELECT doc_id, n_toks, n_oov, n_oov::DOUBLE / n_toks::DOUBLE AS oov_rate
+         |FROM p ORDER BY doc_id""".stripMargin),
 
     // -- the composed end-to-end pipeline (see [[pipelineManifest]]) --
     "q_pipeline_e2e" -> Q(

