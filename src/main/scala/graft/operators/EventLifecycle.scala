@@ -36,7 +36,44 @@ object EventLifecycle {
     * one session (gap too big) or one event each (gap too small). */
   val sessionGapUs: Long = 6L * 3600 * 1000000
 
+  /** Throttle window for [[q_event_dedup_window]]: events of the same
+    * (user, type) within 1 h of their predecessor are near-duplicates. */
+  val throttleUs: Long = 3600L * 1000000
+
   val all: Map[String, Q] = Map(
+
+    // -- time-window event dedup (telemetry near-duplicate suppression):
+    //    an event is kept iff it is the first of its (user, type) or its
+    //    predecessor is more than 1 h older — the standard client-retry /
+    //    double-fire throttle. ONE user-keyed exchange (the same shuffle
+    //    sessionize pays); the lag comparison is per-row inside the
+    //    sorted partition. Output is the per-(user, type) keep ledger. --
+    "q_event_dedup_window" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts_us", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"))
+          .withColumn("kept",
+            when(lag(col("ts_us"), 1).over(w).isNull
+                || col("ts_us") - lag(col("ts_us"), 1).over(w) > throttleUs,
+              1L).otherwise(0L))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("kept")).as("n_kept"))
+          .orderBy("user_id", "event_type")
+      },
+      s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+         |           FROM events),
+         |f AS (SELECT user_id, event_type,
+         |        CASE WHEN lag(ts_us) OVER w IS NULL
+         |               OR ts_us - lag(ts_us) OVER w > $throttleUs
+         |             THEN 1 ELSE 0 END AS kept
+         |      FROM e WINDOW w AS (PARTITION BY user_id, event_type
+         |                          ORDER BY ts_us, event_id))
+         |SELECT user_id, event_type, count(*)::BIGINT AS n_events,
+         |  sum(kept)::BIGINT AS n_kept
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // -- gap-based sessionization: flag rows whose distance to the
     //    previous event (same user, total (ts, event_id) order)

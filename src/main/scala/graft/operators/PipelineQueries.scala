@@ -1462,6 +1462,36 @@ object PipelineQueries {
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |GROUP BY a.c_nationkey ORDER BY a.c_nationkey""".stripMargin),
 
+    // per-label embedding centroids (mean pooling — the class-prototype /
+    // cluster-seed step of an embedding pipeline), kept exact and
+    // order-free: each float element is rounded to 9 dp and summed as
+    // DECIMAL(28,9) (associative — Spark's parallel partial agg and
+    // DuckDB's serial sum agree bit-for-bit), then ONE double division
+    // per element. Long-form output (label, pos, centroid): the
+    // (label, pos)-keyed aggregation map-side-combines to
+    // |labels|·dim rows regardless of corpus size.
+    "q_embed_centroid" -> Q(
+      (s, d) => {
+        val d289 = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 9)
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos").cast("long").as("pos"))
+          .agg(sum(round(col("col").cast("double"), 9).cast(d289)).as("sv"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            (col("sv").cast("double") / col("n").cast("double")).as("centroid"),
+            col("n"))
+          .orderBy("label", "pos")
+      },
+      """SELECT label, u.i - 1 AS pos,
+        |  CAST(sum(round(CAST(u.v AS DOUBLE), 9)::DECIMAL(28,9)) AS DOUBLE)
+        |    / count(*)::DOUBLE AS centroid,
+        |  count(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings) u(label, v, i)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+
     "q_mm_meta" -> Q(
       (s, d) => Multimodal.withBlob(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("media_meta.mime").as("mime"),

@@ -89,4 +89,34 @@ object RangeJoin {
       pc(pointCol) >= ic(startCol) && pc(pointCol) <= ic(endCol)
     p.join(iv, cond).drop("__pbin", "__ibin")
   }
+
+  /** Interval-OVERLAP join: every pair (a, b) with
+    * `[aStart, aEnd] ∩ [bStart, bEnd] ≠ ∅` (inclusive ends). Same
+    * bin-replication rewrite as [[pointInInterval]], applied to BOTH
+    * sides: each interval replicates to every bin it spans, candidate
+    * pairs meet on the bin equi-key, the exact overlap predicate filters
+    * boundary false positives — and each true pair is emitted exactly
+    * ONCE by attributing it to the single bin containing
+    * `max(aStart, bStart)` (the overlap's left edge), so no distinct/
+    * dedup pass is needed afterwards. Shuffle volume is the two
+    * replicated sides; replication factor ≈ len/binWidth + 1 per row,
+    * the dial a deployment tunes to its typical interval length. */
+  def intervalOverlap(
+      a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val av = a.withColumn("__abin",
+      explode(sequence(floor(col(aStart) / binWidth), floor(col(aEnd) / binWidth))))
+      .alias("__io_a")
+    val bv = b.withColumn("__bbin",
+      explode(sequence(floor(col(bStart) / binWidth), floor(col(bEnd) / binWidth))))
+      .alias("__io_b")
+    def ac(c: String) = col(s"__io_a.`$c`")
+    def bc(c: String) = col(s"__io_b.`$c`")
+    val cond = ac("__abin") === bc("__bbin") &&
+      ac(aStart) <= bc(bEnd) && bc(bStart) <= ac(aEnd) &&
+      floor(greatest(ac(aStart), bc(bStart)) / binWidth) === ac("__abin")
+    av.join(bv, cond).drop("__abin", "__bbin")
+  }
 }

@@ -367,6 +367,43 @@ object RelationalQueries {
          |      FROM embeddings WHERE vec_id % 25 = 0) u(vec_id, v, i)
          |ORDER BY vec_id, pos""".stripMargin),
 
+    // -- interval-OVERLAP join (see [[RangeJoin.intervalOverlap]]): two
+    //    sampled order populations carry 20- and 25-day windows; every
+    //    overlapping (a, b) window pair is found via double-sided bin
+    //    replication + exact predicate, each pair emitted once by
+    //    left-edge bin attribution (no post-join distinct). The naive
+    //    formulation is a BroadcastNestedLoopJoin — dead at scale; this
+    //    is the standard equi-key rewrite every real range-join engine
+    //    uses. --
+    "q_interval_overlap" -> Q(
+      (s, d) => {
+        val day = (c: org.apache.spark.sql.Column) =>
+          datediff(c.cast("date"), lit("1970-01-01")).cast("long")
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), day(col("o_orderdate")).as("s_day"))
+        val a = base.where(col("o_orderkey") % 200 === 0)
+          .select(col("o_orderkey").as("a_key"), col("s_day").as("a_s"),
+            (col("s_day") + 20).as("a_e"))
+        val b = base.where(col("o_orderkey") % 200 === 1)
+          .select(col("o_orderkey").as("b_key"), col("s_day").as("b_s"),
+            (col("s_day") + 25).as("b_e"))
+        RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", 32)
+          .select(col("a_key"), col("b_key"),
+            (least(col("a_e"), col("b_e")) -
+              greatest(col("a_s"), col("b_s")) + 1).as("overlap_days"))
+          .orderBy("a_key", "b_key")
+      },
+      """WITH base AS (SELECT o_orderkey,
+        |    datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS s_day
+        |  FROM orders),
+        |a AS (SELECT o_orderkey AS a_key, s_day AS a_s, s_day + 20 AS a_e
+        |      FROM base WHERE o_orderkey % 200 = 0),
+        |b AS (SELECT o_orderkey AS b_key, s_day AS b_s, s_day + 25 AS b_e
+        |      FROM base WHERE o_orderkey % 200 = 1)
+        |SELECT a_key, b_key, least(a_e, b_e) - greatest(a_s, b_s) + 1 AS overlap_days
+        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+        |ORDER BY a_key, b_key""".stripMargin),
+
     // -- range (interval-containment) join: shipments landing inside a
     //    30-day window after each sampled order's date. Bin-replicated
     //    equi-join (RangeJoin) — the naive BETWEEN predicate would force a

@@ -84,6 +84,49 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap: equals the naive overlap join, each pair once") {
+    val rnd = new scala.util.Random(7)
+    val a = (1 to 120).map(i =>
+      (i.toLong, rnd.nextInt(400).toLong))
+      .map { case (k, s) => (k, s, s + rnd.nextInt(60)) }
+      .toDF("a_key", "a_s", "a_e")
+    val b = (1 to 120).map(i =>
+      (i.toLong + 1000, rnd.nextInt(400).toLong))
+      .map { case (k, s) => (k, s, s + rnd.nextInt(60)) }
+      .toDF("b_key", "b_s", "b_e")
+    val got = graft.operators.RangeJoin
+      .intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", 16)
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = a.crossJoin(b)
+      .where($"a_s" <= $"b_e" && $"b_s" <= $"a_e")
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == got.distinct.size, "a pair was emitted twice")
+    assert(got.sorted == want.sorted,
+      s"binned overlap != naive: ${got.size} vs ${want.size} pairs")
+  }
+
+  test("q_event_dedup_window: kept <= events; first event always kept") {
+    val rows = graft.operators.EventLifecycle.all("q_event_dedup_window")
+      .fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_kept"))
+      assert(k >= 1 && k <= n, s"kept $k of $n")
+    }
+  }
+
+  test("q_embed_centroid: |labels| x dim rows; centroid inside value range") {
+    val rows = PipelineQueries.all("q_embed_centroid").fn(spark, sf0).collect()
+    val labels = rows.map(_.getAs[Int]("label")).distinct
+    assert(rows.length == labels.length * 64)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("centroid")
+      assert(!c.isNaN && math.abs(c) < 1e6)
+    }
+  }
+
   test("q_entity_match: a planted near-duplicate pair is found via its block") {
     // direct operator check on a tiny frame: same block, distance 1
     val c = Seq((1L, "Customer#000000001", 7L), (2L, "Customer#000000002", 7L),
