@@ -22,7 +22,8 @@ object Bench {
     "q_stream_tumbling", "q_stream_join", "q_stream_stateful",
     "q_stream_anomaly",
     "q_tokenize_bpe", "q_cdc_apply", "q_decontaminate",
-    "q_ivm_agg", "q_dsir_sample", "q_ann_rp", "q_ts_resample")
+    "q_ivm_agg", "q_dsir_sample", "q_ann_rp", "q_ts_resample",
+    "q_tpch_q1", "q_boilerplate", "q_entity_match", "q_interval_overlap")
 
   /** Named warm-up rows: each is the designated first consumer of a
     * session-scoped shared artifact (ParityQueries' lineitem row-id index +

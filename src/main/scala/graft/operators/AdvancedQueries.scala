@@ -85,6 +85,37 @@ object AdvancedQueries {
 
   val all: Map[String, Q] = Map(
 
+    // -- join-key skew audit: the diagnostic a deployment runs BEFORE
+    //    choosing a join strategy (the same measurement q_join_salted's
+    //    adaptive dial makes, exposed as a report). Top-10 keys by row
+    //    share over the events user_id key (the harness's deliberately
+    //    skewed key), each with its share and the reducer-replication
+    //    factor adaptiveSalts would derive at 32-way parallelism. One
+    //    key-hashed partial agg + a bounded TakeOrdered — the 100 TB
+    //    cost is a pruned single-column scan. Shares are single IEEE
+    //    divisions of exact counts. --
+    "q_skew_audit" -> Q(
+      (s, d) => {
+        val counts = Tables.events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("tot"))
+        counts.crossJoin(tot)
+          .select(col("user_id"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double")).as("share"))
+          .withColumn("salts",
+            greatest(lit(1L), ceil(col("share") * 32).cast("long")))
+          .orderBy(col("n").desc, col("user_id"))
+          .limit(10)
+          .orderBy("user_id")
+      },
+      """SELECT user_id, n, share, salts FROM (
+        |  SELECT user_id, n, n::DOUBLE / tot::DOUBLE AS share,
+        |    greatest(1, CAST(ceil((n::DOUBLE / tot::DOUBLE) * 32) AS BIGINT)) AS salts
+        |  FROM (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id)
+        |  CROSS JOIN (SELECT count(*)::BIGINT AS tot FROM events)
+        |  ORDER BY n DESC, user_id LIMIT 10)
+        |ORDER BY user_id""".stripMargin),
+
     // -- column profiling: per-column stats (count/nulls/distinct/min/max)
     //    for a column set in ONE aggregation pass over the table (all
     //    metrics partial-agg before a single exchange), reshaped to one

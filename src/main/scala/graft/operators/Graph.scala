@@ -84,7 +84,65 @@ object Graph {
        |    CAST(${15L * scale / 100} + (85 * COALESCE(c$i.in_sum, 0)) // 100 AS BIGINT) AS pr
        |  FROM r${i - 1} n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
 
+  /** Triangle count over the undirected nation graph, by degree-ordered
+    * edge orientation (the standard distributed algorithm — Suri &
+    * Vassilvitskii's "node-iterator++"): orient every undirected edge
+    * from its (degree, id)-smaller endpoint to the larger, build wedges
+    * by joining the oriented edge list with itself on the source, and
+    * close each wedge with a semi-join back against the oriented edges.
+    * Degree ordering bounds each node's out-degree by O(√|E|), which
+    * caps the wedge (candidate) volume at O(|E|^1.5) REGARDLESS of skew
+    * — a hub of degree d contributes d wedges, not d², because almost
+    * all of its edges point INTO it. Two keyed exchanges total (wedge
+    * build, closing semi-join). The count is orientation-invariant, so
+    * the oracle counts id-ordered triples — same number, simpler SQL. */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val und = edges(s, d)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("a"), col("v").as("b")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), col("x.a") === col("y.a") &&
+        (col("x.b") < col("y.b")))
+      .select(col("x.b").as("w1"), col("y.b").as("w2"))
+    // the closing edge may be oriented either way between w1 and w2
+    val closed = wedges.join(oriented,
+      (col("a") === col("w1") && col("b") === col("w2")) ||
+        (col("a") === col("w2") && col("b") === col("w1")), "left_semi")
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
   val all: Map[String, Q] = Map(
+
+    // -- triangle count (see [[triangleCount]]): degree-ordered wedge
+    //    join — the O(|E|^1.5) bound survives hubs; oracle counts
+    //    id-ordered triples (orientation-invariant count) --
+    "q_triangle" -> Q(
+      (s, d) => triangleCount(s, d),
+      """WITH e0 AS (SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        |    FROM lineitem l
+        |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    JOIN customer c ON o.o_custkey = c.c_custkey
+        |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |    WHERE s.s_nationkey <> c.c_nationkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM e e1
+        |     JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |     JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin),
+
     "q_pagerank" -> Q(
       (s, d) => pageRank(s, d),
       s"""WITH e0 AS (SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst

@@ -1462,6 +1462,37 @@ object PipelineQueries {
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |GROUP BY a.c_nationkey ORDER BY a.c_nationkey""".stripMargin),
 
+    // df-bounded vocabulary pruning (the CountVectorizer min_df/max_df
+    // step): term frequency + document frequency in one exploded scan
+    // (tf from all tokens, df from per-doc distinct tokens), pruned to
+    // 2 <= df <= 0.5·N. N is a 1-row aggregate cross-joined in
+    // (broadcast by construction). Reduce side ∝ vocabulary, not corpus.
+    "q_vocab_prune" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+        val tf = toks.select(explode(col("t")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("tf"))
+        val df = toks.select(col("doc_id"),
+            explode(array_distinct(col("t"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        tf.join(df, "tok").crossJoin(n)
+          .where(col("df") >= 2 && col("df") <= col("n_docs") / 2)
+          .select(col("tok"), col("tf"), col("df"))
+          .orderBy("tok")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |tf AS (SELECT tok, count(*)::BIGINT AS tf
+         |       FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+         |df AS (SELECT tok, count(*)::BIGINT AS df
+         |       FROM (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks)
+         |       GROUP BY tok)
+         |SELECT tok, tf, df FROM tf JOIN df USING (tok) CROSS JOIN n
+         |WHERE df >= 2 AND df <= n_docs // 2 ORDER BY tok""".stripMargin),
+
     // per-label embedding centroids (mean pooling — the class-prototype /
     // cluster-seed step of an embedding pipeline), kept exact and
     // order-free: each float element is rounded to 9 dp and summed as

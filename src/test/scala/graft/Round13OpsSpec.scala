@@ -127,6 +127,53 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("triangle orientation: degree-ordered wedge count on a known graph") {
+    // graph: square 1-2-3-4-1 plus diagonal 1-3 => exactly 2 triangles
+    // (1,2,3) and (1,3,4); a hub node 5 connected to 1..4 adds 5 more:
+    // (1,2,5),(2,3,5),(3,4,5),(1,4,5),(1,3,5)
+    val und = Seq((1, 2), (2, 3), (3, 4), (1, 4), (1, 3),
+      (5, 1), (5, 2), (5, 3), (5, 4)).toDF("u0", "v0")
+      .select(least($"u0", $"v0").as("u"), greatest($"u0", $"v0").as("v"))
+    val deg = und.select($"u".as("node")).union(und.select($"v".as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val wd = und
+      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+    val oriented = wd.select(
+      when(struct($"du", $"u") < struct($"dv", $"v"),
+        struct($"u".as("a"), $"v".as("b")))
+        .otherwise(struct($"v".as("a"), $"u".as("b"))).as("e"))
+      .select($"e.a".as("a"), $"e.b".as("b"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        $"x.a" === $"y.a" && $"x.b" < $"y.b")
+      .select($"x.b".as("w1"), $"y.b".as("w2"))
+    val n = wedges.join(oriented,
+      ($"a" === $"w1" && $"b" === $"w2") ||
+        ($"a" === $"w2" && $"b" === $"w1"), "left_semi").count()
+    assert(n == 7, s"expected 7 triangles, got $n")
+  }
+
+  test("q_vocab_prune: df bounds hold for every surviving term") {
+    val docs = graft.core.Tables.documents(spark, sf0)
+    val nDocs = docs.count()
+    val rows = PipelineQueries.all("q_vocab_prune").fn(spark, sf0).collect()
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      assert(df >= 2 && df <= nDocs / 2, s"term ${r.getString(0)} df=$df")
+      assert(r.getAs[Long]("tf") >= df)
+    }
+  }
+
+  test("q_skew_audit: shares in (0,1], salts >= 1, top-10 only") {
+    val rows = AdvancedQueries.all("q_skew_audit").fn(spark, sf0).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("salts") >= 1L)
+    }
+  }
+
   test("q_entity_match: a planted near-duplicate pair is found via its block") {
     // direct operator check on a tiny frame: same block, distance 1
     val c = Seq((1L, "Customer#000000001", 7L), (2L, "Customer#000000002", 7L),
