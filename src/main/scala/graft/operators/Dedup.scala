@@ -187,6 +187,41 @@ object Dedup {
       .where(col("jac") >= tau)
   }
 
+  /** Cross-corpus MinHash+LSH near-dup pairs: every `(new, corpus)` pair
+    * with exact-verified Jaccard ≥ tau — the INCREMENTAL dedup shape: an
+    * incoming batch is matched against the standing corpus without ever
+    * re-pairing the corpus with itself. Band buckets come from the same
+    * signatures as [[minhashPairsFrom]]; the bucket join is new-side ×
+    * corpus-side only (no self-pairs on either side), so at 100 TB the
+    * candidate volume is ∝ |batch| · bucket occupancy, not corpus².
+    * Output: (dn, dc, jac). */
+  def minhashPairsAcross(newSets: DataFrame, corpusSets: DataFrame,
+      tau: Double, bands: Int = 32): DataFrame = {
+    def bandTbl(sets: DataFrame): DataFrame = {
+      val sig = sets.select(col("doc_id"), col("sig"))
+      val rows = (size(col("sig")) / bands).cast("int")
+      sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + lit(1), rows)))))
+        .toDF("doc_id", "band", "bh")
+        .repartition(col("band"), col("bh"))
+    }
+    val cand = bandTbl(newSets).as("a")
+      .join(bandTbl(corpusSets).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("dn"), col("b.doc_id").as("dc"))
+      .distinct()
+    cand
+      .join(newSets.select(col("doc_id"), col("ss").as("ssa"), col("n").as("na")),
+        col("dn") === col("doc_id")).drop("doc_id")
+      .join(corpusSets.select(col("doc_id"), col("ss").as("ssb"), col("n").as("nb")),
+        col("dc") === col("doc_id")).drop("doc_id")
+      .select(col("dn"), col("dc"),
+        (size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+          (col("na") + col("nb") - size(array_intersect(col("ssa"), col("ssb"))))).as("jac"))
+      .where(col("jac") >= tau)
+  }
+
   /** SimHash near-dup candidate pairs with exact Hamming verification.
     * Hamming ≤ maxHamming requires maxHamming+1 blocks for the pigeonhole
     * guarantee; we use 4 15-bit blocks of the 60-bit md5-based simhash

@@ -275,6 +275,39 @@ object PipelineQueries {
       (s, d) => minhashPairs08(s, d).orderBy("da", "db"),
       jaccardSql(0.8)),
 
+    // incremental cross-corpus near-dedup (see [[Dedup.minhashPairsAcross]]):
+    // every 10th doc plays the incoming batch, the rest the standing
+    // corpus; banded-LSH candidates are batch × corpus ONLY (the corpus
+    // never re-pairs with itself — the property that makes nightly
+    // incremental dedup affordable), exact-verified at J >= 0.8. Shares
+    // the session-cached shingle/sign scan. Oracle = exact cross-split
+    // Jaccard (same recall-1 argument as q_dedup_minhash).
+    "q_dedup_cross" -> Q(
+      (s, d) => {
+        val sets = sets3(s, d)
+        Dedup.minhashPairsAcross(
+            sets.where(col("doc_id") % 10 === 0),
+            sets.where(col("doc_id") % 10 =!= 0), 0.8)
+          .orderBy("dn", "dc")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS dn, b.doc_id AS dc, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT p.dn, p.dc, CAST(p.inter AS DOUBLE)/(ca.n + cb.n - p.inter) AS jac
+        |FROM pairs p JOIN cnt ca ON p.dn = ca.doc_id JOIN cnt cb ON p.dc = cb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE)/(ca.n + cb.n - p.inter) >= 0.8
+        |ORDER BY dn, dc""".stripMargin),
+
     // cluster canonicalization over the EXACT verified near-dup pairs (the
     // same pair set the recursive-CTE oracle closes over — deliberately not
     // the LSH pairs, whose recall is ~1 only probabilistically)
@@ -1434,22 +1467,35 @@ object PipelineQueries {
          |FROM agg""".stripMargin),
 
     // blocked fuzzy entity matching: customer-name pairs within the same
-    // nation block at edit distance ≤ 1 (classic blocking-based entity
-    // resolution — candidate generation NEVER goes all-pairs; the
-    // quadratic term is bounded by the largest block, the knob a real
-    // deployment tunes). One block-keyed exchange; Levenshtein runs only
-    // inside blocks.
+    // nation at edit distance ≤ 1, blocked by DELETION NEIGHBORHOOD
+    // (FastSS): each name emits itself plus every delete-one-char
+    // variant; two names at distance ≤ 1 ALWAYS share a key
+    // (substitution → both delete the edited position; insert/delete →
+    // the longer's deletion equals the shorter's identity), so recall is
+    // exactly 1 while candidate volume is ∝ near-dup density — never
+    // block². (The naive nation-block pairing was quadratic in block
+    // size: 11.5 s at sf0.1 and ~min² beyond; this shape's exchange
+    // moves (len+1)·n short keys and verifies only colliding pairs.)
     "q_entity_match" -> Q(
       (s, d) => {
         val c = Tables.customer(s, d).select(
           col("c_custkey"), col("c_name"), col("c_nationkey"))
-        val a = c.select(col("c_nationkey").as("blk"),
+        val keyed = c.select(col("c_nationkey").as("blk"),
+          col("c_custkey"), col("c_name"),
+          explode(concat(array(col("c_name")),
+            transform(sequence(lit(1), length(col("c_name"))),
+              i => concat(col("c_name").substr(lit(1), i - 1),
+                col("c_name").substr(i + 1, length(col("c_name"))))))).as("k"))
+        val a = keyed.select(col("blk"), col("k"),
           col("c_custkey").as("key_a"), col("c_name").as("name_a"))
-        val b = c.select(col("c_nationkey").as("blk"),
+        val b = keyed.select(col("blk"), col("k"),
           col("c_custkey").as("key_b"), col("c_name").as("name_b"))
-        a.join(b, Seq("blk"))
-          .where(col("key_a") < col("key_b") &&
-            levenshtein(col("name_a"), col("name_b")) <= 1)
+        a.join(b, Seq("blk", "k"))
+          .where(col("key_a") < col("key_b"))
+          .select(col("blk"), col("key_a"), col("key_b"),
+            col("name_a"), col("name_b"))
+          .distinct()
+          .where(levenshtein(col("name_a"), col("name_b")) <= 1)
           .groupBy(col("blk").as("c_nationkey"))
           .agg(count(lit(1)).as("n_pairs"),
             min(col("key_a")).as("min_key"))

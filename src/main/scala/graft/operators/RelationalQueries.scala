@@ -275,6 +275,31 @@ object RelationalQueries {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
+    // -- TPC-H Q6 shape (the forecasting-revenue-change scan): the
+    //    predicate-pushdown showcase — every filter reaches the parquet
+    //    reader (PushedFilters in the plan, locked by TpchShapeSpec), the
+    //    scan reads only 4 columns, the aggregate is one exact decimal
+    //    sum reduced to a single row. At 100 TB this is the shape that
+    //    proves the engine reads what the query needs and nothing else. --
+    "q_tpch_q6" -> Q(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+            col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin),
+
     // -- TPC-H Q3 shape (shipping priority): segment-filtered customer
     //    BROADCASTS into orders (dimension side is the small one), the
     //    fact-fact lineitem⋈orders shuffles once on the order key, top-10

@@ -217,6 +217,45 @@ object EventStreams {
       .orderBy("user_id", "day")
   }
 
+  /** At-ingest twin of the batch time-window event dedup
+    * (`q_event_dedup_window`): per (user, event_type), an event is kept
+    * iff it is the first in event time or arrives more than `gapUs`
+    * after its predecessor. State holds the key's raw event-time set and
+    * re-judges on every batch (versioned emissions, highest version =
+    * converged answer — the same any-arrival-order convergence contract
+    * as [[streamingAnomaly]]). State here is the per-key history because
+    * the harness replays the finite log in arbitrary splits; a real
+    * deployment bounds it with a watermark + frozen prefix counters —
+    * the throttle gap makes history older than `max_ts − gap` immutable,
+    * so only the trailing window must stay resident. */
+  def streamingThrottle(spark: SparkSession, sfDir: String,
+      gapUs: Long,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    readStream(spark, sfDir, "events.parquet", maxFilesPerTrigger)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Long, Vector[Long]), (Long, String, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), it, state) =>
+          val (ver0, ts0) = state.getOption.getOrElse((0L, Vector.empty[Long]))
+          val ts = (ts0 ++ it.map(_._3)).sorted
+          val ver = ver0 + 1
+          state.update((ver, ts))
+          var kept = 0L
+          var prev = Long.MinValue
+          ts.foreach { t =>
+            if (prev == Long.MinValue || t - prev > gapUs) kept += 1
+            prev = t
+          }
+          Iterator.single((uid, etype, ts.length.toLong, kept, ver))
+      }
+      .toDF("user_id", "event_type", "n_events", "n_kept", "ver")
+  }
+
   /** Custom state machine per user via `mapGroupsWithState`: exact running
     * (count, sum) totals. Sums accumulate in integer cents so the result is
     * independent of row arrival order within a batch (double addition is

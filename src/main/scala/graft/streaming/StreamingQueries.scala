@@ -95,6 +95,33 @@ object StreamingQueries {
 
     // streaming ingest dedup: first row per (user, type) survives; the
     // per-type survivor count equals batch COUNT(DISTINCT user)
+    // at-ingest throttle dedup: the streaming twin of
+    // q_event_dedup_window (same 1 h gap, same keep rule); versioned
+    // re-judgment per (user, type) converges to the batch answer however
+    // arrivals split across micro-batches — the oracle IS the batch SQL
+    "q_stream_throttle" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val snaps = EventStreams.runUpdatesToBatch(s,
+          EventStreams.streamingThrottle(s, d, graft.operators.EventLifecycle.throttleUs))
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ver").desc)
+        snaps.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select("user_id", "event_type", "n_events", "n_kept")
+          .orderBy("user_id", "event_type")
+      },
+      s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+         |           FROM events),
+         |f AS (SELECT user_id, event_type,
+         |        CASE WHEN lag(ts_us) OVER w IS NULL
+         |               OR ts_us - lag(ts_us) OVER w > ${graft.operators.EventLifecycle.throttleUs}
+         |             THEN 1 ELSE 0 END AS kept
+         |      FROM e WINDOW w AS (PARTITION BY user_id, event_type
+         |                          ORDER BY ts_us, event_id))
+         |SELECT user_id, event_type, count(*)::BIGINT AS n_events,
+         |  sum(kept)::BIGINT AS n_kept
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     "q_stream_dedup" -> Q(
       (s, d) => {
         val out = EventStreams.runAppendToBatch(s,

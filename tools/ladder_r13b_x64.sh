@@ -12,7 +12,7 @@ out="${1:-target/ladder/results_r13b_x64.txt}"
 mkdir -p "$(dirname "$out")"
 : > "$out"
 
-QS="q_tpch_q1 q_tpch_q3 q_tpch_q18 q_boilerplate q_entity_match q_interval_overlap q_embed_centroid q_event_dedup_window q_sample_weighted q_oov_rate q_zipf"
+QS="q_tpch_q1 q_tpch_q3 q_tpch_q18 q_boilerplate q_entity_match q_interval_overlap q_embed_centroid q_event_dedup_window q_sample_weighted q_oov_rate q_zipf q_triangle q_vocab_prune q_skew_audit"
 
 declare -A DIRS=([x1]=/root/testdata/sf0.1 [x16]=target/ladder/x16
   [x64]=target/ladder/x64)
