@@ -125,6 +125,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_mp4_field",
       (e: Seq[Expression]) => invokeIn(Mp4Codec.getClass, IntegerType, "mp4Field", e,
         Seq(BinaryType, IntegerType)), "scala_udf")
+    // RIFF/WAVE PCM audio codec (AudioCodec — little-endian chunk walk)
+    reg.createOrReplaceTempFunction("graft_synth_wav",
+      (e: Seq[Expression]) => invokeIn(AudioCodec.getClass, BinaryType, "synthWav", e,
+        Seq(LongType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wav_field",
+      (e: Seq[Expression]) => invokeIn(AudioCodec.getClass, IntegerType, "wavField", e,
+        Seq(BinaryType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wav_sumsq",
+      (e: Seq[Expression]) => invokeIn(AudioCodec.getClass, LongType, "wavSumSq", e,
+        Seq(BinaryType)), "scala_udf")
     // pinned-merge BPE subword tokenizer (TextBpe)
     reg.createOrReplaceTempFunction("graft_bpe",
       (e: Seq[Expression]) => invokeIn(TextBpe.getClass,
@@ -167,6 +177,9 @@ object GraftFunctions {
   def aviFrames(c: Column): Column = call_function("graft_avi_frames", c)
   def synthAvi(id: Column): Column = call_function("graft_synth_avi", id)
   def mp4Field(c: Column, which: Int): Column = call_function("graft_mp4_field", c, lit(which))
+  def synthWav(id: Column): Column = call_function("graft_synth_wav", id)
+  def wavField(c: Column, which: Int): Column = call_function("graft_wav_field", c, lit(which))
+  def wavSumSq(c: Column): Column = call_function("graft_wav_sumsq", c)
   def bpeTokens(c: Column): Column = call_function("graft_bpe", c)
   def bpeCount(c: Column): Column = call_function("graft_bpe_count", c)
 

@@ -1780,6 +1780,49 @@ object PipelineQueries {
         | 3::INT AS n_boxes
         |FROM documents WHERE doc_id % 16 = 7 ORDER BY doc_id""".stripMargin),
 
+    // WAV/PCM audio probe — the audio leg of the multimodal surface (see
+    // [[graft.functions.AudioCodec]]): real RIFF synthesis AND an
+    // independent chunk-walk parse (a planted LIST chunk forces a genuine
+    // walk), every field predicted analytically by the oracle — header
+    // fields, frame count, truncating duration math, exact integer peak
+    // and sum-of-squares (the RMS numerator, bit-for-bit in both
+    // engines). Per-row codegen kernels, zero shuffle: a 100 TB audio
+    // corpus probes as one embarrassingly-parallel scan.
+    "q_mm_audio" -> Q(
+      (s, d) => {
+        import graft.functions.{GraftFunctions => GFF}
+        GFF.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"), GFF.synthWav(col("doc_id")).as("payload"))
+          .select(col("doc_id"),
+            GFF.wavField(col("payload"), 0).as("sample_rate"),
+            GFF.wavField(col("payload"), 1).as("channels"),
+            GFF.wavField(col("payload"), 2).as("bits"),
+            GFF.wavField(col("payload"), 3).as("n_frames"),
+            GFF.wavField(col("payload"), 4).as("duration_ms"),
+            GFF.wavField(col("payload"), 5).as("peak"),
+            GFF.wavSumSq(col("payload")).as("sum_sq"))
+          .withColumn("rms", round(sqrt(col("sum_sq").cast("double") /
+            (col("n_frames") * col("channels"))), 6))
+          .orderBy("doc_id")
+      },
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+        |    (1 + doc_id % 2)::INT AS channels,
+        |    (50 + doc_id % 200)::INT AS frames
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, ((doc_id*31 + j*17) % 2001) - 1000 AS v
+        |  FROM (SELECT doc_id, unnest(range(0, frames*channels)) AS j FROM p)),
+        |a AS (SELECT doc_id, max(abs(v))::INT AS peak, sum(v*v)::BIGINT AS sum_sq
+        |      FROM sm GROUP BY 1)
+        |SELECT p.doc_id, p.rate::INT AS sample_rate, p.channels, 16::INT AS bits,
+        |  p.frames AS n_frames, (p.frames * 1000 // p.rate)::INT AS duration_ms,
+        |  a.peak, a.sum_sq,
+        |  round(sqrt(a.sum_sq::DOUBLE / (p.frames * p.channels)), 6) AS rms
+        |FROM p JOIN a USING (doc_id) ORDER BY p.doc_id""".stripMargin),
+
     "q_mm_decode" -> Q(
       (s, d) => {
         val media = Multimodal.synthesizeBmp(Tables.documents(s, d), "doc_id", "text")

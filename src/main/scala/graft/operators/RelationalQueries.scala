@@ -300,6 +300,38 @@ object RelationalQueries {
         |  AND l_discount BETWEEN 0.02 AND 0.06
         |  AND l_quantity < 24""".stripMargin),
 
+    // -- TPC-H Q19 shape (discounted-revenue, adapted to this dataset's
+    //    part columns): the DISJUNCTIVE-predicate join — the equi-key
+    //    (l_partkey = p_partkey) is conjunct across all three arms, so
+    //    Catalyst extracts it as the join condition and the OR becomes a
+    //    post-join residual on the BROADCAST hash join (part is the dim
+    //    side; the fact table never shuffles). The shape an optimizer
+    //    gets wrong by cartesian-ing the OR; `.explain` shows one
+    //    BroadcastHashJoin + residual filter. --
+    "q_tpch_q19" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .where(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+          .agg(revenueCol.as("revenue"), count(lit(1)).as("n_items"))
+      },
+      s"""SELECT $revenue AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
     // -- TPC-H Q3 shape (shipping priority): segment-filtered customer
     //    BROADCASTS into orders (dimension side is the small one), the
     //    fact-fact lineitem⋈orders shuffles once on the order key, top-10

@@ -125,5 +125,65 @@ object Tokenize {
       s"""WITH RECURSIVE $bpeCte
          |SELECT token, count(*)::BIGINT AS cnt
          |FROM (SELECT unnest(t) AS token FROM btoks)
-         |GROUP BY token ORDER BY cnt DESC, token LIMIT 30""".stripMargin))
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 30""".stripMargin),
+
+    // -- the BPE TRAINING inner loop: corpus-wide adjacent-pair
+    //    frequencies under the current tokenization — the top row IS the
+    //    next merge a tokenizer trainer would learn. One per-row kernel
+    //    scan + explode + one pair-keyed aggregate (map-side combined;
+    //    reduce side ∝ pair vocabulary, not corpus), exactly how a
+    //    distributed BPE trainer computes each iteration at 100 TB. --
+    "q_bpe_pair_stats" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select(GraftFunctions.bpeTokens(col("text")).as("t"))
+          .where(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(20)
+      },
+      s"""WITH RECURSIVE $bpeCte,
+         |pr AS (SELECT t[j] || ' ' || t[j+1] AS pair
+         |       FROM (SELECT t, unnest(range(1, len(t))) AS j
+         |             FROM btoks WHERE len(t) >= 2))
+         |SELECT pair, count(*)::BIGINT AS cnt FROM pr
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
+
+    // -- tokenizer FERTILITY by language: BPE tokens per whitespace word —
+    //    the standard metric a tokenizer swap is judged by (fertility ≫ 1
+    //    on a language means its token budget estimates are inflated).
+    //    Two per-row kernels + one lang-keyed aggregate; the division
+    //    happens on exact integer sums, so parity is bit-for-bit. --
+    "q_bpe_fertility" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select(col("lang"),
+            GraftFunctions.bpeCount(col("text")).as("n_bpe"),
+            size(GraftFunctions.tokens(col("text"))).cast("long").as("n_words"))
+          .groupBy("lang")
+          .agg(sum("n_bpe").as("tot_bpe"), sum("n_words").as("tot_words"),
+            count(lit(1)).as("n_docs"))
+          .select(col("lang"), col("tot_bpe"), col("tot_words"),
+            round(col("tot_bpe").cast("double") / col("tot_words"), 6)
+              .as("fertility"),
+            col("n_docs"))
+          .orderBy("lang")
+      },
+      s"""WITH RECURSIVE $bpeCte,
+         |w AS (SELECT doc_id, lang,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |        x -> x <> ''))::BIGINT AS n_words
+         |  FROM documents),
+         |b AS (SELECT doc_id, len(t)::BIGINT AS n_bpe FROM btoks)
+         |SELECT lang, sum(n_bpe)::BIGINT AS tot_bpe,
+         |  sum(n_words)::BIGINT AS tot_words,
+         |  round(sum(n_bpe)::DOUBLE / sum(n_words)::DOUBLE, 6) AS fertility,
+         |  count(*)::BIGINT AS n_docs
+         |FROM w JOIN b USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin))
 }

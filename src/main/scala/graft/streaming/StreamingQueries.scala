@@ -136,6 +136,28 @@ object StreamingQueries {
 
     // stream-stream interval join (attribution): purchases x same-user
     // clicks in the preceding hour, both sides watermarked
+    // stream-STATIC enrich at ingest: purchases pick up the customer
+    // dimension via a stateless broadcast join inside the stream (no
+    // watermark, no state store — the cheapest join a streaming pipeline
+    // has); the post-hoc batch rollup over the memory sink must equal the
+    // all-batch SQL join exactly
+    "q_stream_enrich" -> Q(
+      (s, d) => {
+        val out = EventStreams.runAppendToBatch(s,
+          EventStreams.streamStaticEnrich(s, d),
+          s"ssenrich_${System.nanoTime()}")
+        out.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("sum_value"))
+          .orderBy("c_nationkey")
+      },
+      """SELECT c_nationkey, count(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
     "q_stream_join" -> Q(
       (s, d) => {
         val out = EventStreams.runAppendToBatch(s,

@@ -62,6 +62,34 @@ class PlanSpec extends SparkSpec {
       s"6-table join degenerated:\n$plan")
   }
 
+  test("tpch q6: every filter reaches the parquet scan; 4-column read schema") {
+    val plan = formatted(RelationalQueries.all("q_tpch_q6").fn(spark, sf0))
+    assert(plan.contains("PushedFilters: ["), s"no pushdown section:\n$plan")
+    // all three pushable predicate families present in the pushed set
+    assert(plan.contains("l_shipdate") && plan.contains("GreaterThanOrEqual"),
+      s"shipdate bound not pushed:\n$plan")
+    assert(plan.contains("LessThan(l_quantity,24"),
+      s"quantity bound not pushed:\n$plan")
+    // scan must not read columns the query never touches
+    assert(!plan.contains("l_comment") && !plan.contains("l_returnflag"),
+      s"scan reads unneeded columns:\n$plan")
+  }
+
+  test("tpch q19: disjunctive arms stay a residual on ONE broadcast equi-join") {
+    val plan = formatted(RelationalQueries.all("q_tpch_q19").fn(spark, sf0))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part dim does not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"OR-join degenerated to a cartesian shape:\n$plan")
+  }
+
+  test("entity match: deletion-neighborhood candidates join on the key, no block cartesian") {
+    val plan = formatted(graft.operators.PipelineQueries.all("q_entity_match").fn(spark, sf0))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"entity blocking degenerated to all-pairs:\n$plan")
+    assert(plan.contains("Join"), s"expected the candidate equi-join:\n$plan")
+  }
+
   test("range join plans as an equi-join on the bin key (no BNLJ)") {
     val plan = formatted(RelationalQueries.all("q_range_join").fn(spark, sf0))
     assert(!plan.contains("BroadcastNestedLoopJoin"),

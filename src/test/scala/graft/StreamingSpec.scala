@@ -141,4 +141,63 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("throttle dedup: multi-batch arrival converges to the batch lag-window answer") {
+    // Same convergence contract as the anomaly gate: 8 time-ordered files
+    // fed one per micro-batch, so a key's events straddle batches and its
+    // early kept-counts are WRONG until later arrivals re-judge them; the
+    // highest-version emission must equal the single-pass batch window.
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_throttle_").toString
+    Tables.events(spark, sf0).drop("ts_ns")
+      .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val gap = graft.operators.EventLifecycle.throttleUs
+    val snaps = EventStreams.runUpdatesToBatch(spark,
+      EventStreams.streamingThrottle(spark, dir, gap, "part-*.parquet", Some(1)))
+    val wv = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ver").desc)
+    val streamed = snaps.withColumn("rn", row_number().over(wv))
+      .where(col("rn") === 1)
+      .select("user_id", "event_type", "n_events", "n_kept")
+      .orderBy("user_id", "event_type").collect().map(_.toSeq)
+    val wl = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val batch = Tables.events(spark, sf0)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("kept",
+        when(lag(col("ts_us"), 1).over(wl).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(wl) > gap, 1L).otherwise(0L))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("kept").as("n_kept"))
+      .orderBy("user_id", "event_type").collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("stream-static enrich is STATELESS (no state store) and equals the batch join") {
+    // The scale property of the stream-static shape: the dimension is
+    // (re)broadcast per micro-batch and NOTHING is retained between
+    // batches — state rows must be zero no matter how many batches run.
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"spec_enrich_${System.nanoTime()}"
+    val q = EventStreams.streamStaticEnrich(spark, sf0).writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows == 0,
+      s"stream-static join must keep no state, found $stateRows rows")
+    val streamed = spark.table(name)
+      .orderBy("event_id").collect().map(_.toSeq)
+    val batch = Tables.events(spark, sf0)
+      .where(col("event_type") === "purchase")
+      .join(Tables.customer(spark, sf0),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_nationkey"), col("value"))
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
