@@ -332,6 +332,84 @@ object RelationalQueries {
          |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
          |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
 
+    // -- TPC-H Q4 shape (order-priority checking, adapted: no
+    //    commit/receipt dates in this dataset, so "late" = any line item
+    //    shipped > 90 days after the order date): EXISTS becomes a
+    //    LEFT-SEMI join with a correlated date predicate riding the
+    //    equi-key — one keyed exchange, each order emitted at most once
+    //    no matter how many lines are late. Day math on integer
+    //    datediff, exact in both engines. --
+    "q_tpch_q4" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        o.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              datediff(col("l_shipdate").cast("date"),
+                col("o_orderdate").cast("date")) > 90,
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND datediff('day', o.o_orderdate::DATE,
+        |                             l.l_shipdate::DATE) > 90)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // -- TPC-H Q22 shape (global sales opportunity, recast as churn:
+    //    every customer here HAS orders, so "never ordered" is empty —
+    //    the live business twin is "no orders since 2001-01-01"):
+    //    customers in a nation pool with above-average balance and no
+    //    RECENT orders. The threshold compare is CROSS-MULTIPLIED onto
+    //    exact decimals (bal·n > Σbal — no float boundary, so the
+    //    survivor set is bit-identical in both engines); the stats
+    //    aggregate is one row broadcast back over the pool, and the NOT
+    //    EXISTS is a left-anti join on the customer key against the
+    //    date-filtered (and scan-pushed) orders slice — at scale, ONE
+    //    keyed exchange of (custkey)-projected recent orders. --
+    "q_tpch_q22" -> Q(
+      (s, d) => {
+        val pool = Tables.customer(s, d)
+          .where(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal").cast(dec).as("bal"))
+        val stats = pool.where(col("bal") > 0)
+          .agg(sum(col("bal")).as("s"), count(lit(1)).as("n"))
+        val recent = Tables.orders(s, d)
+          .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        val cand = pool.crossJoin(broadcast(stats))
+          .where(col("bal") * col("n") > col("s"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        cand.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal")).cast("double").as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      """WITH pool AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13)),
+        |stats AS (SELECT SUM(bal) AS s, count(*) AS n
+        |          FROM pool WHERE bal > 0)
+        |SELECT c_nationkey, count(*)::BIGINT AS numcust,
+        |  CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM pool p, stats
+        |WHERE p.bal * stats.n > stats.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = p.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
     // -- TPC-H Q3 shape (shipping priority): segment-filtered customer
     //    BROADCASTS into orders (dimension side is the small one), the
     //    fact-fact lineitem⋈orders shuffles once on the order key, top-10
