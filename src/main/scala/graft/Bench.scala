@@ -25,7 +25,8 @@ object Bench {
     "q_ivm_agg", "q_dsir_sample", "q_ann_rp", "q_ts_resample",
     "q_tpch_q1", "q_boilerplate", "q_entity_match", "q_interval_overlap",
     "q_tpch_q6", "q_tpch_q19", "q_mm_audio", "q_dedup_cross",
-    "q_stream_enrich", "q_bpe_pair_stats")
+    "q_stream_enrich", "q_bpe_pair_stats",
+    "q_tpch_q7", "q_tpch_q13", "q_tpch_q17", "q_tpch_q22")
 
   /** Named warm-up rows: each is the designated first consumer of a
     * session-scoped shared artifact (ParityQueries' lineitem row-id index +

@@ -410,6 +410,190 @@ object RelationalQueries {
         |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
 
+    // -- TPC-H Q7 shape (volume shipping between two nations): BOTH
+    //    dimension sides are nation-filtered BEFORE touching a fact table
+    //    (supplier and customer each shrink to 2/25), so the one fact-fact
+    //    shuffle (lineitem ⋈ orders on the order key) moves only the
+    //    supplier-nation-matching ~8% of line items. The asymmetric-pair
+    //    predicate is a post-join residual on already-tiny dims. Year via
+    //    integer `year()` — exact day math in both engines. --
+    "q_tpch_q7" -> Q(
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val pair = Seq("NATION_1", "NATION_2")
+        val su = Tables.supplier(s, d)
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .where(col("n_name").isin(pair: _*))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cu = Tables.customer(s, d)
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .where(col("n_name").isin(pair: _*))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(revenueCol.as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      s"""SELECT supp_nation, cust_nation, l_year, $revenue AS revenue,
+         |       count(*) AS n_items
+         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |             l_extendedprice, l_discount
+         |      FROM lineitem
+         |       JOIN supplier ON l_suppkey = s_suppkey
+         |       JOIN orders ON l_orderkey = o_orderkey
+         |       JOIN customer ON o_custkey = c_custkey
+         |       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |      WHERE n1.n_name IN ('NATION_1','NATION_2')
+         |        AND n2.n_name IN ('NATION_1','NATION_2')
+         |        AND n1.n_name <> n2.n_name
+         |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |        AND l_shipdate < TIMESTAMP '1998-01-01')
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+
+    // -- TPC-H Q13 shape (customer order-count distribution): the
+    //    zero-inclusive outer-join + DOUBLE aggregation. Orders are
+    //    pre-aggregated to per-customer counts BEFORE the outer join —
+    //    the join's right side shrinks from |orders| to ≤|customers|
+    //    rows, so at 100 TB the only orders-proportional exchange is the
+    //    map-combined count; the second aggregation reduces to
+    //    |distinct counts| rows. Zero-order customers surface via
+    //    coalesce(cnt, 0) off the left join. --
+    "q_tpch_q13" -> Q(
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"))
+        Tables.customer(s, d).select(col("c_custkey"))
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+          .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      """SELECT c_count, count(*)::BIGINT AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey
+        |       AND o_orderpriority <> '4-NOT SPECIFIED'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // -- TPC-H Q14 shape (promo revenue share): month-sliced scan joins
+    //    the BROADCAST part dimension; promo vs total revenue are two
+    //    conditional DECIMAL sums out of the same single pass (exact,
+    //    order-free), and the share is ONE IEEE division of the two
+    //    exact operands — bit-equal across engines, no avg() drift. --
+    "q_tpch_q14" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        val rev = col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))
+        li.join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(dec)))
+              .cast("double").as("promo_revenue"),
+            sum(rev).cast("double").as("total_revenue"))
+          .withColumn("promo_share",
+            lit(100.0) * col("promo_revenue") / col("total_revenue"))
+      },
+      """SELECT promo_revenue, total_revenue,
+        |       100.0 * promo_revenue / total_revenue AS promo_share
+        |FROM (SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |       ELSE 0 END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')""".stripMargin),
+
+    // -- TPC-H Q15 shape (top revenue supplier): per-supplier quarterly
+    //    revenue from ONE map-combined aggregate (reduce ∝ |suppliers|),
+    //    the global max re-broadcast as a 1-row aggregate, and the
+    //    equality filter done on the EXACT decimal sums (a double max
+    //    could tie-break differently between engines in the last ulp;
+    //    decimals cannot). Supplier names arrive by broadcast at the
+    //    end, on the ≤1-row survivor set. --
+    "q_tpch_q15" -> Q(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev_dec"))
+        val top = rev.agg(max(col("rev_dec")).as("max_rev"))
+        rev.crossJoin(broadcast(top))
+          .where(col("rev_dec") === col("max_rev"))
+          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev_dec").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // -- TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    //    per-part average. The brand slice broadcasts into the fact scan
+    //    FIRST (one pass, ~1/25 of line items survive); per-part
+    //    quantity stats aggregate that slice (reduce ∝ |brand parts|)
+    //    and broadcast straight back over it. The `qty < 0.2·avg`
+    //    compare is CROSS-MULTIPLIED onto int64 (5·qty·cnt < Σqty) — no
+    //    float boundary, survivor set bit-identical in both engines. --
+    "q_tpch_q17" -> Q(
+      (s, d) => {
+        val brandParts = Tables.part(s, d)
+          .where(col("p_brand") === "Brand#13").select(col("p_partkey"))
+        val liB = Tables.lineitem(s, d)
+          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+            col("l_extendedprice").cast(dec).as("price"))
+        val stats = liB.groupBy(col("l_partkey").as("sp"))
+          .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+        liB.join(broadcast(stats), col("l_partkey") === col("sp"))
+          .where(lit(5L) * col("qty") * col("cnt_qty") < col("sum_qty"))
+          .agg((sum(col("price")).cast("double") / 7.0).as("avg_yearly"),
+            count(lit(1)).as("n_items"))
+      },
+      """WITH lib AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |stats AS (
+        |  SELECT l_partkey AS sp, SUM(qty)::BIGINT AS sum_qty,
+        |         count(*)::BIGINT AS cnt_qty
+        |  FROM lib GROUP BY l_partkey)
+        |SELECT CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       count(*)::BIGINT AS n_items
+        |FROM lib JOIN stats ON l_partkey = sp
+        |WHERE 5 * qty * cnt_qty < sum_qty""".stripMargin),
+
     // -- TPC-H Q3 shape (shipping priority): segment-filtered customer
     //    BROADCASTS into orders (dimension side is the small one), the
     //    fact-fact lineitem⋈orders shuffles once on the order key, top-10

