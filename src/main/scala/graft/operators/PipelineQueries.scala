@@ -519,6 +519,40 @@ object PipelineQueries {
          |SELECT top.term, top.exact_cnt, est.est
          |FROM top JOIN est USING (term) ORDER BY term""".stripMargin),
 
+    // Misra-Gries heavy hitters: the DETERMINISTIC no-misses counterpart
+    // to the Count-Min path above. Pass 1 reduces every map partition to a
+    // ≤ k−1-counter mergeable summary (O(k) on the wire — the reduce side
+    // never sees the vocabulary); the guarantee makes the summary keys a
+    // superset of every term with freq > n/k under ANY merge order. Pass 2
+    // exact-counts only those ≤ k−1 candidates (broadcast literal filter)
+    // and keeps the strict `cnt·k > n` survivors — integer compare, so the
+    // final set and counts are deterministic even though the MG counter
+    // values themselves are not. Oracle = plain exact HAVING; equality
+    // holds BECAUSE of the superset guarantee (property-tested under
+    // adversarial partitionings in MisraGriesSpec).
+    "q_heavy_hitters" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val k = 30
+        val toks = tokStream(s, d).select(col("term")).as[String]
+        val mg = toks.select(new graft.functions.MisraGriesAggregator(k)
+          .toColumn.name("summary")).head()
+        val cands = mg.keys.toSeq.sorted // ≤ k−1 items: bounded driver hop
+        val total = tokStream(s, d).agg(count(lit(1)).as("n_total"))
+        tokStream(s, d)
+          .where(col("term").isin(cands: _*))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .where(col("cnt") * k > col("n_total"))
+          .orderBy("term")
+      },
+      s"""WITH toks AS (SELECT unnest($tokSql) AS term FROM documents),
+         |tot AS (SELECT count(*)::BIGINT AS n_total FROM toks)
+         |SELECT term, count(*)::BIGINT AS cnt, (SELECT n_total FROM tot) AS n_total
+         |FROM toks GROUP BY term
+         |HAVING count(*) * 30 > (SELECT n_total FROM tot)
+         |ORDER BY term""".stripMargin),
+
     // corpus vocabulary: top terms by document frequency
     "q_vocab" -> Q(
       (s, d) => {
