@@ -23,6 +23,22 @@ class IncrementalSpec extends SparkSpec {
     assert(ivm.count() > 0)
   }
 
+  test("q_ivm_join: three-term delta rule equals full join recompute") {
+    val ivm = IncrementalQueries.all("q_ivm_join").fn(spark, sf0)
+    val direct = Tables.orders(spark, sf0)
+      .join(Tables.lineitem(spark, sf0),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("rev"))
+      .orderBy("o_orderpriority")
+    assert(ivm.collect().toSeq == direct.collect().toSeq)
+    assert(ivm.count() > 0)
+  }
+
   test("hll rollup: merged registers equal direct global registers") {
     val ev = Tables.events(spark, sf0)
     val perType = HyperLogLog.registersBy(ev, "user_id", Seq("event_type"))
