@@ -4,6 +4,7 @@ import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-quality monitoring operators (north-star extension, round 12):
   * the Deequ-style assertion pass a pipeline runs over every ingested
@@ -39,6 +40,27 @@ object QualityChecks {
         .withColumn("meets_k", col("n") >= 5)
         .orderBy("c_nationkey", "c_mktsegment"),
       """SELECT c_nationkey, c_mktsegment, count(*) AS n, count(*) >= 5 AS meets_k
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- l-diversity: k-anonymity's sensitive-attribute complement — a
+    //    quasi-identifier group is safe only if the SENSITIVE column
+    //    (here the account-balance sign band as a stand-in) takes ≥ l
+    //    distinct values inside it, else group membership leaks the
+    //    attribute. One partial agg; reduce side ∝ |QI combinations|. --
+    "q_l_diversity" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "low").otherwise("high").as("band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("band")).as("l_distinct"))
+        .withColumn("meets_l", col("l_distinct") >= 3)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |    WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END)::BIGINT AS l_distinct,
+        |  count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |    WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END) >= 3 AS meets_l
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // -- constraint suite over lineitem (+ orders→customer RI). Metrics
@@ -145,6 +167,61 @@ object QualityChecks {
         |      * ln((n_a::DOUBLE / tot_a) / (n_b::DOUBLE / tot_b)), 6)
         |  END AS psi_term
         |FROM b CROSS JOIN t ORDER BY bin""".stripMargin),
+
+    // -- two-sample Kolmogorov-Smirnov drift between two yearly price
+    //    snapshots, on a DATA-DERIVED 64-bin grid (PSI's complement: max
+    //    ECDF deviation instead of a divergence sum). Exactness contract:
+    //    values are integer CENTS (decimal×100), the grid (lo, w) comes
+    //    from one 1-row min/max aggregate broadcast back, binning is
+    //    integer `div`, and the deviation max is CROSS-MULTIPLIED onto
+    //    int64 (|cumA·nB − cumB·nA|) so the argmax has no float boundary;
+    //    the reported D is one IEEE division of exact integers. Scale
+    //    shape: one scan → bin-keyed partial agg (reduce ∝ 64 bins) →
+    //    a ≤64-row window. The single-partition window is bounded by the
+    //    GRID, never the data. --
+    "q_ks_drift" -> Q(
+      (s, d) => {
+        val snap = Tables.orders(s, d)
+          .select(year(col("o_orderdate").cast("date")).as("yr"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("v"))
+          .where(col("yr").isin(1997, 2000))
+        val grid = snap.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .select(col("lo"), expr("(hi - lo) div 64 + 1").as("w"))
+        val binned = snap.crossJoin(broadcast(grid))
+          .select(expr("(v - lo) div w").as("bin"), col("yr"))
+          .groupBy(col("bin"))
+          .agg(count(when(col("yr") === 1997, 1)).as("ca"),
+            count(when(col("yr") === 2000, 1)).as("cb"))
+        val totals = binned.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+        val cum = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        binned
+          .withColumn("cum_a", sum(col("ca")).over(cum))
+          .withColumn("cum_b", sum(col("cb")).over(cum))
+          .crossJoin(broadcast(totals))
+          .groupBy(col("n_a"), col("n_b"))
+          .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+            .as("d_num"))
+          .select(col("d_num"), col("n_a"), col("n_b"),
+            (col("d_num").cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("d"))
+      },
+      """WITH snap AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1997, 2000)),
+        |grid AS (SELECT min(v) AS lo, (max(v) - min(v)) // 64 + 1 AS w FROM snap),
+        |b AS (SELECT (v - lo) // w AS bin,
+        |        count(CASE WHEN yr = 1997 THEN 1 END)::BIGINT AS ca,
+        |        count(CASE WHEN yr = 2000 THEN 1 END)::BIGINT AS cb
+        |      FROM snap CROSS JOIN grid GROUP BY 1),
+        |c AS (SELECT bin, sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_a,
+        |             sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_b FROM b),
+        |t AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM b)
+        |SELECT max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS d_num, n_a, n_b,
+        |       max(abs(cum_a * n_b - cum_b * n_a))::DOUBLE / (n_a * n_b) AS d
+        |FROM c CROSS JOIN t GROUP BY n_a, n_b""".stripMargin),
 
     // -- trailing-window anomaly flag, decimal-exact (see object doc).
     //    One user_id shuffle: daily rollup and the trailing window both
