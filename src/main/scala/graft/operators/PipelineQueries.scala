@@ -113,6 +113,54 @@ object PipelineQueries {
     pairsCache.getOrElseUpdate(s, s"kmc:$d")(
       KMeansQuant.centroidsAfter(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)
         .localCheckpoint())
+  /** Product-quantization subspace i (64 dims → 4 × 16): the sliced
+    * sub-vectors, their deterministic k-means fit (= PQ codes), and the
+    * per-subspace codebook — each cached once per (session, dir). */
+  private def pqSub(s: org.apache.spark.sql.SparkSession, d: String, i: Int) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), slice(col("embedding"), i * 16 + 1, 16).as("sub"))
+  private def pqFit(s: org.apache.spark.sql.SparkSession, d: String, i: Int) =
+    pairsCache.getOrElseUpdate(s, s"pqf$i:$d")(
+      KMeansQuant.fit(pqSub(s, d, i), "vec_id", "sub", 8, 2).localCheckpoint())
+  private def pqCents(s: org.apache.spark.sql.SparkSession, d: String, i: Int) =
+    pairsCache.getOrElseUpdate(s, s"pqc$i:$d")(
+      KMeansQuant.centroidsAfter(pqSub(s, d, i), "vec_id", "sub", 8, 2)
+        .localCheckpoint())
+
+  /** DuckDB replay of the 4 per-subspace k-means fits (k=8, iters=2,
+    * scale=1000) over 16-dim slices — suffix _sN per subspace; mirrors
+    * [[kmeansCtes]]. Final tables per subspace: a2_sN (codes) and c1_sN
+    * (codebook). */
+  private val pqCtes: String = {
+    def one(i: Int): String = {
+      val off = i * 16
+      def step(n: Int, cents: String) =
+        s"""d${n}_s$i AS (
+           |  SELECT q.vec_id, q.v, c.cid,
+           |    CAST(list_sum(list_transform(range(1, 17),
+           |      j -> (q.v[j] - c.cv[j]) * (q.v[j] - c.cv[j]))) AS BIGINT) AS dist
+           |  FROM q_s$i q CROSS JOIN $cents c),
+           |a${n}_s$i AS (
+           |  SELECT vec_id, v, cid, dist FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d${n}_s$i)
+           |  WHERE rn = 1)""".stripMargin
+      s"""q_s$i AS (
+         |  SELECT vec_id, list_transform(range(${off + 1}, ${off + 17}),
+         |    j -> CAST(round(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |c0_s$i AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM q_s$i WHERE vec_id < 8),
+         |${step(1, s"c0_s$i")},
+         |u1_s$i AS (
+         |  SELECT cid, j.j,
+         |    CAST(round(CAST(sum(v[j.j]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM a1_s$i CROSS JOIN (SELECT unnest(range(1, 17)) AS j) j
+         |  GROUP BY 1, 2),
+         |c1_s$i AS (SELECT cid, list(c ORDER BY j) AS cv FROM u1_s$i GROUP BY 1),
+         |${step(2, s"c1_s$i")}""".stripMargin
+    }
+    "WITH " + (0 until 4).map(one).mkString(",\n")
+  }
   /** One tokenize pass per (session, dir): the exploded `(doc_id, term)`
     * stream feeds the vocab/tf-idf/LM-score/CMS queries — each would
     * otherwise re-run the regex tokenizer over the corpus (and q_lm_score
@@ -1048,6 +1096,80 @@ object PipelineQueries {
          |  SELECT qid, vid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
          |  FROM cn)
+         |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
+
+    // PRODUCT QUANTIZATION ANN (Jégou et al. 2011 shape): 64-dim vectors
+    // split into 4 × 16-dim subspaces, each with its own deterministic
+    // integer-lattice k-means codebook (k=8) — a vector compresses to 4
+    // byte-sized codes (16× smaller than int8 quantization, the memory
+    // form a billion-vector index actually stores). Search is ADC
+    // (asymmetric distance computation): per query, a 4×8 distance table
+    // of EXACT integer subspace distances (quantized query vs codebook,
+    // broadcast), and each vector's approximate distance is the sum of 4
+    // table lookups through its codes — no per-vector float math at all.
+    // Scale shape: codebooks fit on a sample offline; the scan side moves
+    // only (vec_id, 4 codes), the table join is broadcast, and the one
+    // exchange is the (qid, vid)-keyed partial-agg'd sum. Everything is
+    // integer-exact, so the oracle (4 replayed fits + the same table
+    // lookups) matches bit-for-bit with no float tolerance.
+    "q_ann_pq" -> Q(
+      (s, d) => {
+        val m = 4
+        val codes = (0 until m).map(i => pqFit(s, d, i)
+            .select(col("vec_id"), lit(i).as("s"), col("cid").as("code")))
+          .reduce(_.unionByName(_))
+        val qv = (0 until m).map(i => pqFit(s, d, i)
+            .where(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), lit(i).as("s"), col("v").as("qv")))
+          .reduce(_.unionByName(_))
+        val cb = (0 until m).map(i => pqCents(s, d, i)
+            .select(lit(i).as("s"), col("cid"), col("cv")))
+          .reduce(_.unionByName(_))
+        val dt = qv.join(broadcast(cb), Seq("s"))
+          .select(col("qid"), col("s").as("ds"), col("cid").as("dcid"),
+            KMeansQuant.sqDist(col("qv"), col("cv")).as("dist"))
+        val adc = codes
+          .join(broadcast(dt), col("s") === col("ds") && col("code") === col("dcid"))
+          .where(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("dist")).as("adc0"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("adc0"), col("vec_id"))
+        adc.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+          .select(col("qid"), col("vec_id").as("vid"),
+            col("adc0").cast("long").as("adc"))
+          .orderBy("qid", "vid")
+      },
+      s"""$pqCtes,
+         |codes AS (
+         |  SELECT vec_id, 0 AS s, cid FROM a2_s0 UNION ALL
+         |  SELECT vec_id, 1, cid FROM a2_s1 UNION ALL
+         |  SELECT vec_id, 2, cid FROM a2_s2 UNION ALL
+         |  SELECT vec_id, 3, cid FROM a2_s3),
+         |qv AS (
+         |  SELECT vec_id AS qid, 0 AS s, v FROM a2_s0 WHERE vec_id < 4 UNION ALL
+         |  SELECT vec_id, 1, v FROM a2_s1 WHERE vec_id < 4 UNION ALL
+         |  SELECT vec_id, 2, v FROM a2_s2 WHERE vec_id < 4 UNION ALL
+         |  SELECT vec_id, 3, v FROM a2_s3 WHERE vec_id < 4),
+         |cb AS (
+         |  SELECT 0 AS s, cid, cv FROM c1_s0 UNION ALL
+         |  SELECT 1, cid, cv FROM c1_s1 UNION ALL
+         |  SELECT 2, cid, cv FROM c1_s2 UNION ALL
+         |  SELECT 3, cid, cv FROM c1_s3),
+         |dt AS (
+         |  SELECT qv.qid, qv.s, cb.cid,
+         |    CAST(list_sum(list_transform(range(1, 17),
+         |      j -> (qv.v[j] - cb.cv[j]) * (qv.v[j] - cb.cv[j]))) AS BIGINT) AS dist
+         |  FROM qv JOIN cb USING (s)),
+         |adc AS (
+         |  SELECT dt.qid, codes.vec_id AS vid, CAST(sum(dt.dist) AS BIGINT) AS adc
+         |  FROM codes JOIN dt ON codes.s = dt.s AND codes.cid = dt.cid
+         |  WHERE codes.vec_id <> dt.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid, vid, adc FROM (
+         |  SELECT qid, vid, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rn
+         |  FROM adc)
          |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
 
     // ---- text analysis ----
