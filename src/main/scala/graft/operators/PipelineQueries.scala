@@ -1460,6 +1460,40 @@ object PipelineQueries {
          |FROM (SELECT doc_id, t, unnest(range(0, nc)) AS s FROM ck)
          |ORDER BY doc_id, chunk_ix""".stripMargin),
 
+    // CONTENT-DEFINED chunking (the FastCDC/rsync idea on token streams):
+    // a chunk boundary falls wherever the hash of the trailing 8-token
+    // window ≡ 0 (mod 16) — so boundaries are decided by LOCAL content,
+    // and an insertion early in a document only re-cuts the chunks it
+    // touches (fixed-stride q_chunk above re-cuts everything after it;
+    // CDC is what makes chunk-hash dedup stable under edits). Expected
+    // chunk ≈ 16 tokens; every doc closes with a forced boundary at n.
+    // Pure per-row HOF projection + posexplode — zero shuffle; each chunk
+    // carries its md5-60 content hash, the dedup join key downstream.
+    "q_chunk_cdc" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        TA.cdcChunk(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("doc_id", "chunk_ix")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, t,
+         |    list_sort(list_distinct(list_append(
+         |      CASE WHEN len(t) >= 8 THEN
+         |        [i FOR i IN range(8, len(t) + 1)
+         |         IF ('0x' || substr(md5(array_to_string(array_slice(t, i-7, i), ' ')), 1, 15))::BIGINT % 16 = 0]
+         |      ELSE [] END, len(t)))) AS ends
+         |  FROM toks WHERE len(t) > 0)
+         |SELECT doc_id, j - 1 AS chunk_ix,
+         |  (CASE WHEN j = 1 THEN 1 ELSE ends[CAST(j - 1 AS INTEGER)] + 1 END)::BIGINT AS start_tok,
+         |  ends[CAST(j AS INTEGER)]::BIGINT AS end_tok,
+         |  (ends[CAST(j AS INTEGER)] - (CASE WHEN j = 1 THEN 1 ELSE ends[CAST(j - 1 AS INTEGER)] + 1 END) + 1)::BIGINT AS n_toks,
+         |  ('0x' || substr(md5(array_to_string(
+         |     array_slice(t, CASE WHEN j = 1 THEN 1 ELSE ends[CAST(j - 1 AS INTEGER)] + 1 END, ends[CAST(j AS INTEGER)]),
+         |     ' ')), 1, 15))::BIGINT AS chunk_hash
+         |FROM b, UNNEST(range(1, len(ends) + 1)) AS u(j)
+         |ORDER BY doc_id, chunk_ix""".stripMargin),
+
     // token-budget shard packing: within each lang stratum, docs (in id
     // order) pack into ~4096-token shards via a prefix-sum window — the
     // scalable sequence-packing approximation (shard = floor(cum_before /

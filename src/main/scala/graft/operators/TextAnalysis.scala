@@ -60,6 +60,42 @@ object TextAnalysis {
         concat_ws(" ", slice(col("t"), col("col") * stride + 1, lit(c))).as("chunk"))
   }
 
+  /** Content-defined chunking (FastCDC/rsync shape on token streams): a
+    * boundary falls after token i wherever md5-60 of the trailing `win`
+    * tokens ≡ 0 (mod `mask`); every doc force-closes at n. Boundaries are
+    * decided by LOCAL content, so an edit re-cuts only the chunks it
+    * touches — the property that keeps chunk-hash dedup stable under
+    * insertions (CdcChunkSpec proves it). Pure per-row HOF projection +
+    * posexplode, zero shuffle. Requires `GraftFunctions.register`.
+    * Output: (id, chunk_ix, start_tok, end_tok, n_toks, chunk_hash). */
+  def cdcChunk(docs: DataFrame, idCol: String, textCol: String,
+      win: Int = 8, mask: Int = 16): DataFrame = {
+    val t = col("t")
+    val bnds = when(size(t) >= win,
+      filter(sequence(lit(win), size(t)), i =>
+        pmod(md5Hash60(concat_ws(" ", slice(t, i - (win - 1), lit(win)))),
+          lit(mask)) === 0))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .where(size(t) > 0)
+      .select(col("doc_id"), t,
+        array_sort(array_distinct(concat(bnds, array(size(t))))).as("ends"))
+      .select(col("doc_id"), t, col("ends"),
+        posexplode(col("ends")).as(Seq("j0", "end_tok")))
+      .select(col("doc_id"), col("j0").cast("long").as("chunk_ix"),
+        when(col("j0") === 0, lit(1))
+          .otherwise(element_at(col("ends"), col("j0")) + 1)
+          .cast("long").as("start_tok"),
+        col("end_tok").cast("long").as("end_tok"), t)
+      .select(col("doc_id"), col("chunk_ix"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_toks"),
+        md5Hash60(concat_ws(" ",
+          slice(t, col("start_tok").cast("int"),
+            (col("end_tok") - col("start_tok") + 1).cast("int"))))
+          .as("chunk_hash"))
+  }
+
   /** Quality features + a deterministic composite score in [0,1]. */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
