@@ -594,6 +594,107 @@ object RelationalQueries {
         |FROM lib JOIN stats ON l_partkey = sp
         |WHERE 5 * qty * cnt_qty < sum_qty""".stripMargin),
 
+    // -- TPC-H Q8 shape (national market share): the 7-table join where
+    //    EVERY dimension leg broadcasts — ECONOMY parts, supplier→nation
+    //    (supp_nation), customer→nation→region (the AMERICA-region cust
+    //    keys) — so the only real exchange is the one fact-fact
+    //    lineitem⋈orders shuffle on the order key. The share is two
+    //    conditional DECIMAL sums out of the same pass (exact,
+    //    order-free) divided ONCE in IEEE — the same no-avg()-drift
+    //    discipline as Q14. At 100 TB the dims stay broadcast-sized by
+    //    construction (25 nations, 5 regions, |part|·1/6, |cust|·1/5). --
+    "q_tpch_q8" -> Q(
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val pEco = Tables.part(s, d).where(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))
+        val su = Tables.supplier(s, d)
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cuAmerica = Tables.customer(s, d)
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+              .where(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"))
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .join(broadcast(cuAmerica), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val vol = col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))
+        Tables.lineitem(s, d)
+          .join(broadcast(pEco), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            (sum(when(col("supp_nation") === "NATION_3", vol)
+              .otherwise(lit(0).cast(dec))).cast("double") /
+              sum(vol).cast("double")).as("mkt_share"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_year")
+      },
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+        |  count(*) AS n_items
+        |FROM (SELECT o_orderdate, n2.n_name AS supp_nation,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+        |      FROM lineitem
+        |       JOIN part ON l_partkey = p_partkey
+        |       JOIN supplier ON l_suppkey = s_suppkey
+        |       JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN customer ON o_custkey = c_custkey
+        |       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |       JOIN region ON n1.n_regionkey = r_regionkey
+        |       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |        AND o_orderdate < TIMESTAMP '1997-01-01')
+        |GROUP BY 1 ORDER BY o_year""".stripMargin),
+
+    // -- TPC-H Q9 shape (product-type profit by nation × year): the
+    //    harness schema has no partsupp, so profit is the revenue term
+    //    only (the ps_supplycost·l_quantity subtrahend has no source
+    //    table) — the JOIN SHAPE is the point: a name-sliced part dim
+    //    and the supplier→nation leg broadcast into the lineitem scan,
+    //    then ONE fact-fact shuffle against orders for the year axis,
+    //    partial aggs on (nation, year). DECIMAL-exact sums, desc-year
+    //    TPC-H ordering. --
+    "q_tpch_q9" -> Q(
+      (s, d) => {
+        val pGear = Tables.part(s, d)
+          .where(col("p_name").contains("gear")).select(col("p_partkey"))
+        val su = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))
+        Tables.lineitem(s, d)
+          .join(broadcast(pGear), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(revenueCol.as("sum_profit"), count(lit(1)).as("n_items"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      s"""SELECT nation, o_year, $revenue AS sum_profit, count(*) AS n_items
+         |FROM (SELECT n_name AS nation,
+         |             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |             l_extendedprice, l_discount
+         |      FROM lineitem
+         |       JOIN part ON l_partkey = p_partkey
+         |       JOIN supplier ON l_suppkey = s_suppkey
+         |       JOIN orders ON l_orderkey = o_orderkey
+         |       JOIN nation ON s_nationkey = n_nationkey
+         |      WHERE p_name LIKE '%gear%')
+         |GROUP BY nation, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin),
+
     // -- TPC-H Q3 shape (shipping priority): segment-filtered customer
     //    BROADCASTS into orders (dimension side is the small one), the
     //    fact-fact lineitem⋈orders shuffles once on the order key, top-10

@@ -134,6 +134,25 @@ object StreamingQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
 
+    // watermark-BOUNDED ingest dedup: same answer as q_stream_dedup, but
+    // the state store forgets keys once the watermark passes them — the
+    // deployment form for unbounded key spaces. The delay here spans the
+    // whole replayed history so the result provably equals global batch
+    // dedup under any micro-batch split; the spec drives a short delay to
+    // show state genuinely expires (bounded) where dropDuplicates' does not.
+    "q_stream_dedup_wm" -> Q(
+      (s, d) => {
+        val out = EventStreams.runAppendToBatch(s,
+          EventStreams.dedupWithinWatermarkStream(s, d,
+            Seq("user_id", "event_type"), "3650 days")
+            .select("user_id", "event_type"),
+          s"sdedupwm_${System.nanoTime()}")
+        out.groupBy("event_type").agg(count(lit(1)).as("n_unique_users"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
+
     // stream-stream interval join (attribution): purchases x same-user
     // clicks in the preceding hour, both sides watermarked
     // stream-STATIC enrich at ingest: purchases pick up the customer

@@ -200,4 +200,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length === batch.length)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("watermark dedup: full-span delay equals batch distinct across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmdedup_").toString
+    Tables.events(spark, sf0).drop("ts_ns")
+      .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val out = EventStreams.runAppendToBatch(spark,
+      EventStreams.dedupWithinWatermarkStream(spark, dir,
+        Seq("user_id", "event_type"), "3650 days", "part-*.parquet", Some(1))
+        .select("user_id", "event_type"),
+      s"spec_wmdedup_${System.nanoTime()}")
+    val streamed = out.groupBy("event_type").count()
+      .orderBy("event_type").collect().map(_.toSeq)
+    val batch = Tables.events(spark, sf0)
+      .select("user_id", "event_type").distinct()
+      .groupBy("event_type").count()
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("watermark dedup state EXPIRES; global dedup state never does") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmstate_").toString
+    Tables.events(spark, sf0).drop("ts_ns")
+      .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    def stateRowsOf(src: org.apache.spark.sql.DataFrame): Long = {
+      val name = s"spec_wmstate_${System.nanoTime()}"
+      val q = src.select("user_id", "event_type").writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    }
+    // short delay: keys expire as the 8 time-ordered batches advance the
+    // watermark — final state holds only the trailing window's keys
+    val wmState = stateRowsOf(EventStreams.dedupWithinWatermarkStream(
+      spark, dir, Seq("user_id", "event_type"), "1 hour",
+      "part-*.parquet", Some(1)))
+    // global dropDuplicates on the SAME input: one entry per distinct key,
+    // forever — the unbounded-state baseline the watermarked form fixes
+    val globalState = stateRowsOf(EventStreams.readStream(
+        spark, dir, "part-*.parquet", Some(1))
+      .dropDuplicates(Seq("user_id", "event_type")))
+    val nKeys = Tables.events(spark, sf0)
+      .select("user_id", "event_type").distinct().count()
+    assert(globalState == nKeys,
+      s"global dedup state $globalState != distinct keys $nKeys")
+    assert(wmState < globalState,
+      s"watermarked state $wmState did not expire below global $globalState")
+  }
 }
