@@ -73,6 +73,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_gram_hashes_60",
       (e: Seq[Expression]) => invoke(ArrayType(LongType, containsNull = false), "gramHashes60", e,
         Seq(ArrayType(StringType), IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cdc_ends",
+      (e: Seq[Expression]) => invoke(ArrayType(IntegerType, containsNull = false), "cdcEnds", e,
+        Seq(ArrayType(StringType), IntegerType, IntegerType)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bucket_fold",
       (e: Seq[Expression]) => invoke(DoubleType, "bucketFold", e,
         Seq(ArrayType(LongType), ArrayType(DoubleType))), "scala_udf")
@@ -159,6 +162,8 @@ object GraftFunctions {
     call_function("graft_winnow60", c, lit(k), lit(w))
   def gramHashes60(c: Column, k: Int): Column =
     call_function("graft_gram_hashes_60", c, lit(k))
+  def cdcEnds(c: Column, win: Int, mask: Int): Column =
+    call_function("graft_cdc_ends", c, lit(win), lit(mask))
   def sortedRunCounts(c: Column): Column =
     call_function("graft_sorted_run_counts", c)
   def bucketFold(hashes: Column, lam: Column): Column =

@@ -310,6 +310,36 @@ object TextHashes {
   def gramHashes60(tokens: ArrayData, k: Int): ArrayData =
     new GenericArrayData(gramHash60Array(tokens, k))
 
+  /** StaticInvoke kernel: content-defined-chunking boundary positions.
+    * A boundary falls after 1-based token i (win ≤ i ≤ n) wherever the
+    * md5-60 of the trailing `win`-token window (space-joined — the same
+    * gram contract as [[gramHashes60]]) ≡ 0 (mod mask); the doc always
+    * force-closes at n, emitted once even when n is itself a boundary.
+    * Output is ascending by construction — no sort/distinct pass.
+    *
+    * Exists for the same reason as [[sortedRunCounts]]: the pure-HOF
+    * formulation (filter(sequence) with slice + concat_ws + md5 per
+    * position) is interpreted per element and put q_chunk_cdc at 10.3 s
+    * for a QUIET sf0.1 leg (r13c ladder x1, gc 242 ms — intrinsic, not
+    * noise) where every sibling per-row operator runs ≤ 2 s. One tight
+    * loop over the shared gram-hash array is the codegen shape. */
+  def cdcEnds(tokens: ArrayData, win: Int, mask: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyIntArray)
+    val grams = gramHash60Array(tokens, win) // index g covers tokens [g+1, g+win]
+    val ends = new java.util.ArrayList[Integer](16)
+    var g = 0
+    while (g < grams.length) {
+      if (grams(g) % mask == 0) ends.add(g + win) // boundary AFTER token g+win
+      g += 1
+    }
+    if (ends.isEmpty || ends.get(ends.size - 1) != n) ends.add(n)
+    val out = new Array[Int](ends.size)
+    var i = 0
+    while (i < out.length) { out(i) = ends.get(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** StaticInvoke kernel: hashed-feature linear fold Σ_h lam[h mod |lam|]
     * — the scoring pass of a hashed bag-of-features model (DSIR importance
     * weights and kin). `lam` is a foldable literal in the plan (the fitted

@@ -65,22 +65,20 @@ object TextAnalysis {
     * tokens ≡ 0 (mod `mask`); every doc force-closes at n. Boundaries are
     * decided by LOCAL content, so an edit re-cuts only the chunks it
     * touches — the property that keeps chunk-hash dedup stable under
-    * insertions (CdcChunkSpec proves it). Pure per-row HOF projection +
-    * posexplode, zero shuffle. Requires `GraftFunctions.register`.
+    * insertions (CdcChunkSpec proves it). Boundary detection is one
+    * `cdcEnds` StaticInvoke kernel pass per row (TextHashes) — the
+    * earlier pure-HOF formulation (filter(sequence) with slice +
+    * concat_ws + md5 interpreted per token position) cost 10.3 s on a
+    * QUIET sf0.1 bench leg, ~30× this shape. Zero shuffle. Requires
+    * `GraftFunctions.register`.
     * Output: (id, chunk_ix, start_tok, end_tok, n_toks, chunk_hash). */
   def cdcChunk(docs: DataFrame, idCol: String, textCol: String,
       win: Int = 8, mask: Int = 16): DataFrame = {
     val t = col("t")
-    val bnds = when(size(t) >= win,
-      filter(sequence(lit(win), size(t)), i =>
-        pmod(md5Hash60(concat_ws(" ", slice(t, i - (win - 1), lit(win)))),
-          lit(mask)) === 0))
-      .otherwise(array().cast("array<int>"))
     docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .where(size(t) > 0)
-      .select(col("doc_id"), t,
-        array_sort(array_distinct(concat(bnds, array(size(t))))).as("ends"))
+      .select(col("doc_id"), t, cdcEnds(t, win, mask).as("ends"))
       .select(col("doc_id"), t, col("ends"),
         posexplode(col("ends")).as(Seq("j0", "end_tok")))
       .select(col("doc_id"), col("j0").cast("long").as("chunk_ix"),
