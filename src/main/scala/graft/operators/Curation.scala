@@ -25,12 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Per-distinct-token occurrence counts within one document — O(n·d)
-    * per row (n tokens, d distinct), all inside codegen. The per-row cost
-    * is bounded by document length, so the operator scales with corpus
-    * size, not corpus². */
-  private def occCounts(toks: Column): Column =
-    transform(array_distinct(toks), x => size(filter(toks, y => y === x)))
+  // Per-distinct-token occurrence counts come from the sortedRunCounts
+  // StaticInvoke kernel (TextHashes): the pure-HOF formulation
+  // (transform(array_distinct) with a filter-count per distinct type) is
+  // interpreted per element and O(n·d) per row — it held q_rep_signals
+  // at a stable 5.2 s on sf0.1 once the bench's honest-materialization
+  // fix stopped count-pruning the projection (the q_entropy blow-up
+  // class). Every consumer below needs only the count MULTISET
+  // (size / max / sum-of-repeats), which the sorted kernel output
+  // preserves, so the oracle SQL is unchanged.
 
   /** Target mix for [[mixDomains]]' registered query: concentrate on
     * src0/src1, cap the long tail. Shares sum to 1. */
@@ -212,30 +215,31 @@ object Curation {
     // -- Gopher/MassiveText-style repetition signals: distinct-token
     //    ratio, heaviest-token share, fraction of tokens belonging to
     //    repeated types, heaviest-bigram share, and the keep/drop gate a
-    //    quality filter would apply. Everything is one per-row codegen
-    //    projection (higher-order functions over the token array — no
-    //    explode, no shuffle); the oracle replays each metric with DuckDB
-    //    list lambdas. Integer-over-integer divisions are single IEEE
-    //    ops, bit-equal across engines. --
+    //    quality filter would apply. Everything is one per-row projection
+    //    (sortedRunCounts kernel for the count multisets, cheap HOFs for
+    //    the O(d) folds — no explode, no shuffle); the oracle replays
+    //    each metric with DuckDB list lambdas. Integer-over-integer
+    //    divisions are single IEEE ops, bit-equal across engines. --
     "q_rep_signals" -> Q(
       (s, d) => {
+        GraftFunctions.register(s)
         val t = tokens(col("text"))
         Tables.documents(s, d)
           .select(col("doc_id"), t.as("t"))
           .where(size(col("t")) > 0)
-          .select(col("doc_id"), col("t"), occCounts(col("t")).as("cnts"),
+          .select(col("doc_id"), col("t"), sortedRunCounts(col("t")).as("cnts"),
             shingles(col("t"), 2).as("bg"))
           .select(col("doc_id"), col("bg"),
             size(col("t")).cast("long").as("n_toks"),
             size(col("cnts")).cast("long").as("n_distinct"),
             (size(col("cnts")).cast("double") / size(col("t"))).as("distinct_ratio"),
             (array_max(col("cnts")).cast("double") / size(col("t"))).as("top_token_share"),
-            (aggregate(filter(col("cnts"), c => c >= 2), lit(0), (a, c) => a + c)
+            (aggregate(filter(col("cnts"), c => c >= 2L), lit(0L), (a, c) => a + c)
               .cast("double") / size(col("t"))).as("dup_token_frac"))
           .select(col("doc_id"), col("n_toks"), col("n_distinct"),
             col("distinct_ratio"), col("top_token_share"), col("dup_token_frac"),
             when(size(col("bg")) > 0,
-                array_max(occCounts(col("bg"))).cast("double") / size(col("bg")))
+                array_max(sortedRunCounts(col("bg"))).cast("double") / size(col("bg")))
               .otherwise(lit(0.0)).as("top_bigram_share"))
           .withColumn("keep",
             !(col("dup_token_frac") > 0.8 || col("top_bigram_share") > 0.18))
