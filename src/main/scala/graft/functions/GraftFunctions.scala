@@ -76,6 +76,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_cdc_ends",
       (e: Seq[Expression]) => invoke(ArrayType(IntegerType, containsNull = false), "cdcEnds", e,
         Seq(ArrayType(StringType), IntegerType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quant_stats",
+      (e: Seq[Expression]) => invoke(ArrayType(DoubleType, containsNull = false), "quantStats", e,
+        Seq(ArrayType(FloatType))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bucket_fold",
       (e: Seq[Expression]) => invoke(DoubleType, "bucketFold", e,
         Seq(ArrayType(LongType), ArrayType(DoubleType))), "scala_udf")
@@ -164,6 +167,7 @@ object GraftFunctions {
     call_function("graft_gram_hashes_60", c, lit(k))
   def cdcEnds(c: Column, win: Int, mask: Int): Column =
     call_function("graft_cdc_ends", c, lit(win), lit(mask))
+  def quantStats(c: Column): Column = call_function("graft_quant_stats", c)
   def sortedRunCounts(c: Column): Column =
     call_function("graft_sorted_run_counts", c)
   def bucketFold(hashes: Column, lam: Column): Column =

@@ -340,6 +340,42 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** StaticInvoke kernel: per-vector symmetric int8 quantization stats —
+    * returns [scale, mse] for a float vector, with the EXACT IEEE op
+    * order the SQL oracle replays (abs-max in element order, scale =
+    * 127.0/max, per-element dq = floor(x·scale + 0.5)/scale, squared
+    * errors summed by an in-order fold from 0.0, one division by n).
+    *
+    * Exists because the expression formulation inlined `scale` — itself
+    * an O(d) array_max over a transformed copy — into the interpreted
+    * aggregate lambda, re-evaluating it (and the cast array) per
+    * element: O(d²) per row with two array allocations per step, a
+    * stable 12.2 s on sf0.1 (leg-2 full bench) for what is one linear
+    * pass. */
+  def quantStats(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    if (n == 0) return new GenericArrayData(Array(0.0, 0.0))
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = java.lang.Math.abs(vec.getFloat(i).toDouble)
+      if (a > mx) mx = a
+      i += 1
+    }
+    val scale = if (mx > 0) 127.0 / mx else 0.0
+    var acc = 0.0
+    i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble
+      if (scale > 0) {
+        val dq = java.lang.Math.floor(x * scale + 0.5) / scale
+        acc += (x - dq) * (x - dq)
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(scale, acc / n))
+  }
+
   /** StaticInvoke kernel: hashed-feature linear fold Σ_h lam[h mod |lam|]
     * — the scoring pass of a hashed bag-of-features model (DSIR importance
     * weights and kin). `lam` is a foldable literal in the plan (the fitted

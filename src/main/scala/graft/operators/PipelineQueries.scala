@@ -1381,23 +1381,21 @@ object PipelineQueries {
          |ORDER BY c_bigram DESC, p, w LIMIT 50""".stripMargin),
 
     // int8 embedding quantization (per-vector symmetric scale): emit the
-    // scale and the reconstruction MSE. Spark side is an ORDERED
-    // functions.aggregate fold; the oracle replays it with list_reduce
-    // over the same element order, so doubles match bit-for-bit.
+    // scale and the reconstruction MSE via the quantStats kernel — one
+    // linear pass per row with the same IEEE op order the oracle's
+    // list_reduce replays, so doubles match bit-for-bit. (The earlier
+    // expression form inlined the O(d) abs-max into the interpreted
+    // aggregate lambda — re-evaluated per element, O(d²) per row and a
+    // stable 12.2 s on sf0.1.)
     "q_embed_quant" -> Q(
       (s, d) => {
-        val vd = transform(col("embedding"), x => x.cast("double"))
-        val mx = array_max(transform(vd, x => abs(x)))
-        val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0))
-        def sqErr(x: org.apache.spark.sql.Column) = {
-          val dq = floor(x * scale + 0.5) / scale
-          when(scale > 0, (x - dq) * (x - dq)).otherwise(lit(0.0))
-        }
-        Tables.embeddings(s, d).select(
-          col("vec_id"),
-          scale.as("scale"),
-          round(aggregate(vd, lit(0.0), (acc, x) => acc + sqErr(x)) / size(vd), 9)
-            .as("mse"))
+        GraftFunctions.register(s)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), quantStats(col("embedding")).as("qs"))
+          .select(
+            col("vec_id"),
+            element_at(col("qs"), 1).as("scale"),
+            round(element_at(col("qs"), 2), 9).as("mse"))
           .orderBy("vec_id")
       },
       """WITH q AS (
