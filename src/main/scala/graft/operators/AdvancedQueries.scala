@@ -498,19 +498,23 @@ object AdvancedQueries {
       (s, d) => {
         val ps = Seq(0.5, 0.95, 0.99)
         val delta = 0.005
+        // ONE exact-percentile aggregate evaluates all nine quantiles
+        // (exact, lower, upper window edges) over a single value buffer —
+        // three separate percentile() calls each materialized their own
+        // copy of every value in the aggregation buffer, tripling the
+        // dominant cost of this row for identical results.
+        val allQs = ps.flatMap(p =>
+          Seq(math.max(0.0, p - delta), p, math.min(1.0, p + delta)))
         val agg = Tables.lineitem(s, d).agg(
           approx_percentile(col("l_extendedprice"),
             array(ps.map(lit): _*), lit(10000)).as("ap"),
-          percentile(col("l_extendedprice"), array(ps.map(lit): _*)).as("ex"),
-          percentile(col("l_extendedprice"),
-            array(ps.map(p => lit(math.max(0.0, p - delta))): _*)).as("lo"),
-          percentile(col("l_extendedprice"),
-            array(ps.map(p => lit(math.min(1.0, p + delta))): _*)).as("hi"))
+          percentile(col("l_extendedprice"), array(allQs.map(lit): _*)).as("q9"))
+        // q9 layout per metric i (0-based): [3i+1]=lo, [3i+2]=exact, [3i+3]=hi
         agg.select(
-          (ps.indices.map(i => round(element_at(col("ex"), i + 1), 6).as(s"exact_p${(ps(i) * 100).toInt}")) ++
+          (ps.indices.map(i => round(element_at(col("q9"), 3 * i + 2), 6).as(s"exact_p${(ps(i) * 100).toInt}")) ++
             ps.indices.map(i =>
-              (element_at(col("ap"), i + 1) >= element_at(col("lo"), i + 1) &&
-                element_at(col("ap"), i + 1) <= element_at(col("hi"), i + 1))
+              (element_at(col("ap"), i + 1) >= element_at(col("q9"), 3 * i + 1) &&
+                element_at(col("ap"), i + 1) <= element_at(col("q9"), 3 * i + 3))
                 .as(s"approx_ok_p${(ps(i) * 100).toInt}"))): _*)
       },
       """SELECT round(quantile_cont(l_extendedprice, 0.50), 6) AS exact_p50,
