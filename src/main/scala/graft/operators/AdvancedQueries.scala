@@ -124,16 +124,27 @@ object AdvancedQueries {
     "q_profile" -> Q(
       (s, d) => {
         val li = Tables.lineitem(s, d)
+        // The four countDistincts aggregate SEPARATELY from the plain
+        // stats: one Aggregate mixing them plans the multi-distinct
+        // Expand (x5 rows) with all 13 non-distinct buffers riding every
+        // expanded row — 4.6 s on sf0.1 vs two clean passes. Both sides
+        // are 1-row outputs, so the crossJoin is free.
+        val nd = li.agg(
+          countDistinct(col("l_quantity")).as("q_nd"),
+          countDistinct(col("l_extendedprice")).as("e_nd"),
+          countDistinct(col("l_returnflag")).as("r_nd"),
+          countDistinct(col("l_linestatus")).as("s_nd"))
         val a = li.agg(
           count(lit(1)).as("n"),
-          count(col("l_quantity")).as("q_cnt"), countDistinct(col("l_quantity")).as("q_nd"),
+          count(col("l_quantity")).as("q_cnt"),
           min(col("l_quantity")).cast("double").as("q_mn"), max(col("l_quantity")).cast("double").as("q_mx"),
-          count(col("l_extendedprice")).as("e_cnt"), countDistinct(col("l_extendedprice")).as("e_nd"),
+          count(col("l_extendedprice")).as("e_cnt"),
           min(col("l_extendedprice")).cast("double").as("e_mn"), max(col("l_extendedprice")).cast("double").as("e_mx"),
-          count(col("l_returnflag")).as("r_cnt"), countDistinct(col("l_returnflag")).as("r_nd"),
+          count(col("l_returnflag")).as("r_cnt"),
           min(col("l_returnflag")).as("r_mn"), max(col("l_returnflag")).as("r_mx"),
-          count(col("l_linestatus")).as("s_cnt"), countDistinct(col("l_linestatus")).as("s_nd"),
+          count(col("l_linestatus")).as("s_cnt"),
           min(col("l_linestatus")).as("s_mn"), max(col("l_linestatus")).as("s_mx"))
+          .crossJoin(nd)
         val nullD = lit(null).cast("double")
         val nullS = lit(null).cast("string")
         a.select(explode(array(
