@@ -149,6 +149,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_bpe_count",
       (e: Seq[Expression]) => invokeIn(TextBpe.getClass, LongType, "bpeCount", e,
         Seq(StringType)), "scala_udf")
+    // perceptual image hash (PerceptualHash — dHash over decoded pixels)
+    reg.createOrReplaceTempFunction("graft_dhash",
+      (e: Seq[Expression]) => invokeIn(PerceptualHash.getClass,
+        ArrayType(LongType, containsNull = false), "dhash", e,
+        Seq(BinaryType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_synth_pattern_png",
+      (e: Seq[Expression]) => invokeIn(PerceptualHash.getClass, BinaryType,
+        "synthPatternPng", e, Seq(LongType)), "scala_udf")
   }
 
   // Column-API wrappers (register(spark) must have been called in the session)
@@ -191,6 +199,8 @@ object GraftFunctions {
   def wavSumSq(c: Column): Column = call_function("graft_wav_sumsq", c)
   def bpeTokens(c: Column): Column = call_function("graft_bpe", c)
   def bpeCount(c: Column): Column = call_function("graft_bpe_count", c)
+  def dhash(c: Column): Column = call_function("graft_dhash", c)
+  def synthPatternPng(id: Column): Column = call_function("graft_synth_pattern_png", id)
 
   /** Lowercase alphanumeric word tokens (both engines: split on
     * `[^a-z0-9]+`, drop empties). */

@@ -98,6 +98,13 @@ object ImageCodec {
   def imagePixel0(bytes: Array[Byte]): Int =
     withReader(bytes) { r => r.read(0).getRGB(0, 0) & 0xFFFFFF }.getOrElse(-1)
 
+  /** Full frame-0 pixel decode through the cached per-thread readers, or
+    * null when no still-image codec claims the bytes (the [[PerceptualHash]]
+    * entry point — same dispatch + reader reuse as the header probes, so a
+    * 100 TB hash pass constructs O(threads × formats) readers). */
+  def readImage(bytes: Array[Byte]): BufferedImage =
+    withReader(bytes) { r => r.read(0) }.orNull
+
   /** Deterministic media synthesis for the decode differential (the harness
     * tables carry no real media). `id % 4`: 0 → PNG, 1 → JPEG, 2 → GIF —
     * a solid `8+id%97 × 8+id%53` image filled with RGB

@@ -248,6 +248,47 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Image near-dup candidate pairs via perceptual hashing (dHash over REAL
+    * decoded pixels — [[graft.functions.PerceptualHash]]), with exact
+    * Hamming verification: the image leg of the near-dedup family (resized/
+    * recompressed duplicate images are the dominant redundancy in web-scale
+    * multimodal corpora). Same LSH shape as [[simhashPairs]]: the 64-bit
+    * hash (as two unsigned 32-bit halves, `dh = [lo, hi]`) splits into four
+    * 16-bit blocks; pigeonhole makes block-equality candidates EXACT for
+    * Hamming ≤ 3, then `bit_count(xor)` verifies. Undecodable payloads
+    * (empty hash) drop out before banding.
+    *
+    * 100 TB shape: decode→pool→hash is one zero-shuffle codegen projection
+    * over the scan; the only shuffle is the banded candidate join keyed on
+    * (block, 16-bit value) — candidates ∝ bucket occupancy (near-dup
+    * density), never corpus². Output: (da, db, hamming). */
+  def dhashPairs(imgs: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block LSH is exact only for Hamming <= 3")
+    GraftFunctions.register(imgs.sparkSession)
+    val sigs = imgs
+      .select(col(idCol).as("doc_id"), dhash(col(blobCol)).as("dh"))
+      .where(size(col("dh")) === 2)
+      .select(col("doc_id"),
+        element_at(col("dh"), 1).as("lo"), element_at(col("dh"), 2).as("hi"))
+    val blocks = sigs.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("hi").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(0xFFFFL)))))
+      .toDF("doc_id", "lo", "hi", "blk", "bv")
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+          bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over duplicate pairs → canonical representative
     * per cluster (the dedup canonicalization step: every member maps to the
     * minimum doc_id of its component).

@@ -2011,6 +2011,63 @@ object PipelineQueries {
         |  round(sqrt(a.sum_sq::DOUBLE / (p.frames * p.channels)), 6) AS rms
         |FROM p JOIN a USING (doc_id) ORDER BY p.doc_id""".stripMargin),
 
+    // Image near-dedup via perceptual hash — the image leg of the dedup
+    // family (Dedup.dhashPairs): synthesize a REAL PNG corpus in groups of
+    // three (base + two single-cell edits, PerceptualHash.synthPatternPng,
+    // JDK PNG ENCODER), dHash each through the independent ImageIO READER
+    // path (decode → 9×8 integer average-pool → 64 comparison bits as two
+    // u32 halves), band into four 16-bit blocks (exact for Hamming ≤ 3),
+    // verify with bit_count(xor). The oracle replays the WHOLE chain from
+    // doc_id arithmetic — per-pixel luminance (the xor-of-primes spatial
+    // hash + Knuth avalanche of PerceptualHash.synthPatternPng, +8 on the
+    // variant cell), 4×4 cell sums, comparison bits, halves, and the
+    // Hamming-≤3 pair set (banding needs no replay: pigeonhole makes it
+    // lossless at this threshold, so pairs = all pairs with Hamming ≤ 3)
+    // — any defect in the PNG encoder, the decoder, the pooling, or the
+    // banding hash-mismatches. Scale: hashing is a zero-shuffle codegen
+    // projection; the candidate join is banded, never all-pairs.
+    "q_mm_dedup_image" -> Q(
+      (s, d) => {
+        import graft.functions.{GraftFunctions => GFF}
+        GFF.register(s)
+        val imgs = Tables.documents(s, d).select(col("doc_id"),
+          GFF.synthPatternPng(col("doc_id")).as("payload"))
+        Dedup.dhashPairs(imgs, "doc_id", "payload").orderBy("da", "db")
+      },
+      """WITH raw AS (
+        |  SELECT doc_id, x.x AS x, y.y AS y,
+        |    ((xor(xor((doc_id // 3) * 73856093, x.x * 19349663),
+        |          y.y * 83492791) % 2147483648)
+        |     * 2654435761 >> 21) % 256 AS base
+        |  FROM documents,
+        |       (SELECT unnest(range(0, 36)) AS x) x,
+        |       (SELECT unnest(range(0, 32)) AS y) y),
+        |px AS (
+        |  SELECT doc_id, x, y,
+        |    CASE WHEN doc_id % 3 > 0 AND x // 4 = doc_id % 3
+        |              AND y // 4 = doc_id % 3
+        |         THEN (base + 8) % 256 ELSE base END AS lum
+        |  FROM raw),
+        |cells AS (
+        |  SELECT doc_id, x // 4 AS cx, y // 4 AS cy, 3 * sum(lum) AS s
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy, a.cx,
+        |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cy < 4 THEN bit::BIGINT << (cy * 8 + cx)::INT ELSE 0 END) AS lo,
+        |    sum(CASE WHEN cy >= 4 THEN bit::BIGINT << ((cy - 4) * 8 + cx)::INT ELSE 0 END) AS hi
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
+        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY da, db""".stripMargin),
+
     "q_mm_decode" -> Q(
       (s, d) => {
         val media = Multimodal.synthesizeBmp(Tables.documents(s, d), "doc_id", "text")
