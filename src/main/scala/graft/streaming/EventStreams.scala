@@ -409,6 +409,95 @@ object EventStreams {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join, run to a batch
+    * frame — the enrichment shape users hit right after the inner
+    * attribution join: every purchase must come out, clickless ones with
+    * a null click side. The null-padded row for an unmatched purchase can
+    * only be emitted once the WATERMARK has passed the purchase's whole
+    * candidate interval (before that a matching click could still
+    * arrive), so emission is deferred, not dropped — state stays bounded
+    * by (interval + delay) exactly as in the inner join, and unmatched
+    * rows flush INCREMENTALLY as the watermark advances across
+    * micro-batches.
+    *
+    * Drain semantics: a watermark only ever advances to
+    * `max event time − delay`, so on a FINITE replay the last `delay` of
+    * unmatched purchases would sit in state forever ("missing" rows vs
+    * the batch LEFT JOIN). The deployment answer is PUNCTUATION — a
+    * planned-drain heartbeat event posted PAST the tail AFTER the real
+    * input drains (the pattern Kafka pipelines use for partition
+    * heartbeats at shutdown). Each side unions an initially-EMPTY fence
+    * file stream; once `processAllAvailable` has drained the real input,
+    * one fence row (`user −1`, `ts = max+4 h`, matching nothing) is
+    * written to each fence dir and processed, advancing both sides'
+    * watermarks past every real interval so the no-data micro-batch
+    * flushes the tail. Posting the fence up front would be WRONG under a
+    * multi-batch split: it would jump the watermark over the not-yet-read
+    * files and drop them all as late. The fence purchase row itself
+    * cannot emit (nothing ever fences IT); consumers drop `event_id < 0`
+    * batch-side. Do NOT filter it on the streaming side: Catalyst
+    * correctly pushes an `event_id >= 0` predicate through the outer
+    * join's left side, through the union, INTO the fence file source —
+    * silently deleting the fence before the watermark operator ever sees
+    * it (how this operator's tail went missing in development).
+    * StreamingSpec asserts equality with the batch LEFT JOIN under an
+    * 8-way micro-batch split. */
+  def purchaseClickJoinOuterToBatch(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // batch-side read of the SAME files the stream will drain (glob form
+    // covers single-file, directory-table and part-split layouts alike)
+    val fence = graft.core.Tables.normalizeEventTs(
+        spark.read.parquet(s"$sfDir/$glob"))
+      .agg((max(col("ts")) + expr("INTERVAL 4 HOURS")).as("fence_ts"))
+    val cFence = fence.select(lit(-1L).as("c_user"), col("fence_ts").as("c_ts"))
+    val pFence = fence.select(lit(-1L).as("event_id"), lit(-1L).as("p_user"),
+      col("fence_ts").as("p_ts"))
+    val cDir = java.nio.file.Files.createTempDirectory("graft_fence_c_").toString
+    val pDir = java.nio.file.Files.createTempDirectory("graft_fence_p_").toString
+    val clicks = readStream(spark, sfDir, glob, maxFilesPerTrigger)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .unionByName(spark.readStream.schema(cFence.schema).parquet(cDir))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = readStream(spark, sfDir, glob, maxFilesPerTrigger)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .unionByName(spark.readStream.schema(pFence.schema).parquet(pDir))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    val name = s"ssjoinouter_${System.nanoTime()}"
+    withStatePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      q.processAllAvailable() // real input fully drained
+      cFence.coalesce(1).write.mode("overwrite").parquet(cDir)
+      pFence.coalesce(1).write.mode("overwrite").parquet(pDir)
+      q.processAllAvailable() // fence batch processed, watermark advanced
+      // the null-row flush happens in the watermark-change NO-DATA batch
+      // right after the fence batch; processAllAvailable does not wait
+      // for it, so poll the sink until it stops growing
+      var last = -1L
+      var stable = 0
+      var tries = 0
+      while (stable < 3 && tries < 150) {
+        val n = spark.table(name).count()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(200)
+        tries += 1
+      }
+      q.stop()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   /** Stream-STATIC enrichment join: purchases enriched with the customer
     * dimension at ingest. Stateless by construction — no watermark, no
     * state store; the static side is broadcast into each micro-batch

@@ -53,6 +53,19 @@ object StreamingQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin),
 
+    // exactly-once streaming MERGE sink (r14): the events stream drains
+    // through foreachBatch into a versioned snapshot (batch-id idempotent
+    // commit protocol — MergeSink); the committed snapshot must equal the
+    // all-batch GROUP BY. Replay convergence (duplicated/out-of-order
+    // batch re-delivery yields a byte-identical snapshot) is proven in
+    // MergeSinkSpec; here the real stream runs end-to-end against the
+    // harness file.
+    "q_stream_merge" -> Q(
+      (s, d) => MergeSink.mergedTotals(s, d).orderBy("user_id"),
+      """SELECT user_id, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin),
+
     // streaming anomaly gate: the at-ingest twin of batch q_anomaly —
     // flatMapGroupsWithState keeps the per-user day→cents rollup and
     // re-judges every day whose trailing window a batch touches; the
@@ -190,6 +203,26 @@ object StreamingQueries {
         |  ON a.user_id = b.user_id AND a.event_type = 'purchase'
         | AND b.event_type = 'click'
         | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+        |GROUP BY 1 ORDER BY a.event_id""".stripMargin),
+
+    // watermarked stream-stream LEFT OUTER interval join (r14): every
+    // purchase emits — clickless ones as a null-padded row once the
+    // watermark fences their candidate interval. count(c_ts) counts only
+    // matched clicks, so unmatched purchases surface as n_clicks = 0 and
+    // the batch LEFT JOIN oracle checks both the matched multiplicities
+    // AND the unmatched-row emission.
+    "q_stream_join_outer" -> Q(
+      (s, d) => {
+        val out = EventStreams.purchaseClickJoinOuterToBatch(s, d)
+        out.where(col("event_id") >= 0) // batch-side fence guard (see operator doc)
+          .groupBy("event_id").agg(count(col("c_ts")).as("n_clicks"))
+          .orderBy("event_id")
+      },
+      """SELECT a.event_id, count(b.ts) AS n_clicks
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_type = 'click'
+        | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+        |WHERE a.event_type = 'purchase'
         |GROUP BY 1 ORDER BY a.event_id""".stripMargin),
 
     // Bloom-fronted streaming novelty gate: the seen corpus (doc_id < 250)

@@ -251,4 +251,45 @@ class StreamingSpec extends SparkSpec {
     assert(wmState < globalState,
       s"watermarked state $wmState did not expire below global $globalState")
   }
+
+  test("outer interval join: multi-batch stream equals the batch LEFT JOIN, nulls included") {
+    // The r14 outer-join contract: every purchase emits — clickless ones
+    // null-padded once the watermark fences their interval (the planned-
+    // drain fence row flushes the tail; see purchaseClickJoinOuter). Split
+    // into 8 time-ordered files so unmatched emission happens INCREMENTALLY
+    // as the watermark advances across micro-batches, not just at drain.
+    val dir = java.nio.file.Files.createTempDirectory("graft_outerj_").toString
+    Tables.events(spark, sf0).drop("ts_ns")
+      .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    // FileStreamSource orders micro-batches by file MTIME; one write job
+    // stamps all parts within the same second, so replay order — and with
+    // a 2 h watermark, which rows get dropped as late — would be
+    // NONDETERMINISTIC. Stamp strictly increasing mtimes in range order
+    // (part-N name order == ts range order under repartitionByRange).
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(f.lastModified() - (parts.length - i) * 60000L) }
+    val out = EventStreams.purchaseClickJoinOuterToBatch(
+      spark, dir, "part-*.parquet", Some(1))
+    val streamed = out.where(col("event_id") >= 0)
+      .groupBy("event_id").agg(count(col("c_ts")).as("n_clicks"))
+      .orderBy("event_id").collect().map(_.toSeq)
+    val ev = Tables.events(spark, sf0)
+    val batch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
+      .join(ev.where(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts")),
+        col("pu") === col("cu") &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+          col("cts") <= col("pts"),
+        "left_outer")
+      .groupBy("event_id").agg(count(col("cts")).as("n_clicks"))
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(streamed.length === batch.length) // unmatched purchases included
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.exists(_(1) == 0L), "fixture must contain clickless purchases")
+  }
 }
