@@ -79,6 +79,48 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Parquet write with WRITE-TIME BLOOM FILTERS on the named columns —
+    * the third standard skip mechanism, completing the layout trilogy
+    * ([[writeSorted]] = leading-column min/max skip, [[writeZOrder]] =
+    * two-dimensional box skip, this = POINT-LOOKUP skip on a
+    * high-cardinality column the layout is NOT sorted by).
+    *
+    * Why it exists: min/max statistics prune a row group only when the
+    * probe value falls outside its [min,max] — on a column whose values
+    * are scattered (a foreign key, a content digest), every row group
+    * spans nearly the full domain and stats skip NOTHING. A split-block
+    * bloom filter (parquet-mr's SBBF) instead answers "is value X
+    * definitely absent from this row group?" — at 100 TB, an equality
+    * probe on a 20-byte digest column then reads the handful of row
+    * groups that can match instead of the whole corpus, for ~1% file
+    * overhead. `expectedNdv` sizes each filter (bits ∝ ndv for the ~1%
+    * FP target): pass the PER-ROW-GROUP distinct count, not the global
+    * one. Small `rowGroupBytes` sharpens skip resolution exactly as in
+    * [[writeSorted]]. BloomSkipProbe measures the delta; SCALE.md
+    * carries the numbers.
+    *
+    * Dictionary interplay (measured, r14): parquet-mr writes NO bloom
+    * filter for a row group whose column stayed fully
+    * dictionary-encoded — the dictionary page already gives exact
+    * row-group filtering, so the bloom would be redundant bytes. A
+    * bloom column is therefore written PLAIN-encoded here: the column
+    * you want a bloom on is precisely one whose production cardinality
+    * overflows the dictionary page (where parquet falls back to plain
+    * and the bloom is the only skip mechanism); keeping the dictionary
+    * at test scale would mask exactly the regime the feature exists
+    * for — and silently drop the requested filters. */
+  def writeWithBloom(df: DataFrame, path: String,
+      bloomCols: Seq[(String, Long)],
+      rowGroupBytes: Long = 1L << 20): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+    bloomCols.foldLeft(w) { case (acc, (c, ndv)) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }.parquet(path)
+  }
+
   /** Dynamic partition overwrite: replace ONLY the partitions present in
     * `df`, leaving sibling partitions untouched — the incremental corpus
     * refresh shape (re-ingest one source/day without rewriting the other
