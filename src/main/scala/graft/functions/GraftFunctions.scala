@@ -141,6 +141,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_wav_sumsq",
       (e: Seq[Expression]) => invokeIn(AudioCodec.getClass, LongType, "wavSumSq", e,
         Seq(BinaryType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_synth_wav_group",
+      (e: Seq[Expression]) => invokeIn(AudioCodec.getClass, BinaryType,
+        "synthWavGroup", e, Seq(LongType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_audio_fp",
+      (e: Seq[Expression]) => invokeIn(AudioCodec.getClass,
+        ArrayType(LongType, containsNull = false), "audioFp", e,
+        Seq(BinaryType)), "scala_udf")
     // pinned-merge BPE subword tokenizer (TextBpe)
     reg.createOrReplaceTempFunction("graft_bpe",
       (e: Seq[Expression]) => invokeIn(TextBpe.getClass,
@@ -197,6 +204,8 @@ object GraftFunctions {
   def synthWav(id: Column): Column = call_function("graft_synth_wav", id)
   def wavField(c: Column, which: Int): Column = call_function("graft_wav_field", c, lit(which))
   def wavSumSq(c: Column): Column = call_function("graft_wav_sumsq", c)
+  def synthWavGroup(id: Column): Column = call_function("graft_synth_wav_group", id)
+  def audioFp(c: Column): Column = call_function("graft_audio_fp", c)
   def bpeTokens(c: Column): Column = call_function("graft_bpe", c)
   def bpeCount(c: Column): Column = call_function("graft_bpe_count", c)
   def dhash(c: Column): Column = call_function("graft_dhash", c)

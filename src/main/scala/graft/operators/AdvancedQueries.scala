@@ -29,6 +29,41 @@ object AdvancedQueries {
       .drop("__salt")
   }
 
+  /** Distributed ordinary least squares (r14): per-group closed-form
+    * simple linear regression of integer column `y` on integer column `x`
+    * — the feature-calibration / drift-modeling primitive a pipeline fits
+    * without ever leaving SQL. All five sufficient statistics
+    * (Σx, Σy, Σx², Σxy, Σy²) are EXACT integer sums accumulated as
+    * DECIMAL(38,0) (HUGEINT on the DuckDB side) — order-free, so parallel
+    * partial aggregation ≡ serial, and the normal-equation numerators /
+    * denominators (n·Σxy − ΣxΣy etc.) stay exact until ONE IEEE division
+    * each for slope/intercept; r² squares the cast doubles in a pinned op
+    * order (the exact product would overflow 38 digits — the one
+    * deliberate double step, identical in both engines). Scale: one
+    * partial-agg pass, reduce side ∝ |groups|; no second pass, no driver
+    * math. Input columns must be long; per-row x·y / y² must fit int64
+    * (the SUMS are unbounded — they ride decimal). */
+  def ols(df: org.apache.spark.sql.DataFrame, group: String): org.apache.spark.sql.DataFrame = {
+    val big = DecimalType(38, 0)
+    val g = df.groupBy(group).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(big)).as("sx"),
+      sum(col("y").cast(big)).as("sy"),
+      sum((col("x") * col("x")).cast(big)).as("sxx"),
+      sum((col("x") * col("y")).cast(big)).as("sxy"),
+      sum((col("y") * col("y")).cast(big)).as("syy"))
+    val nD = col("n").cast(big)
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val deny = nD * col("syy") - col("sy") * col("sy")
+    g.select(col(group), col("n"),
+      round(num.cast("double") / den.cast("double"), 6).as("slope"),
+      round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+        / den.cast("double"), 6).as("intercept"),
+      round((num.cast("double") * num.cast("double"))
+        / (den.cast("double") * deny.cast("double")), 6).as("r2"))
+  }
+
   /** Heaviest join key's share of probe-side rows, from ONE cheap agg:
     * per-key counts partial-aggregate map-side, so the exchange moves at
     * most one narrow (key, count) row per distinct key per partition —
@@ -580,6 +615,42 @@ object AdvancedQueries {
         | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+
+    // -- see AdvancedQueries.ols --
+    //    simple linear regression of price-cents on quantity — the
+    //    feature-calibration / drift-modeling primitive a pipeline fits
+    //    without ever leaving SQL. All five sufficient statistics
+    //    (Σx, Σy, Σx², Σxy, Σy²) are EXACT integer sums (quantity is
+    //    integer-valued; price goes through the decimal-cents cast, the
+    //    q_ks_drift pattern) accumulated as DECIMAL(38,0)/HUGEINT — order-
+    //    free, so parallel partial aggregation ≡ serial, and the normal-
+    //    equation numerators/denominators (n·Σxy − ΣxΣy etc.) stay exact
+    //    until ONE IEEE division each for slope/intercept; r² squares the
+    //    cast doubles in a pinned op order (the exact product would
+    //    overflow 38 digits — the one deliberate double step, identical in
+    //    both engines). Scale: one partial-agg pass, reduce side ∝
+    //    |groups|; no second pass, no driver math. --
+    "q_linreg" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          (col("l_extendedprice").cast(dec) * 100).cast("long").as("y"))
+        ols(li, "l_returnflag").orderBy("l_returnflag")
+      },
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM li GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS intercept,
+        |  round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+        |      / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+        |FROM g ORDER BY l_returnflag""".stripMargin),
 
     // -- array function surface (arrays emitted as joined strings — the
     //    compare harness can't sort raw array columns) --

@@ -264,13 +264,25 @@ object Dedup {
     * density), never corpus². Output: (da, db, hamming). */
   def dhashPairs(imgs: DataFrame, idCol: String, blobCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-block LSH is exact only for Hamming <= 3")
     GraftFunctions.register(imgs.sparkSession)
     val sigs = imgs
       .select(col(idCol).as("doc_id"), dhash(col(blobCol)).as("dh"))
       .where(size(col("dh")) === 2)
       .select(col("doc_id"),
         element_at(col("dh"), 1).as("lo"), element_at(col("dh"), 2).as("hi"))
+    hamming64Pairs(sigs, maxHamming)
+  }
+
+  /** Banded 4×16-bit LSH pairing over ANY 64-bit signature carried as two
+    * u32 halves `(doc_id, lo, hi)` — the shared candidate machinery behind
+    * [[dhashPairs]] (image dHash) and the audio fingerprint
+    * (`AudioCodec.audioFp`). Pigeonhole-exact for Hamming ≤ 3: a pair
+    * within the threshold differs in ≤ 3 of the 4 blocks, so at least one
+    * block matches and the pair is seen by the banded join. Only shuffle:
+    * the (block, 16-bit value)-keyed candidate join — occupancy-
+    * proportional, never corpus². */
+  def hamming64Pairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block LSH is exact only for Hamming <= 3")
     val blocks = sigs.select(col("doc_id"), col("lo"), col("hi"),
       posexplode(array(
         col("lo").bitwiseAND(lit(0xFFFFL)),

@@ -15,7 +15,7 @@ object PipelineQueries {
 
   /** DuckDB manual double-precision cosine — same accumulation order as
     * TextHashes.cosineF, so values are bit-identical. */
-  private def cosSql(a: String, b: String): String =
+  private[operators] def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*x)))
        |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*x)))))""".stripMargin
@@ -2061,6 +2061,61 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    sum(CASE WHEN cy < 4 THEN bit::BIGINT << (cy * 8 + cx)::INT ELSE 0 END) AS lo,
         |    sum(CASE WHEN cy >= 4 THEN bit::BIGINT << ((cy - 4) * 8 + cx)::INT ELSE 0 END) AS hi
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
+        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY da, db""".stripMargin),
+
+    // Audio near-dedup via an acoustic fingerprint — the audio leg of the
+    // dedup family, completing the modality set (text / embedding / image /
+    // audio). Synthesize a REAL WAV corpus in groups of three (base + two
+    // localized loudness edits, AudioCodec.synthWavGroup), fingerprint each
+    // through the INDEPENDENT chunk-walk parser (AudioCodec.audioFp: PCM →
+    // 65 window energies as exact integers → 64 adjacent-comparison bits as
+    // two u32 halves — the chromaprint shape with the transcendental DSP
+    // replaced by integer energy so the differential oracle is exact), band
+    // into four 16-bit blocks (Dedup.hamming64Pairs, pigeonhole-exact for
+    // Hamming ≤ 3 — the SAME candidate machinery as the image leg), verify
+    // with bit_count(xor). A one-window edit moves only the two bits
+    // adjacent to that window, so base↔variant pairs land at Hamming ≤ 2 by
+    // construction while cross-group fingerprints sit near Hamming 32. The
+    // oracle replays the WHOLE chain from doc_id arithmetic — samples,
+    // window energies, comparison bits, halves, the Hamming-≤3 pair set —
+    // so a defect in the WAV writer's chunk layout, the reader's walk, the
+    // windowing, or the packing hash-mismatches. Scale: fingerprinting is a
+    // zero-shuffle codegen projection; candidates are banded, never
+    // all-pairs.
+    "q_mm_dedup_audio" -> Q(
+      (s, d) => {
+        import graft.functions.{GraftFunctions => GFF}
+        GFF.register(s)
+        val auds = Tables.documents(s, d).select(col("doc_id"),
+          GFF.synthWavGroup(col("doc_id")).as("payload"))
+        val sigs = auds
+          .select(col("doc_id"), GFF.audioFp(col("payload")).as("fp"))
+          .where(size(col("fp")) === 2)
+          .select(col("doc_id"),
+            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        Dedup.hamming64Pairs(sigs).orderBy("da", "db")
+      },
+      """WITH sm AS (
+        |  SELECT doc_id, j,
+        |    (((xor((doc_id // 3) * 73856093, j * 19349663) % 2147483648)
+        |       * 2654435761 >> 21) % 2001) - 1000
+        |      + CASE WHEN doc_id % 3 > 0 AND j // 8 = 13 * (doc_id % 3)
+        |             THEN 100 ELSE 0 END AS v
+        |  FROM (SELECT doc_id, unnest(range(0, 520)) AS j FROM documents)),
+        |e AS (SELECT doc_id, j // 8 AS w, sum(v * v) AS e FROM sm GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 64),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i::INT ELSE 0 END) AS lo,
+        |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32)::INT ELSE 0 END) AS hi
         |  FROM bits GROUP BY 1)
         |SELECT a.doc_id AS da, b.doc_id AS db,
         |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming

@@ -231,6 +231,52 @@ object QualityChecks {
     //    All window statistics are int64 value-CENTS (the 2-decimal day
     //    sum × 100): n ≤ 7, Σx ≤ ~1e8, so every product below stays far
     //    inside 64 bits — no decimal typing games, no overflow. --
+    // -- mutual information between two document features (r14): the
+    //    feature-selection / association-audit primitive — how much does
+    //    knowing the language tell you about document length? The
+    //    contingency table (lang × 200-char length bucket) is ONE partial-
+    //    aggregated pass over the corpus; marginals and the grand total
+    //    come from window sums over the TINY cell table (reduce side and
+    //    the unpartitioned window are bounded by |langs|·|buckets|, never
+    //    the corpus — the q_ks_drift grid-window pattern). Per-cell PMI
+    //    and MI contributions are emitted AS ROWS (the q_psi_drift shape:
+    //    no order-dependent float total to compare); products are taken in
+    //    cast-double pinned order (c·N may overflow int64 at corpus scale,
+    //    so the exact-integer form is deliberately NOT used), ln rounded
+    //    to 9 dp (the q_zipf precedent). --
+    "q_mutual_info" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("lang"),
+          (col("n_chars") / 200).cast("long").as("bucket"))
+        val cells = base.groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val m = cells.select(col("lang"), col("bucket"), col("c"),
+          sum(col("c")).over(Window.partitionBy(col("lang"))).as("r"),
+          sum(col("c")).over(Window.partitionBy(col("bucket"))).as("cc"),
+          sum(col("c")).over(Window.partitionBy()).as("nn"))
+        val ratio = (col("c").cast("double") * col("nn").cast("double")) /
+          (col("r").cast("double") * col("cc").cast("double"))
+        m.select(col("lang"), col("bucket"), col("c").as("n_xy"),
+            round(log(ratio), 9).as("pmi"),
+            round((col("c").cast("double") / col("nn").cast("double")) * log(ratio), 9)
+              .as("mi_term"))
+          .orderBy("lang", "bucket")
+      },
+      """WITH base AS (SELECT lang, n_chars // 200 AS bucket FROM documents),
+        |cells AS (SELECT lang, bucket, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+        |m AS (SELECT lang, bucket, c,
+        |    sum(c) OVER (PARTITION BY lang) AS r,
+        |    sum(c) OVER (PARTITION BY bucket) AS cc,
+        |    sum(c) OVER () AS nn
+        |  FROM cells)
+        |SELECT lang, bucket, c AS n_xy,
+        |  round(ln((CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))
+        |          / (CAST(r AS DOUBLE) * CAST(cc AS DOUBLE))), 9) AS pmi,
+        |  round((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * ln((CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))
+        |          / (CAST(r AS DOUBLE) * CAST(cc AS DOUBLE))), 9) AS mi_term
+        |FROM m ORDER BY lang, bucket""".stripMargin),
+
     "q_anomaly" -> Q(
       (s, d) => {
         val daily = Tables.events(s, d)

@@ -4,6 +4,7 @@ import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document scoring / retrieval operators (north-star extension, round 12):
@@ -60,6 +61,69 @@ object Scoring {
 
   private val statsCache = new graft.core.SessionCache[org.apache.spark.sql.DataFrame]
 
+  /** DuckDB CTE chain producing `scored` = (doc_id, dl, score) — the
+    * oracle twin of [[bm25Scored]] (score rounded to 4; the `score > 0`
+    * filter is applied by consumers). Shared by the `q_bm25` and
+    * `q_hybrid_rrf` oracles. */
+  private def bm25CtesSql: String =
+    s"""toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |base AS (SELECT doc_id, len(t) AS dl,
+       |    len(list_filter(t, x -> x = 'merge')) AS tf0,
+       |    len(list_filter(t, x -> x = 'window')) AS tf1,
+       |    len(list_filter(t, x -> x = 'stream')) AS tf2
+       |  FROM toks),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+       |    count(*) FILTER (WHERE tf0 > 0)::BIGINT AS df0,
+       |    count(*) FILTER (WHERE tf1 > 0)::BIGINT AS df1,
+       |    count(*) FILTER (WHERE tf2 > 0)::BIGINT AS df2
+       |  FROM base),
+       |scored AS (SELECT doc_id, dl::BIGINT AS dl, round(
+       |    (ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+       |      * ((tf0 * ${k1 + 1}) / (tf0 + $k1 * ((1.0 - $b) + ($b * dl) / (sum_dl::DOUBLE / n_docs)))))
+       |  + (ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+       |      * ((tf1 * ${k1 + 1}) / (tf1 + $k1 * ((1.0 - $b) + ($b * dl) / (sum_dl::DOUBLE / n_docs)))))
+       |  + (ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+       |      * ((tf2 * ${k1 + 1}) / (tf2 + $k1 * ((1.0 - $b) + ($b * dl) / (sum_dl::DOUBLE / n_docs))))),
+       |  4) AS score
+       |  FROM base CROSS JOIN stats)""".stripMargin
+
+  /** BM25-scored corpus for the fixed query: (doc_id, dl, score), score
+    * rounded to 4 decimals and filtered > 0 (pre-ranking). Shared by
+    * `q_bm25` and the hybrid-fusion sparse leg. Corpus stats (N, Σdl,
+    * per-term df) are a property of (corpus, query terms), not of this
+    * invocation — computed once per session and checkpointed, so repeat
+    * retrievals pay ONE corpus scan, not two (same pattern as Graph.edges
+    * / Curation.gramSets). */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val t = tokens(col("text"))
+    val tf = bm25Terms.zipWithIndex.map { case (term, i) =>
+      size(filter(col("t"), x => x === term)).as(s"tf$i")
+    }
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id") +: size(col("t")).as("dl") +: tf: _*)
+    val stats = statsCache.getOrElseUpdate(s,
+        s"bm25:$d:${bm25Terms.mkString(",")}") {
+      val statCols = count(lit(1)).as("n_docs") +:
+        sum(col("dl")).as("sum_dl") +:
+        bm25Terms.indices.map(i =>
+          count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
+      base.agg(statCols.head, statCols.tail: _*).localCheckpoint()
+    }
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val termScore = bm25Terms.indices.map { i =>
+      log((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+          + lit(1.0)) *
+        ((col(s"tf$i") * lit(k1 + 1)) /
+          (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / avgdl)))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl").cast("long").as("dl"),
+        round(termScore.reduceLeft(_ + _), 4).as("score"))
+      .where(col("score") > 0)
+  }
+
   val all: Map[String, Q] = Map(
 
     // -- BM25 retrieval: score every doc for the fixed 3-term query and
@@ -70,63 +134,78 @@ object Scoring {
     //    decimals before ranking so a last-ulp libm-vs-JVM difference
     //    cannot flip the order (tie-break: doc_id). --
     "q_bm25" -> Q(
-      (s, d) => {
-        GraftFunctions.register(s)
-        val t = tokens(col("text"))
-        val tf = bm25Terms.zipWithIndex.map { case (term, i) =>
-          size(filter(col("t"), x => x === term)).as(s"tf$i")
-        }
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), t.as("t"))
-          .select(col("doc_id") +: size(col("t")).as("dl") +: tf: _*)
-        // corpus stats (N, Σdl, per-term df) are a property of (corpus,
-        // query terms), not of this invocation — computed once per
-        // session and checkpointed, so repeat retrievals pay ONE corpus
-        // scan, not two (same pattern as Graph.edges / Curation.gramSets)
-        val stats = statsCache.getOrElseUpdate(s,
-            s"bm25:$d:${bm25Terms.mkString(",")}") {
-          val statCols = count(lit(1)).as("n_docs") +:
-            sum(col("dl")).as("sum_dl") +:
-            bm25Terms.indices.map(i =>
-              count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
-          base.agg(statCols.head, statCols.tail: _*).localCheckpoint()
-        }
-        val avgdl = col("sum_dl").cast("double") / col("n_docs")
-        val termScore = bm25Terms.indices.map { i =>
-          log((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
-              + lit(1.0)) *
-            ((col(s"tf$i") * lit(k1 + 1)) /
-              (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / avgdl)))
-        }
-        base.crossJoin(broadcast(stats))
-          .select(col("doc_id"), col("dl").cast("long").as("dl"),
-            round(termScore.reduceLeft(_ + _), 4).as("score"))
-          .where(col("score") > 0)
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      },
-      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
-         |base AS (SELECT doc_id, len(t) AS dl,
-         |    len(list_filter(t, x -> x = 'merge')) AS tf0,
-         |    len(list_filter(t, x -> x = 'window')) AS tf1,
-         |    len(list_filter(t, x -> x = 'stream')) AS tf2
-         |  FROM toks),
-         |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
-         |    count(*) FILTER (WHERE tf0 > 0)::BIGINT AS df0,
-         |    count(*) FILTER (WHERE tf1 > 0)::BIGINT AS df1,
-         |    count(*) FILTER (WHERE tf2 > 0)::BIGINT AS df2
-         |  FROM base),
-         |scored AS (SELECT doc_id, dl::BIGINT AS dl, round(
-         |    (ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
-         |      * ((tf0 * ${k1 + 1}) / (tf0 + $k1 * ((1.0 - $b) + ($b * dl) / (sum_dl::DOUBLE / n_docs)))))
-         |  + (ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
-         |      * ((tf1 * ${k1 + 1}) / (tf1 + $k1 * ((1.0 - $b) + ($b * dl) / (sum_dl::DOUBLE / n_docs)))))
-         |  + (ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
-         |      * ((tf2 * ${k1 + 1}) / (tf2 + $k1 * ((1.0 - $b) + ($b * dl) / (sum_dl::DOUBLE / n_docs))))),
-         |  4) AS score
-         |  FROM base CROSS JOIN stats)
+      (s, d) => bm25Scored(s, d)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20),
+      s"""WITH $bm25CtesSql
          |SELECT doc_id, dl, score FROM scored WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // -- hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    //    the BM25 sparse leg and a dense cosine leg against the query
+    //    vector (vec_id 0's embedding — the stand-in for an encoded query).
+    //    Each leg is ranked INDEPENDENTLY on its rounded score (desc,
+    //    id tie-break — integer ranks, so fusion is float-robust), cut to
+    //    its top 50 via TakeOrdered (never a global sort), and fused:
+    //    rrf = 1/(60+r_sparse) + 1/(60+r_dense), absent legs contribute 0.
+    //    Scale: the sparse leg is the BM25 scan (stats broadcast), the
+    //    dense leg is one broadcast-query cosine scan; both reduce to ≤ 50
+    //    rows BEFORE the rank windows, so the single-partition windows and
+    //    the full-outer fusion join are bounded by the cut K, never the
+    //    corpus. --
+    "q_hybrid_rrf" -> Q(
+      (s, d) => {
+        val kCut = 50
+        val sTop = bm25Scored(s, d)
+          .orderBy(col("score").desc, col("doc_id")).limit(kCut)
+        val sparse = sTop
+          .withColumn("sr",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("sr"))
+        val e = Tables.embeddings(s, d)
+        val qv = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val dTop = e.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            round(cosineSim(col("qv"), col("embedding")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(kCut)
+        val dense = dTop
+          .withColumn("dr",
+            row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+          .select(col("vec_id"), col("dr"))
+        sparse.join(dense, col("doc_id") === col("vec_id"), "full_outer")
+          .select(
+            coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+            col("sr").cast("int").as("sparse_rank"),
+            col("dr").cast("int").as("dense_rank"),
+            round(coalesce(lit(1.0) / (lit(60) + col("sr")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 9).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      s"""WITH $bm25CtesSql,
+         |sparse AS (
+         |  SELECT doc_id, rn AS sr FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |    FROM scored WHERE score > 0)
+         |  WHERE rn <= 50),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dcos AS (SELECT e.vec_id,
+         |    round(${PipelineQueries.cosSql("qv.qv", "e.embedding")}, 6) AS cos
+         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+         |dense AS (
+         |  SELECT vec_id, rn AS dr FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+         |    FROM dcos)
+         |  WHERE rn <= 50),
+         |fused AS (
+         |  SELECT coalesce(s.doc_id, d.vec_id) AS doc_id,
+         |    s.sr::INT AS sparse_rank, d.dr::INT AS dense_rank,
+         |    round(coalesce((1.0::DOUBLE) / (60 + s.sr), 0.0::DOUBLE)
+         |        + coalesce((1.0::DOUBLE) / (60 + d.dr), 0.0::DOUBLE), 9) AS rrf
+         |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.vec_id)
+         |SELECT doc_id, sparse_rank, dense_rank, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
 
     // -- hashed linear classifier: w_sum is an ordered fold over the
     //    token array (aggregate ≡ list_reduce: same element order, same

@@ -1,0 +1,125 @@
+package graft
+
+import graft.functions.AudioCodec
+import graft.operators.{AdvancedQueries, Dedup, QualityChecks, Scoring}
+import org.apache.spark.sql.functions._
+
+/** Unit/property coverage for the round-14 continuation operators: audio
+  * fingerprint near-dedup, hybrid RRF retrieval, distributed OLS, mutual
+  * information. Values at sf0.01 are pinned by the DuckDB oracle (driver
+  * t2); these specs pin the SEMANTIC contracts. */
+class Round14OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- audio fingerprint near-dedup ----
+
+  test("audioFp: empty on junk, on non-WAV, and on sub-65-frame clips") {
+    assert(AudioCodec.audioFp(Array[Byte](1, 2, 3)).numElements() == 0)
+    assert(AudioCodec.audioFp(Array.fill[Byte](100)(0x42)).numElements() == 0)
+    // synthWav(id=0): 50 frames < 65 windows -> no fingerprint
+    assert(AudioCodec.audioFp(AudioCodec.synthWav(0L)).numElements() == 0)
+    // the group synth always has 520 frames -> fingerprint present
+    assert(AudioCodec.audioFp(AudioCodec.synthWavGroup(0L)).numElements() == 2)
+  }
+
+  test("audioFp: one-window loudness edit moves at most 2 bits") {
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      java.lang.Long.bitCount(a(0) ^ b(0)) + java.lang.Long.bitCount(a(1) ^ b(1))
+    for (g <- 0L until 20L) {
+      val base = AudioCodec.audioFp(AudioCodec.synthWavGroup(3 * g)).toLongArray()
+      val v1 = AudioCodec.audioFp(AudioCodec.synthWavGroup(3 * g + 1)).toLongArray()
+      val v2 = AudioCodec.audioFp(AudioCodec.synthWavGroup(3 * g + 2)).toLongArray()
+      assert(ham(base, v1) <= 2, s"g=$g base-v1")
+      assert(ham(base, v2) <= 2, s"g=$g base-v2")
+      assert(ham(v1, v2) <= 4, s"g=$g v1-v2")
+    }
+  }
+
+  test("hamming64Pairs finds every planted base-variant audio pair") {
+    import graft.functions.{GraftFunctions => GFF}
+    GFF.register(spark)
+    val docs = (0L until 60L).toDF("doc_id")
+    val sigs = docs
+      .select(col("doc_id"), GFF.audioFp(GFF.synthWavGroup(col("doc_id"))).as("fp"))
+      .where(size(col("fp")) === 2)
+      .select(col("doc_id"),
+        element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+    val pairs = Dedup.hamming64Pairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (g <- 0L until 20L) {
+      assert(pairs.contains((3 * g, 3 * g + 1)), s"missing base-v1 pair g=$g")
+      assert(pairs.contains((3 * g, 3 * g + 2)), s"missing base-v2 pair g=$g")
+    }
+  }
+
+  // ---- hybrid reciprocal-rank fusion ----
+
+  test("q_hybrid_rrf: rrf recomputes exactly from the emitted ranks") {
+    val rows = Scoring.all("q_hybrid_rrf").fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val sr = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val dr = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(sr.isDefined || dr.isDefined, "a fused row must come from some leg")
+      sr.foreach(v => assert(v >= 1 && v <= 50))
+      dr.foreach(v => assert(v >= 1 && v <= 50))
+      val expect = BigDecimal(
+        sr.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+          dr.map(v => 1.0 / (60 + v)).getOrElse(0.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect, s"rrf mismatch on doc ${r.getLong(0)}")
+      assert(r.getDouble(3) <= prev, "output must be rrf-descending")
+      prev = r.getDouble(3)
+    }
+  }
+
+  // ---- distributed OLS ----
+
+  test("ols: exact fit recovers slope/intercept with r2 = 1") {
+    val df = (1L to 100L).map(x => ("a", x, 3 * x + 7)).toDF("g", "x", "y")
+    val r = AdvancedQueries.ols(df, "g").collect()(0)
+    assert(r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 3.0, "slope")
+    assert(r.getDouble(3) == 7.0, "intercept")
+    assert(r.getDouble(4) == 1.0, "r2")
+  }
+
+  test("ols: invariant under repartitioning (order-free exact sums)") {
+    val base = (1L to 500L).map(x => ("a", x, x * x % 97)).toDF("g", "x", "y")
+    val a = AdvancedQueries.ols(base.repartition(1), "g").collect()(0)
+    val b = AdvancedQueries.ols(base.repartition(13), "g").collect()(0)
+    assert(a == b, "partial-agg split must not change any output bit")
+  }
+
+  // ---- LazyFrame conf hygiene (VERDICT r13 item 9) ----
+
+  test("LazyFrame open: the documented conf side effect holds, and " +
+      "restoring Spark's default keeps extraction correct") {
+    val key = "spark.sql.requireAllClusterKeysForCoPartition"
+    val lf = graft.core.LazyFrame.parquet(spark,
+      s"$sf0/nation.parquet", Seq("n_nationkey"))
+    // the side effect every open method's scaladoc promises
+    assert(spark.conf.get(key) == "false")
+    val relaxed = lf.rowsAt(Seq(3L, 7L, 11L)).collect().map(_.toSeq)
+    try {
+      // a user who needs the stricter default can set it back: plans may
+      // re-exchange the index, results must not change
+      spark.conf.set(key, "true")
+      val strict = lf.rowsAt(Seq(3L, 7L, 11L)).collect().map(_.toSeq)
+      assert(relaxed.toSeq == strict.toSeq)
+    } finally spark.conf.set(key, "false")
+  }
+
+  // ---- mutual information ----
+
+  test("q_mutual_info: total MI is non-negative and cells cover the corpus") {
+    val rows = QualityChecks.all("q_mutual_info").fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getDouble(4)).sum
+    // MI >= 0 exactly; allow only the 9-dp rounding slack times the cells
+    assert(total >= -1e-8 * rows.length, s"MI must be non-negative, got $total")
+    val n = rows.map(_.getLong(2)).sum
+    assert(n == graft.core.Tables.documents(spark, sf0).count())
+  }
+}
