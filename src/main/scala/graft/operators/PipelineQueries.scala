@@ -743,6 +743,83 @@ object PipelineQueries {
          |              JOIN embeddings ve ON ve.vec_id = c.vid)
          |WHERE rn <= 5 ORDER BY qid, vid""".stripMargin),
 
+    // Retrieval-quality evaluation (r14): the eval-harness primitive a
+    // pipeline runs whenever it swaps an ANN index — recall@10, MRR, and
+    // nDCG@10 of the (deliberately lossy) single-probe IVF ranking judged
+    // against the exact brute-force top-10. Ranks come from the SAME
+    // bit-identical cosine contract both ANN rows already prove, so the
+    // joined relevance labels are deterministic; DCG/IDCG sum per-rank
+    // terms ln(2)/ln(rank+1) ROUNDED to 9 dp as DECIMAL(28,9) (the q_zipf
+    // order-free-exact trick — a float sum over an unordered GROUP BY
+    // would be engine-dependent), IDCG is computed in-engine from a
+    // 10-row range so both engines use their own libm consistently.
+    // Scale: both rankings are the ANN queries themselves (broadcast
+    // query side, bounded top-k windows); the eval join moves ≤ |Q|·10
+    // rows. --
+    "q_retrieval_eval" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val dec28 = DecimalType(28, 9)
+        val e = Tables.embeddings(s, d)
+        val q = e.where(col("vec_id") < 10)
+        val exact = Similarity.bruteTopK(e, q, "vec_id", "embedding", 10)
+          .select(col("qid").as("eqid"), col("vid").as("evid"))
+        val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding", "label", 10)
+          .withColumn("ar", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+        val r = approx.join(exact,
+            col("qid") === col("eqid") && col("vid") === col("evid"), "left")
+          .select(col("qid"), col("ar"), col("evid").isNotNull.as("rel"))
+        val term = round(log(lit(2.0)) / log((col("ar") + 1).cast("double")), 9)
+          .cast(dec28)
+        val m = r.groupBy("qid").agg(
+          sum(when(col("rel"), 1).otherwise(0)).as("nrel"),
+          min(when(col("rel"), col("ar"))).as("frank"),
+          sum(when(col("rel"), term).otherwise(lit(0).cast(dec28))).as("dcg"))
+        val idcg = s.range(1, 11)
+          .select(round(log(lit(2.0)) / log((col("id") + 1).cast("double")), 9)
+            .cast(dec28).as("t"))
+          .agg(sum(col("t")).as("idcg"))
+        m.crossJoin(broadcast(idcg))
+          .select(col("qid"),
+            (col("nrel").cast("double") / lit(10.0)).as("recall10"),
+            coalesce(lit(1.0) / col("frank"), lit(0.0)).as("mrr"),
+            round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+              .as("ndcg10"))
+          .orderBy("qid")
+      },
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+         |           FROM embeddings WHERE vec_id < 10),
+         |ex AS (SELECT qid, vid FROM (
+         |    SELECT q.qid, e.vec_id AS vid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+         |  WHERE rn <= 10),
+         |ap AS (SELECT qid, vid, rn AS ar FROM (
+         |    SELECT q.qid, e.vec_id AS vid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM q JOIN embeddings e ON e.vec_id <> q.qid AND e.label = q.ql)
+         |  WHERE rn <= 10),
+         |r AS (SELECT ap.qid, ap.ar, (ex.vid IS NOT NULL) AS rel
+         |      FROM ap LEFT JOIN ex ON ex.qid = ap.qid AND ex.vid = ap.vid),
+         |idcg AS (SELECT sum(CAST(round(ln(2.0) / ln(CAST(i + 1 AS DOUBLE)), 9)
+         |                         AS DECIMAL(28,9))) AS idcg
+         |         FROM (SELECT unnest(range(1, 11)) AS i)),
+         |m AS (SELECT qid,
+         |    sum(CASE WHEN rel THEN 1 ELSE 0 END) AS nrel,
+         |    min(CASE WHEN rel THEN ar END) AS frank,
+         |    sum(CASE WHEN rel THEN CAST(round(ln(2.0) / ln(CAST(ar + 1 AS DOUBLE)), 9)
+         |                               AS DECIMAL(28,9))
+         |             ELSE CAST(0 AS DECIMAL(28,9)) END) AS dcg
+         |  FROM r GROUP BY 1)
+         |SELECT qid, CAST(nrel AS DOUBLE) / 10.0 AS recall10,
+         |  coalesce(1.0::DOUBLE / frank, 0.0::DOUBLE) AS mrr,
+         |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg10
+         |FROM m CROSS JOIN idcg ORDER BY qid""".stripMargin),
+
     "q_ann_ivf" -> Q(
       (s, d) => {
         val e = Tables.embeddings(s, d)

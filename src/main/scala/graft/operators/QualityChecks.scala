@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions.md5Hash60
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -276,6 +278,92 @@ object QualityChecks {
         |      * ln((CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))
         |          / (CAST(r AS DOUBLE) * CAST(cc AS DOUBLE))), 9) AS mi_term
         |FROM m ORDER BY lang, bucket""".stripMargin),
+
+    // -- robust outlier gate (r14): the median/MAD twin of q_anomaly's
+    //    mean/2σ rule — a single corrupted day shifts a mean but not a
+    //    median, so this is the gate a pipeline uses when the telemetry
+    //    itself is suspect. Two aggregation levels (per-user median of
+    //    daily cents, then median absolute deviation around it), each a
+    //    partial-aggregated pass over the DAILY rollup (events shuffle
+    //    once; everything after moves rollup-sized rows on the same
+    //    user key — co-partitioned joins, no re-exchange of raw events).
+    //    Exactness: daily values are integer cents, so every median is
+    //    a half-integer computed as lower + (upper−lower)·0.5 — EXACT in
+    //    IEEE, both engines — and |mv − med| and 3·mad stay exact; the
+    //    strict > flag can never flip on a ulp. Output: outlier days
+    //    only. --
+    "q_mad_outliers" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(sum(col("v")).as("x"))
+          .select(col("user_id"), col("day"), (col("x") * 100).cast("long").as("mv"))
+        val med = daily.groupBy("user_id")
+          .agg(percentile(col("mv"), lit(0.5)).as("med"))
+        val dev = daily.join(med, "user_id")
+          .select(col("user_id"), col("day"), col("mv"), col("med"),
+            abs(col("mv").cast("double") - col("med")).as("adev"))
+        val mad = dev.groupBy("user_id")
+          .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+        dev.join(mad, "user_id")
+          .where(col("adev") > lit(3.0) * col("mad"))
+          .select(col("user_id"), col("day"), col("mv"), col("med"), col("mad"))
+          .orderBy("user_id", "day")
+      },
+      """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, day, CAST(x * 100 AS BIGINT) AS mv FROM daily),
+        |med AS (SELECT user_id, quantile_cont(mv, 0.5) AS med FROM m GROUP BY 1),
+        |dev AS (SELECT m.user_id, m.day, m.mv, med.med,
+        |    abs(CAST(m.mv AS DOUBLE) - med.med) AS adev
+        |  FROM m JOIN med USING (user_id)),
+        |mad AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.user_id, dev.day, dev.mv, dev.med, mad.mad
+        |FROM dev JOIN mad USING (user_id)
+        |WHERE dev.adev > 3.0 * mad.mad
+        |ORDER BY user_id, day""".stripMargin),
+
+    // -- differentially-private count release (r14): the privacy-release
+    //    EXECUTION primitive next to the k-anonymity / l-diversity AUDITS
+    //    — per-lang document counts with Laplace(sensitivity/ε) noise,
+    //    ε = 1, sensitivity 1 (each document contributes one count).
+    //    Noise by inverse-CDF: u from the md5-60 of a salt+key (52
+    //    mantissa bits, +0.5 so u ∈ (0,1) strictly — no ln(0) pole;
+    //    m/2⁵² and u−0.5 are EXACT double steps), noise =
+    //    −sign(u−½)·ln(1−2|u−½|). The hash-derived noise makes the
+    //    release bit-replayable by the oracle — the same trick as every
+    //    sketch in this repo; a production deployment swaps the pinned
+    //    salt for a secret per-release salt and the mechanism (and this
+    //    plan) is unchanged. Scale: one partial-agg pass; noise is a
+    //    per-group projection, reduce ∝ |langs|. --
+    "q_dp_release" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val two52 = 4503599627370496L
+        val g = Tables.documents(s, d).groupBy("lang")
+          .agg(count(lit(1)).as("n"))
+        val m = pmod(md5Hash60(concat(lit("dp1_"), col("lang"))), lit(two52))
+        val u = (m.cast("double") + lit(0.5)) / lit(two52.toDouble)
+        val noise = -signum(u - lit(0.5)) *
+          log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+        g.select(col("lang"), lit(1.0).as("epsilon"),
+            round(col("n").cast("double") + noise, 6).as("noisy_n"))
+          .orderBy("lang")
+      },
+      """WITH g AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+        |h AS (SELECT lang, n,
+        |    (('0x' || substr(md5('dp1_' || lang), 1, 15))::BIGINT
+        |      % 4503599627370496) AS m
+        |  FROM g),
+        |u AS (SELECT lang, n,
+        |    (CAST(m AS DOUBLE) + 0.5) / 4503599627370496.0 AS u FROM h)
+        |SELECT lang, 1.0::DOUBLE AS epsilon,
+        |  round(CAST(n AS DOUBLE)
+        |    + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noisy_n
+        |FROM u ORDER BY lang""".stripMargin),
 
     "q_anomaly" -> Q(
       (s, d) => {

@@ -111,6 +111,60 @@ class Round14OpsSpec extends SparkSpec {
     } finally spark.conf.set(key, "false")
   }
 
+  // ---- robust (median/MAD) outlier gate ----
+
+  test("q_mad_outliers: every emitted row satisfies |mv - med| > 3*mad from its own columns") {
+    val rows = QualityChecks.all("q_mad_outliers").fn(spark, sf0).collect()
+    assert(rows.nonEmpty, "sf0.001 events should contain at least one robust outlier")
+    rows.foreach { r =>
+      val mv = r.getLong(2).toDouble
+      val med = r.getDouble(3)
+      val mad = r.getDouble(4)
+      assert(math.abs(mv - med) > 3.0 * mad, s"row $r violates its own gate")
+      // medians of integer cents are exact half-integers
+      assert(med * 2 == math.rint(med * 2), "median must be a half-integer")
+      assert(mad * 2 == math.rint(mad * 2), "MAD must be a half-integer")
+    }
+  }
+
+  // ---- differentially-private release ----
+
+  test("q_dp_release: noise is bounded by the Laplace tail, deterministic, and nonzero") {
+    val out = QualityChecks.all("q_dp_release").fn(spark, sf0).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    val truth = graft.core.Tables.documents(spark, sf0)
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.keySet == truth.keySet)
+    // u has 52 uniform bits + the 0.5 offset, so |noise| <= ln(2^53) ~ 36.8
+    val maxAbs = math.log(math.pow(2, 53))
+    out.foreach { case (lang, noisy) =>
+      val noise = noisy - truth(lang)
+      assert(math.abs(noise) <= maxAbs, s"$lang noise $noise out of range")
+      assert(noise != 0.0, s"$lang got exactly zero noise (hash pole?)")
+    }
+    val again = QualityChecks.all("q_dp_release").fn(spark, sf0).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(again == out, "release must be bit-replayable")
+  }
+
+  // ---- retrieval evaluation ----
+
+  test("q_retrieval_eval: metrics in [0,1]; perfect recall implies MRR 1") {
+    val rows = graft.operators.PipelineQueries.all("q_retrieval_eval")
+      .fn(spark, sf0).collect()
+    assert(rows.length == 10, "one row per query vector")
+    rows.foreach { r =>
+      val (recall, mrr, ndcg) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(recall >= 0 && recall <= 1, s"recall $recall")
+      assert(mrr >= 0 && mrr <= 1, s"mrr $mrr")
+      assert(ndcg >= 0 && ndcg <= 1 + 1e-9, s"ndcg $ndcg")
+      if (recall == 1.0) assert(mrr == 1.0,
+        "if all top-10 are relevant the first certainly is")
+      if (recall == 0.0) assert(mrr == 0.0 && ndcg == 0.0)
+    }
+  }
+
   // ---- mutual information ----
 
   test("q_mutual_info: total MI is non-negative and cells cover the corpus") {
