@@ -20,6 +20,40 @@ object PipelineQueries {
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*x)))
        |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*x)))))""".stripMargin
 
+  /** DuckDB replay of the dHash signature chain (synthPatternPng pixels
+    * -> 4x4 cell sums -> 64 comparison bits -> (lo, hi) u32 halves) up to
+    * a `hashes(doc_id, lo, hi)` CTE — shared by the image near-dup pair
+    * query and its canonicalization composition. */
+  private def dhashHashesSql: String =
+    """raw AS (
+      |  SELECT doc_id, x.x AS x, y.y AS y,
+      |    ((xor(xor((doc_id // 3) * 73856093, x.x * 19349663),
+      |          y.y * 83492791) % 2147483648)
+      |     * 2654435761 >> 21) % 256 AS base
+      |  FROM documents,
+      |       (SELECT unnest(range(0, 36)) AS x) x,
+      |       (SELECT unnest(range(0, 32)) AS y) y),
+      |px AS (
+      |  SELECT doc_id, x, y,
+      |    CASE WHEN doc_id % 3 > 0 AND x // 4 = doc_id % 3
+      |              AND y // 4 = doc_id % 3
+      |         THEN (base + 8) % 256 ELSE base END AS lum
+      |  FROM raw),
+      |cells AS (
+      |  SELECT doc_id, x // 4 AS cx, y // 4 AS cy, 3 * sum(lum) AS s
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, a.cy, a.cx,
+      |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |hashes AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN cy < 4 THEN bit::BIGINT << (cy * 8 + cx)::INT ELSE 0 END) AS lo,
+      |    sum(CASE WHEN cy >= 4 THEN bit::BIGINT << ((cy - 4) * 8 + cx)::INT ELSE 0 END) AS hi
+      |  FROM bits GROUP BY 1)""".stripMargin
+
   /** Shared exact-Jaccard oracle (k=3 word shingles, tau): the oracle for
     * BOTH the inverted-index exact query and the MinHash+LSH query — LSH
     * recall at the planted-duplicate similarity level (J ≥ 0.9) is
@@ -2111,39 +2145,43 @@ object PipelineQueries {
           GFF.synthPatternPng(col("doc_id")).as("payload"))
         Dedup.dhashPairs(imgs, "doc_id", "payload").orderBy("da", "db")
       },
-      """WITH raw AS (
-        |  SELECT doc_id, x.x AS x, y.y AS y,
-        |    ((xor(xor((doc_id // 3) * 73856093, x.x * 19349663),
-        |          y.y * 83492791) % 2147483648)
-        |     * 2654435761 >> 21) % 256 AS base
-        |  FROM documents,
-        |       (SELECT unnest(range(0, 36)) AS x) x,
-        |       (SELECT unnest(range(0, 32)) AS y) y),
-        |px AS (
-        |  SELECT doc_id, x, y,
-        |    CASE WHEN doc_id % 3 > 0 AND x // 4 = doc_id % 3
-        |              AND y // 4 = doc_id % 3
-        |         THEN (base + 8) % 256 ELSE base END AS lum
-        |  FROM raw),
-        |cells AS (
-        |  SELECT doc_id, x // 4 AS cx, y // 4 AS cy, 3 * sum(lum) AS s
-        |  FROM px GROUP BY 1, 2, 3),
-        |bits AS (
-        |  SELECT a.doc_id, a.cy, a.cx,
-        |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-        |  FROM cells a JOIN cells b
-        |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
-        |  WHERE a.cx < 8),
-        |hashes AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN cy < 4 THEN bit::BIGINT << (cy * 8 + cx)::INT ELSE 0 END) AS lo,
-        |    sum(CASE WHEN cy >= 4 THEN bit::BIGINT << ((cy - 4) * 8 + cx)::INT ELSE 0 END) AS hi
-        |  FROM bits GROUP BY 1)
+      s"""WITH $dhashHashesSql
         |SELECT a.doc_id AS da, b.doc_id AS db,
         |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
         |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY da, db""".stripMargin),
+
+    // The canonicalization step COMPOSED onto the image near-dup pairs
+    // (r14): dHash pairs -> connected components -> every image maps to
+    // its cluster's minimum doc_id — the same generic Dedup.dupClusters
+    // machinery the text leg uses (q_dedup_clusters), proven to compose
+    // across modalities because the pair relation is the shared contract.
+    // The oracle replays the ENTIRE chain: pixels -> cells -> bits ->
+    // Hamming-<=3 pairs -> recursive-CTE transitive closure.
+    "q_mm_dedup_canon" -> Q(
+      (s, d) => {
+        import graft.functions.{GraftFunctions => GFF}
+        GFF.register(s)
+        val imgs = Tables.documents(s, d).select(col("doc_id"),
+          GFF.synthPatternPng(col("doc_id")).as("payload"))
+        val pairs = Dedup.dhashPairs(imgs, "doc_id", "payload")
+        Dedup.dupClusters(pairs.select(col("da"), col("db"))).orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE $dhashHashesSql,
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+        |sym AS (SELECT da AS a, db AS b FROM pairs
+        |        UNION SELECT db AS a, da AS b FROM pairs),
+        |reach AS (
+        |  SELECT a AS src, b AS dst FROM sym
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+        |)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
 
     // Audio near-dedup via an acoustic fingerprint — the audio leg of the
     // dedup family, completing the modality set (text / embedding / image /

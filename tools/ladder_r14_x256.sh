@@ -14,7 +14,9 @@ mkdir -p "$(dirname "$out")"
 : > "$out"
 
 X256_QS="q_embed_centroid q_chunk_cdc q_tpch_q4 q_tpch_q1"
-R14_QS="q_mm_dedup_image q_mm_dedup_audio q_hybrid_rrf q_linreg q_mutual_info"
+# q_tpch_q6 rides along as the scan-bound CONTRAST row for the q_tpch_q1
+# saturation analysis (double sums vs q1's five decimal aggregates)
+R14_QS="q_tpch_q6 q_mm_dedup_image q_mm_dedup_audio q_hybrid_rrf q_linreg q_mutual_info q_mad_outliers q_dp_release q_retrieval_eval"
 
 declare -A DIRS=([x1]=/root/testdata/sf0.1 [x16]=target/ladder/x16
   [x64]=target/ladder/x64 [x256]=target/ladder/x256)
