@@ -283,7 +283,16 @@ object Dedup {
     * proportional, never corpus². */
   def hamming64Pairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block LSH is exact only for Hamming <= 3")
-    val blocks = sigs.select(col("doc_id"), col("lo"), col("hi"),
+    // The banded join below reads `sigs` TWICE (self-join) — without a
+    // materialization barrier the upstream signature chain (payload
+    // synthesis + decode + hash kernels, the expensive part for image and
+    // audio callers) executes once per side. Checkpointing the (doc_id,
+    // lo, hi) triples is O(24 B/row) regardless of payload size — the
+    // decode runs exactly once. (Measured on q_mm_dedup_image at sf0.1:
+    // part of the 10.4 s -> sub-second fix, with the pre-synth
+    // repartition at the callers.)
+    val mat = sigs.localCheckpoint()
+    val blocks = mat.select(col("doc_id"), col("lo"), col("hi"),
       posexplode(array(
         col("lo").bitwiseAND(lit(0xFFFFL)),
         shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(0xFFFFL)),

@@ -4,6 +4,7 @@ import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
 import graft.operators.{TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators as registered queries
@@ -19,6 +20,20 @@ object PipelineQueries {
     s"""(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*x)))
        |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*x)))))""".stripMargin
+
+  /** doc_ids spread across every core BEFORE a synthetic payload is
+    * attached. The harness documents table is one small parquet file =
+    * ONE input partition, so a payload synthesized in the same projection
+    * as its decode kernel would run single-threaded (measured: the whole
+    * 10.4 s of q_mm_dedup_image at sf0.1 was one task). Exchanging bare
+    * doc_ids costs 8 B/row; exchanging synthesized payloads would cost
+    * the corpus — and Catalyst never moves a deterministic projection
+    * below a user repartition, so synthesis provably runs post-exchange.
+    * (At 100 TB real images arrive pre-partitioned from storage and this
+    * exchange disappears; it is harness-shape realism, not a scale cost.) */
+  private def spreadDocIds(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** DuckDB replay of the dHash signature chain (synthPatternPng pixels
     * -> 4x4 cell sums -> 64 comparison bits -> (lo, hi) u32 halves) up to
@@ -2141,8 +2156,8 @@ object PipelineQueries {
       (s, d) => {
         import graft.functions.{GraftFunctions => GFF}
         GFF.register(s)
-        val imgs = Tables.documents(s, d).select(col("doc_id"),
-          GFF.synthPatternPng(col("doc_id")).as("payload"))
+        val imgs = spreadDocIds(s, d)
+          .select(col("doc_id"), GFF.synthPatternPng(col("doc_id")).as("payload"))
         Dedup.dhashPairs(imgs, "doc_id", "payload").orderBy("da", "db")
       },
       s"""WITH $dhashHashesSql
@@ -2163,8 +2178,8 @@ object PipelineQueries {
       (s, d) => {
         import graft.functions.{GraftFunctions => GFF}
         GFF.register(s)
-        val imgs = Tables.documents(s, d).select(col("doc_id"),
-          GFF.synthPatternPng(col("doc_id")).as("payload"))
+        val imgs = spreadDocIds(s, d)
+          .select(col("doc_id"), GFF.synthPatternPng(col("doc_id")).as("payload"))
         val pairs = Dedup.dhashPairs(imgs, "doc_id", "payload")
         Dedup.dupClusters(pairs.select(col("da"), col("db"))).orderBy("doc_id")
       },
@@ -2206,8 +2221,8 @@ object PipelineQueries {
       (s, d) => {
         import graft.functions.{GraftFunctions => GFF}
         GFF.register(s)
-        val auds = Tables.documents(s, d).select(col("doc_id"),
-          GFF.synthWavGroup(col("doc_id")).as("payload"))
+        val auds = spreadDocIds(s, d)
+          .select(col("doc_id"), GFF.synthWavGroup(col("doc_id")).as("payload"))
         val sigs = auds
           .select(col("doc_id"), GFF.audioFp(col("payload")).as("fp"))
           .where(size(col("fp")) === 2)

@@ -65,6 +65,61 @@ object QualityChecks {
         |    WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END) >= 3 AS meets_l
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // -- t-closeness (r14): completes the privacy-audit triad (k-anonymity
+    //    = group size, l-diversity = sensitive-value variety, t-closeness
+    //    = sensitive-value DISTRIBUTION). A QI group leaks when its
+    //    sensitive distribution strays from the global one; for the
+    //    ORDERED 3-band balance attribute the distance is the Earth
+    //    Mover's Distance = mean |cumulative difference|. Both cumulative
+    //    gaps are cross-multiplied onto int64 (dj = cumj·N − CUMj·n, the
+    //    q_ks_drift trick) so the t = 0.2 gate 5·(|d1|+|d2|) ≤ 2·n·N is
+    //    an EXACT integer compare — no float tolerance can flip it. One
+    //    partial agg (reduce ∝ |QI combinations|) + a broadcast of the
+    //    1-row global distribution. --
+    "q_t_closeness" -> Q(
+      (s, d) => {
+        val b = Tables.customer(s, d)
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            when(col("c_acctbal") < 0, 0)
+              .when(col("c_acctbal") < 5000, 1).otherwise(2).as("band"))
+        val g = b.groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("band") === 0, 1)).as("c0"),
+            count(when(col("band") === 1, 1)).as("c1"))
+        val tot = g.agg(sum(col("n")).as("nn"), sum(col("c0")).as("g0"),
+          sum(col("c1")).as("g1"))
+        g.crossJoin(broadcast(tot))
+          .withColumn("emd_num",
+            abs(col("c0") * col("nn") - col("g0") * col("n")) +
+              abs((col("c0") + col("c1")) * col("nn")
+                - (col("g0") + col("g1")) * col("n")))
+          .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+            col("emd_num"),
+            (col("emd_num").cast("double") /
+              (col("n") * col("nn") * 2).cast("double")).as("emd"),
+            (col("emd_num") * 5 <= col("n") * col("nn") * 2).as("meets_t"))
+          .orderBy("c_nationkey", "c_mktsegment")
+      },
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    CASE WHEN c_acctbal < 0 THEN 0
+        |         WHEN c_acctbal < 5000 THEN 1 ELSE 2 END AS band
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+        |    count(CASE WHEN band = 0 THEN 1 END)::BIGINT AS c0,
+        |    count(CASE WHEN band = 1 THEN 1 END)::BIGINT AS c1
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT sum(n)::BIGINT AS nn, sum(c0)::BIGINT AS g0,
+        |    sum(c1)::BIGINT AS g1 FROM g)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  (abs(c0 * nn - g0 * n)
+        |   + abs((c0 + c1) * nn - (g0 + g1) * n))::BIGINT AS emd_num,
+        |  (abs(c0 * nn - g0 * n)
+        |   + abs((c0 + c1) * nn - (g0 + g1) * n))::DOUBLE
+        |    / (2 * n * nn) AS emd,
+        |  5 * (abs(c0 * nn - g0 * n)
+        |       + abs((c0 + c1) * nn - (g0 + g1) * n)) <= 2 * n * nn AS meets_t
+        |FROM g CROSS JOIN t ORDER BY 1, 2""".stripMargin),
+
     // -- constraint suite over lineitem (+ orders→customer RI). Metrics
     //    are exact ratios (integer/integer in IEEE double — identical in
     //    any engine); `passed` thresholds compare those exact values. --
@@ -168,6 +223,56 @@ object QualityChecks {
         |    round((n_a::DOUBLE / tot_a - n_b::DOUBLE / tot_b)
         |      * ln((n_a::DOUBLE / tot_a) / (n_b::DOUBLE / tot_b)), 6)
         |  END AS psi_term
+        |FROM b CROSS JOIN t ORDER BY bin""".stripMargin),
+
+    // -- Jensen-Shannon drift (r14): PSI's bounded, symmetric complement —
+    //    same one-scan bin-keyed aggregate and broadcast totals, but JS is
+    //    FINITE on one-sided bins (p ln(p/m) with q = 0 degenerates to
+    //    p·ln 2), so the bins PSI must NULL out contribute real mass here.
+    //    Per-bin terms are emitted as rows (the q_psi_drift shape: a global
+    //    float sum would be partition-order-dependent); ln() drifts a last
+    //    ulp across libms → terms rounded to 6. The SQL mirrors the Spark
+    //    expression tree node-for-node so IEEE evaluation order matches. --
+    "q_js_drift" -> Q(
+      (s, d) => {
+        val binned = Tables.orders(s, d)
+          .select(year(col("o_orderdate").cast("date")).as("yr"),
+            expr("cast(floor(o_totalprice / 50000) as bigint)").as("bin"))
+          .where(col("yr").isin(1994, 1995))
+          .groupBy(col("bin"))
+          .agg(count(when(col("yr") === 1994, 1)).as("n_a"),
+            count(when(col("yr") === 1995, 1)).as("n_b"))
+        val totals = binned.agg(sum(col("n_a")).as("tot_a"),
+          sum(col("n_b")).as("tot_b"))
+        val p = col("n_a").cast("double") / col("tot_a")
+        val q = col("n_b").cast("double") / col("tot_b")
+        val m = (p + q) / 2
+        binned.crossJoin(broadcast(totals))
+          .select(col("bin"), col("n_a"), col("n_b"),
+            when(col("n_a") > 0 && col("n_b") > 0,
+              round(lit(0.5) * (p * log(p / m) + q * log(q / m)), 6))
+              .when(col("n_a") > 0, round(lit(0.5) * (p * log(lit(2.0))), 6))
+              .otherwise(round(lit(0.5) * (q * log(lit(2.0))), 6))
+              .as("js_term"))
+          .orderBy("bin")
+      },
+      """WITH b AS (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        |    count(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1994 THEN 1 END)::BIGINT AS n_a,
+        |    count(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995 THEN 1 END)::BIGINT AS n_b
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1994, 1995)
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |        CAST(sum(n_b) AS BIGINT) AS tot_b FROM b)
+        |SELECT bin, n_a, n_b,
+        |  CASE
+        |    WHEN n_a > 0 AND n_b > 0 THEN round(0.5 * (
+        |      (n_a::DOUBLE / tot_a) * ln((n_a::DOUBLE / tot_a)
+        |        / (((n_a::DOUBLE / tot_a) + (n_b::DOUBLE / tot_b)) / 2))
+        |      + (n_b::DOUBLE / tot_b) * ln((n_b::DOUBLE / tot_b)
+        |        / (((n_a::DOUBLE / tot_a) + (n_b::DOUBLE / tot_b)) / 2))), 6)
+        |    WHEN n_a > 0 THEN round(0.5 * ((n_a::DOUBLE / tot_a) * ln(2.0)), 6)
+        |    ELSE round(0.5 * ((n_b::DOUBLE / tot_b) * ln(2.0)), 6)
+        |  END AS js_term
         |FROM b CROSS JOIN t ORDER BY bin""".stripMargin),
 
     // -- two-sample Kolmogorov-Smirnov drift between two yearly price

@@ -358,6 +358,72 @@ object Scoring {
          |  sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dup,
          |  sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*)
          |    AS dup_span_frac
-         |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // -- exact-substring EXCISION (r14): q_dup_span_frac scores the
+    //    duplication; this query performs the Lee et al. 2022 operation
+    //    itself — every repeated span keeps exactly its FIRST occurrence
+    //    in corpus order and is cut everywhere else, then each document's
+    //    text is rebuilt from the surviving tokens. Non-overlapping
+    //    16-token spans (stride = length) make removal well-defined; the
+    //    canonical occurrence is min(doc_id·10⁹ + span_idx) per span hash
+    //    (span_idx < 10⁹ would need a single 16-billion-token document).
+    //    Scale shape: the window shuffles (doc_id, idx, hash) triples
+    //    only — never text; the removal lists (∝ duplication density, not
+    //    corpus size) join back onto the full-text scan, where AQE
+    //    broadcasts them, and the rebuild is a zero-shuffle indexed-HOF
+    //    projection. At 100 TB the corpus text is scanned exactly twice
+    //    and shuffled never. --
+    "q_dedup_substring" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val spans = toks
+          .where(size(col("t")) >= spanLen)
+          .select(col("doc_id"), posexplode(transform(
+            sequence(lit(0), expr(s"size(t) div $spanLen - 1")),
+            i => md5Hash60(concat_ws(" ",
+              slice(col("t"), i * spanLen + 1, lit(spanLen)))))))
+          .withColumnRenamed("pos", "idx").withColumnRenamed("col", "h")
+          .withColumn("key", col("doc_id") * lit(1000000000L) + col("idx"))
+        val removed = spans
+          .withColumn("first", min(col("key")).over(Window.partitionBy("h")))
+          .where(col("key") > col("first"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("idx"))).as("rm"))
+        toks.join(removed, Seq("doc_id"), "left")
+          .withColumn("rmc", coalesce(col("rm"), array().cast("array<int>")))
+          .select(col("doc_id"),
+            size(col("t")).cast("long").as("n_before"),
+            size(col("rmc")).cast("long").as("n_removed_spans"),
+            (size(col("t")) - lit(spanLen) * size(col("rmc")))
+              .cast("long").as("n_after"),
+            array_join(filter(col("t"),
+              (x, p) => !array_contains(col("rmc"),
+                (p.cast("double") / spanLen).cast("int"))), " ").as("cleaned"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |d AS (SELECT doc_id, t, len(t) AS n FROM toks),
+         |s AS (SELECT doc_id, i AS idx,
+         |    ('0x' || substr(md5(array_to_string(
+         |      t[i * $spanLen + 1 : i * $spanLen + $spanLen], ' ')), 1, 15))::BIGINT AS h,
+         |    doc_id * 1000000000 + i AS key
+         |  FROM (SELECT doc_id, t, unnest(range(0, n // $spanLen)) AS i
+         |        FROM d WHERE n >= $spanLen)),
+         |o AS (SELECT doc_id, idx, key,
+         |    min(key) OVER (PARTITION BY h) AS first FROM s),
+         |rem AS (SELECT doc_id, list_sort(list(idx)) AS rm
+         |  FROM o WHERE key > first GROUP BY doc_id)
+         |SELECT d.doc_id, d.n::BIGINT AS n_before,
+         |  coalesce(len(rm), 0)::BIGINT AS n_removed_spans,
+         |  (d.n - $spanLen * coalesce(len(rm), 0))::BIGINT AS n_after,
+         |  coalesce(array_to_string(list_transform(
+         |    list_filter(range(1, d.n + 1),
+         |      p -> NOT list_contains(coalesce(rm, []::BIGINT[]), (p - 1) // $spanLen)),
+         |    p -> d.t[p]), ' '), '') AS cleaned
+         |FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
   )
 }

@@ -176,4 +176,64 @@ class Round14OpsSpec extends SparkSpec {
     val n = rows.map(_.getLong(2)).sum
     assert(n == graft.core.Tables.documents(spark, sf0).count())
   }
+
+  // ---- exact-substring excision (Lee et al. dedup, the removal op) ----
+
+  test("q_dedup_substring: arithmetic closes, cleaned text re-tokenizes to " +
+      "n_after, and corpus-wide removals equal occurrences minus distinct") {
+    import graft.functions.{GraftFunctions => GFF}
+    GFF.register(spark)
+    val rows = Scoring.all("q_dedup_substring").fn(spark, sf0).collect()
+    val docs = graft.core.Tables.documents(spark, sf0)
+    assert(rows.length == docs.count(), "every document must pass through")
+    rows.foreach { r =>
+      val (nb, nr, na) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(na == nb - Scoring.spanLen * nr, s"doc ${r.getLong(0)}")
+      val retok = r.getString(4).split("[^a-z0-9]+").count(_.nonEmpty)
+      assert(retok == na, s"doc ${r.getLong(0)}: cleaned re-tokenizes to $retok, not $na")
+    }
+    // corpus-wide: exactly one occurrence of every duplicated span survives,
+    // so total removals = span occurrences - distinct span hashes
+    val spans = docs
+      .select(col("doc_id"), GFF.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= Scoring.spanLen)
+      .select(explode(transform(
+        sequence(lit(0), expr(s"size(t) div ${Scoring.spanLen} - 1")),
+        i => GFF.md5Hash60(concat_ws(" ",
+          slice(col("t"), i * Scoring.spanLen + 1, lit(Scoring.spanLen)))))).as("h"))
+    val occ = spans.count()
+    val distinct = spans.select(countDistinct(col("h"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == occ - distinct)
+    assert(occ > distinct, "sf0.001 documents must contain planted duplicate spans")
+  }
+
+  // ---- t-closeness ----
+
+  test("q_t_closeness: emd in [0,1], gate is the exact integer compare") {
+    val rows = QualityChecks.all("q_t_closeness").fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    val totalN = rows.map(_.getLong(2)).sum // QI groups partition customers
+    assert(totalN == graft.core.Tables.customer(spark, sf0).count())
+    rows.foreach { r =>
+      val (n, emdNum, emd, meets) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))
+      assert(emd >= 0 && emd <= 1, s"emd $emd")
+      assert(emd == emdNum.toDouble / (2.0 * n * totalN), "emd must be the exact ratio")
+      assert(meets == (emdNum * 5 <= 2 * n * totalN), "gate must match the integer compare")
+    }
+  }
+
+  // ---- Jensen-Shannon drift ----
+
+  test("q_js_drift: per-bin terms non-negative, total bounded by ln 2") {
+    val rows = QualityChecks.all("q_js_drift").fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(3), "JS is finite on one-sided bins — no NULL terms")
+      assert(r.getDouble(3) >= -1e-6, s"bin ${r.getLong(0)}: term must be >= 0")
+    }
+    val total = rows.map(_.getDouble(3)).sum
+    assert(total >= 0 && total <= math.log(2.0) + 1e-6,
+      s"total JS $total out of [0, ln 2]")
+  }
 }
