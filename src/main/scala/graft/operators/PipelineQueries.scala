@@ -35,6 +35,28 @@ object PipelineQueries {
     Tables.documents(s, d).select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** DuckDB CTE chain ending in `covq` = (i, j, n, s_i, s_j, s_ij, cov):
+    * the exact integer-quantized covariance of the embedding table —
+    * shared by q_pca_cov (which SELECTs it) and q_pca_power (which
+    * iterates on it). The quantization ⌊x·2^20 + 0.5⌋ is exact (power-of-
+    * two scale), sums are int64, and the final cov double mirrors the
+    * Scala expression tree token-for-token. */
+  private def pcaCovSql: String =
+    """q AS (SELECT list_transform(embedding,
+      |    x -> floor(x::DOUBLE * 1048576.0 + 0.5)::BIGINT) AS v
+      |  FROM embeddings),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM q),
+      |e AS (SELECT v, unnest(range(0, 64)) AS i FROM q),
+      |s AS (SELECT i, sum(v[i + 1])::BIGINT AS s FROM e GROUP BY i),
+      |p AS (SELECT i, j, sum(v[i + 1] * v[j + 1])::BIGINT AS s_ij
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+      |  WHERE j >= i GROUP BY i, j),
+      |covq AS (SELECT p.i::INTEGER AS i, p.j::INTEGER AS j, nn.n,
+      |  a.s AS s_i, b.s AS s_j, p.s_ij,
+      |  (nn.n::DOUBLE * p.s_ij::DOUBLE - a.s::DOUBLE * b.s::DOUBLE)
+      |    / (nn.n::DOUBLE * nn.n::DOUBLE * 1048576.0 * 1048576.0) AS cov
+      |FROM p JOIN s a ON a.i = p.i JOIN s b ON b.i = p.j CROSS JOIN nn)""".stripMargin
+
   /** DuckDB replay of the dHash signature chain (synthPatternPng pixels
     * -> 4x4 cell sums -> 64 comparison bits -> (lo, hi) u32 halves) up to
     * a `hashes(doc_id, lo, hi)` CTE — shared by the image near-dup pair
@@ -1536,6 +1558,134 @@ object PipelineQueries {
         |           ELSE 0.0 END)),
         |    (a, b) -> a + b) / len(v), 9) AS mse
         |FROM s ORDER BY vec_id""".stripMargin),
+
+    // PCA step 1 (r14): the exact covariance matrix of the embedding table.
+    // Vectors quantize to int64 on a 2^20 grid — float·2^20 is a power-of-
+    // two scale, so ⌊x·2^20 + 0.5⌋ is EXACT in both engines — and one
+    // custom Aggregator (CovAggregator) accumulates [n, Σx_i, Σx_i·x_j]
+    // in a single 2145-slot long buffer per partition: the shuffle is
+    // O(partitions·d²) longs no matter the corpus, vs O(n·d²) rows for
+    // the explode formulation. Covariance then assembles on the driver
+    // from ONE bounded buffer (2145 longs) with IEEE-identical doubles —
+    // (n·s_ij − s_i·s_j) / (n²·2^40), every operand exact, every op
+    // correctly rounded, so the DuckDB replay matches bit-for-bit.
+    "q_pca_cov" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val dim = 64
+        val buf = Tables.embeddings(s, d)
+          .select(transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1048576.0) + lit(0.5))
+              .cast("long")).as("v"))
+          .as[Seq[Long]]
+          .select(new graft.functions.CovAggregator(dim).toColumn)
+          .head()
+        val n = buf(0)
+        val rows = for { i <- 0 until dim; j <- i until dim } yield {
+          val si = buf(1 + i); val sj = buf(1 + j)
+          val sij = buf(1 + dim + i * dim - i * (i - 1) / 2 + (j - i))
+          val cov = (n.toDouble * sij.toDouble - si.toDouble * sj.toDouble) /
+            (n.toDouble * n.toDouble * 1048576.0 * 1048576.0)
+          (i, j, n, si, sj, sij, cov)
+        }
+        rows.toDF("i", "j", "n", "s_i", "s_j", "s_ij", "cov")
+          .orderBy("i", "j")
+      },
+      s"""WITH $pcaCovSql
+        |SELECT i, j, n, s_i, s_j, s_ij, cov FROM covq
+        |ORDER BY i, j""".stripMargin),
+
+    // PCA step 2 (r14): the top principal component by POWER ITERATION —
+    // a fixed 24 steps of v ← C·v / ‖C·v‖ from v₀ = 1/8·𝟙 on the exact
+    // covariance assembled above. Every float op is IEEE-correctly-rounded
+    // from exact integer inputs and both engines fold the d=64 terms in
+    // the SAME index order (Scala while-loop ≡ list_reduce over an
+    // index-ordered list_transform), so 24 iterations stay bit-identical
+    // and the DuckDB oracle replays the WHOLE algorithm in one recursive
+    // CTE — matrix-vector products, L2 normalization, Rayleigh λ = ‖C·v‖.
+    // Scale: the distributed cost is the one CovAggregator pass; the
+    // iteration is O(d²·T) on a 2145-long driver buffer — constant. --
+    "q_pca_power" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val dim = 64
+        val buf = Tables.embeddings(s, d)
+          .select(transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1048576.0) + lit(0.5))
+              .cast("long")).as("v"))
+          .as[Seq[Long]]
+          .select(new graft.functions.CovAggregator(dim).toColumn)
+          .head()
+        val n = buf(0)
+        val c = Array.ofDim[Double](dim, dim)
+        for { i <- 0 until dim; j <- i until dim } {
+          val sij = buf(1 + dim + i * dim - i * (i - 1) / 2 + (j - i))
+          val cov = (n.toDouble * sij.toDouble
+            - buf(1 + i).toDouble * buf(1 + j).toDouble) /
+            (n.toDouble * n.toDouble * 1048576.0 * 1048576.0)
+          c(i)(j) = cov; c(j)(i) = cov
+        }
+        def matVec(v: Array[Double]): Array[Double] = {
+          val w = new Array[Double](dim)
+          var i = 0
+          while (i < dim) {
+            var acc = 0.0
+            var j = 0
+            while (j < dim) { acc = acc + c(i)(j) * v(j); j += 1 }
+            w(i) = acc; i += 1
+          }
+          w
+        }
+        def norm(w: Array[Double]): Double = {
+          var acc = 0.0
+          var i = 0
+          while (i < dim) { acc = acc + w(i) * w(i); i += 1 }
+          math.sqrt(acc)
+        }
+        var v = Array.fill(dim)(0.125)
+        for (_ <- 0 until 24) {
+          val w = matVec(v)
+          val nrm = norm(w)
+          v = w.map(_ / nrm)
+        }
+        val lam = norm(matVec(v))
+        (0 until dim).map(i => (i, v(i), lam))
+          .toDF("i", "raw", "rawl")
+          .select(col("i"), round(col("raw"), 9).as("loading"),
+            round(col("rawl"), 6).as("eigval"))
+          .orderBy("i")
+      },
+      s"""WITH RECURSIVE $pcaCovSql,
+        |cm AS (SELECT i, j, cov FROM covq
+        |       UNION ALL SELECT j, i, cov FROM covq WHERE i <> j),
+        |crow AS (SELECT i, list(cov ORDER BY j) AS c FROM cm GROUP BY i),
+        |cl AS (SELECT list(c ORDER BY i) AS cc FROM crow),
+        |it(t, v) AS (
+        |  SELECT 0, (SELECT list(0.125::DOUBLE ORDER BY x) FROM
+        |             (SELECT unnest(range(0, 64)) AS x))
+        |  UNION ALL
+        |  SELECT it.t + 1,
+        |    list_transform([
+        |      list_transform(range(1, 65), i2 ->
+        |        list_reduce(list_prepend(0.0,
+        |          list_transform(range(1, 65), k -> cl.cc[i2][k] * it.v[k])),
+        |          (a, b) -> a + b))],
+        |      w -> list_transform(w, y -> y / sqrt(
+        |        list_reduce(list_prepend(0.0,
+        |          list_transform(w, y2 -> y2 * y2)), (a, b) -> a + b))))[1]
+        |  FROM it CROSS JOIN cl WHERE it.t < 24),
+        |fin AS (SELECT v FROM it WHERE t = 24),
+        |wfin AS (SELECT list_transform(range(1, 65), i2 ->
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, 65), k -> cl.cc[i2][k] * fin.v[k])),
+        |      (a, b) -> a + b)) AS w
+        |  FROM fin CROSS JOIN cl),
+        |lam AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+        |    list_transform(w, y -> y * y)), (a, b) -> a + b)) AS l FROM wfin)
+        |SELECT x::INTEGER AS i, round(fin.v[x + 1], 9) AS loading,
+        |  round(lam.l, 6) AS eigval
+        |FROM (SELECT unnest(range(0, 64)) AS x) CROSS JOIN fin CROSS JOIN lam
+        |ORDER BY i""".stripMargin),
 
     // deterministic per-language rate sampling: keep a doc iff
     // md5-60("smp_"+doc_id) mod 1000 < rate(lang)‰ — the scalable sampling

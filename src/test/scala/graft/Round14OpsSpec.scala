@@ -223,6 +223,44 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- PCA: exact covariance + power iteration ----
+
+  test("CovAggregator: bit-identical under any partitioning (exact long sums)") {
+    import graft.operators.PipelineQueries
+    val a = PipelineQueries.all("q_pca_cov").fn(spark, sf0).collect()
+    // same data, different physical split: exact integer accumulation
+    // means not one bit may move
+    val df = graft.core.Tables.embeddings(spark, sf0).repartition(13)
+    val buf = df.select(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)).cast("long")).as("v"))
+      .as[Seq[Long]]
+      .select(new graft.functions.CovAggregator(64).toColumn).head()
+    val n = buf(0)
+    a.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      assert(r.getLong(2) == n)
+      assert(r.getLong(3) == buf(1 + i), s"s_i at ($i,$j)")
+      assert(r.getLong(5) == buf(1 + 64 + i * 64 - i * (i - 1) / 2 + (j - i)),
+        s"s_ij at ($i,$j)")
+    }
+  }
+
+  test("q_pca_cov: diagonal non-negative; q_pca_power: unit norm, " +
+      "lambda >= max diagonal variance") {
+    import graft.operators.PipelineQueries
+    val cov = PipelineQueries.all("q_pca_cov").fn(spark, sf0).collect()
+    val diag = cov.filter(r => r.getInt(0) == r.getInt(1)).map(_.getDouble(6))
+    assert(diag.forall(_ >= 0), "variances must be non-negative")
+    val pw = PipelineQueries.all("q_pca_power").fn(spark, sf0).collect()
+    assert(pw.length == 64)
+    val norm2 = pw.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-6, s"loading norm^2 $norm2")
+    val lam = pw.head.getDouble(2)
+    assert(pw.forall(_.getDouble(2) == lam), "eigval replicated per row")
+    // for symmetric PSD C, lambda_max >= every diagonal entry
+    assert(lam >= diag.max - 1e-9, s"lambda $lam < max variance ${diag.max}")
+  }
+
   // ---- Jensen-Shannon drift ----
 
   test("q_js_drift: per-bin terms non-negative, total bounded by ln 2") {
