@@ -35,6 +35,64 @@ object PipelineQueries {
     Tables.documents(s, d).select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** Embedding dimensionality (pinned by the harness embeddings table). */
+  private val PcaDim = 64
+
+  /** ONE distributed pass: the CovAggregator buffer
+    * [n, s_0..s_{d-1}, upper-triangle s_ij] — 2145 exact longs. */
+  private def pcaCovBuffer(s: SparkSession, d: String): Seq[Long] = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0) + lit(0.5))
+          .cast("long")).as("v"))
+      .as[Seq[Long]]
+      .select(new graft.functions.CovAggregator(PcaDim).toColumn)
+      .head()
+  }
+
+  /** Driver-side top principal component: exact-int covariance assembly +
+    * 24 power-iteration steps, every float op IEEE-identical to the
+    * DuckDB recursive-CTE replay (same fold order). Returns (unit
+    * eigenvector RAW doubles, Rayleigh lambda = ||C v||). */
+  private def pcaTopComponent(s: SparkSession, dd: String): (Array[Double], Double) = {
+    val dim = PcaDim
+    val buf = pcaCovBuffer(s, dd)
+    val n = buf(0)
+    val c = Array.ofDim[Double](dim, dim)
+    for { i <- 0 until dim; j <- i until dim } {
+      val sij = buf(1 + dim + i * dim - i * (i - 1) / 2 + (j - i))
+      val cov = (n.toDouble * sij.toDouble
+        - buf(1 + i).toDouble * buf(1 + j).toDouble) /
+        (n.toDouble * n.toDouble * 1048576.0 * 1048576.0)
+      c(i)(j) = cov; c(j)(i) = cov
+    }
+    def matVec(v: Array[Double]): Array[Double] = {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc = acc + c(i)(j) * v(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      w
+    }
+    def norm(w: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc = acc + w(i) * w(i); i += 1 }
+      math.sqrt(acc)
+    }
+    var v = Array.fill(dim)(0.125)
+    for (_ <- 0 until 24) {
+      val w = matVec(v)
+      val nrm = norm(w)
+      v = w.map(_ / nrm)
+    }
+    (v, norm(matVec(v)))
+  }
+
   /** DuckDB CTE chain ending in `covq` = (i, j, n, s_i, s_j, s_ij, cov):
     * the exact integer-quantized covariance of the embedding table —
     * shared by q_pca_cov (which SELECTs it) and q_pca_power (which
@@ -56,6 +114,32 @@ object PipelineQueries {
       |  (nn.n::DOUBLE * p.s_ij::DOUBLE - a.s::DOUBLE * b.s::DOUBLE)
       |    / (nn.n::DOUBLE * nn.n::DOUBLE * 1048576.0 * 1048576.0) AS cov
       |FROM p JOIN s a ON a.i = p.i JOIN s b ON b.i = p.j CROSS JOIN nn)""".stripMargin
+
+  /** DuckDB CTE chain (requires WITH RECURSIVE and `covq` from
+    * [[pcaCovSql]]) ending in `fin` = one row holding the raw top
+    * eigenvector after 24 power-iteration steps — shared by q_pca_power
+    * (which also reports lambda) and q_pca_project (which projects the
+    * corpus onto it). */
+  private def pcaPowerSql: String =
+    """cm AS (SELECT i, j, cov FROM covq
+      |       UNION ALL SELECT j, i, cov FROM covq WHERE i <> j),
+      |crow AS (SELECT i, list(cov ORDER BY j) AS c FROM cm GROUP BY i),
+      |cl AS (SELECT list(c ORDER BY i) AS cc FROM crow),
+      |it(t, v) AS (
+      |  SELECT 0, (SELECT list(0.125::DOUBLE ORDER BY x) FROM
+      |             (SELECT unnest(range(0, 64)) AS x))
+      |  UNION ALL
+      |  SELECT it.t + 1,
+      |    list_transform([
+      |      list_transform(range(1, 65), i2 ->
+      |        list_reduce(list_prepend(0.0,
+      |          list_transform(range(1, 65), k -> cl.cc[i2][k] * it.v[k])),
+      |          (a, b) -> a + b))],
+      |      w -> list_transform(w, y -> y / sqrt(
+      |        list_reduce(list_prepend(0.0,
+      |          list_transform(w, y2 -> y2 * y2)), (a, b) -> a + b))))[1]
+      |  FROM it CROSS JOIN cl WHERE it.t < 24),
+      |fin AS (SELECT v FROM it WHERE t = 24)""".stripMargin
 
   /** DuckDB replay of the dHash signature chain (synthPatternPng pixels
     * -> 4x4 cell sums -> 64 comparison bits -> (lo, hi) u32 halves) up to
@@ -1572,14 +1656,8 @@ object PipelineQueries {
     "q_pca_cov" -> Q(
       (s, d) => {
         import s.implicits._
-        val dim = 64
-        val buf = Tables.embeddings(s, d)
-          .select(transform(col("embedding"),
-            x => floor(x.cast("double") * lit(1048576.0) + lit(0.5))
-              .cast("long")).as("v"))
-          .as[Seq[Long]]
-          .select(new graft.functions.CovAggregator(dim).toColumn)
-          .head()
+        val dim = PcaDim
+        val buf = pcaCovBuffer(s, d)
         val n = buf(0)
         val rows = for { i <- 0 until dim; j <- i until dim } yield {
           val si = buf(1 + i); val sj = buf(1 + j)
@@ -1608,73 +1686,15 @@ object PipelineQueries {
     "q_pca_power" -> Q(
       (s, d) => {
         import s.implicits._
-        val dim = 64
-        val buf = Tables.embeddings(s, d)
-          .select(transform(col("embedding"),
-            x => floor(x.cast("double") * lit(1048576.0) + lit(0.5))
-              .cast("long")).as("v"))
-          .as[Seq[Long]]
-          .select(new graft.functions.CovAggregator(dim).toColumn)
-          .head()
-        val n = buf(0)
-        val c = Array.ofDim[Double](dim, dim)
-        for { i <- 0 until dim; j <- i until dim } {
-          val sij = buf(1 + dim + i * dim - i * (i - 1) / 2 + (j - i))
-          val cov = (n.toDouble * sij.toDouble
-            - buf(1 + i).toDouble * buf(1 + j).toDouble) /
-            (n.toDouble * n.toDouble * 1048576.0 * 1048576.0)
-          c(i)(j) = cov; c(j)(i) = cov
-        }
-        def matVec(v: Array[Double]): Array[Double] = {
-          val w = new Array[Double](dim)
-          var i = 0
-          while (i < dim) {
-            var acc = 0.0
-            var j = 0
-            while (j < dim) { acc = acc + c(i)(j) * v(j); j += 1 }
-            w(i) = acc; i += 1
-          }
-          w
-        }
-        def norm(w: Array[Double]): Double = {
-          var acc = 0.0
-          var i = 0
-          while (i < dim) { acc = acc + w(i) * w(i); i += 1 }
-          math.sqrt(acc)
-        }
-        var v = Array.fill(dim)(0.125)
-        for (_ <- 0 until 24) {
-          val w = matVec(v)
-          val nrm = norm(w)
-          v = w.map(_ / nrm)
-        }
-        val lam = norm(matVec(v))
-        (0 until dim).map(i => (i, v(i), lam))
+        val (v, lam) = pcaTopComponent(s, d)
+        (0 until PcaDim).map(i => (i, v(i), lam))
           .toDF("i", "raw", "rawl")
           .select(col("i"), round(col("raw"), 9).as("loading"),
             round(col("rawl"), 6).as("eigval"))
           .orderBy("i")
       },
       s"""WITH RECURSIVE $pcaCovSql,
-        |cm AS (SELECT i, j, cov FROM covq
-        |       UNION ALL SELECT j, i, cov FROM covq WHERE i <> j),
-        |crow AS (SELECT i, list(cov ORDER BY j) AS c FROM cm GROUP BY i),
-        |cl AS (SELECT list(c ORDER BY i) AS cc FROM crow),
-        |it(t, v) AS (
-        |  SELECT 0, (SELECT list(0.125::DOUBLE ORDER BY x) FROM
-        |             (SELECT unnest(range(0, 64)) AS x))
-        |  UNION ALL
-        |  SELECT it.t + 1,
-        |    list_transform([
-        |      list_transform(range(1, 65), i2 ->
-        |        list_reduce(list_prepend(0.0,
-        |          list_transform(range(1, 65), k -> cl.cc[i2][k] * it.v[k])),
-        |          (a, b) -> a + b))],
-        |      w -> list_transform(w, y -> y / sqrt(
-        |        list_reduce(list_prepend(0.0,
-        |          list_transform(w, y2 -> y2 * y2)), (a, b) -> a + b))))[1]
-        |  FROM it CROSS JOIN cl WHERE it.t < 24),
-        |fin AS (SELECT v FROM it WHERE t = 24),
+        |$pcaPowerSql,
         |wfin AS (SELECT list_transform(range(1, 65), i2 ->
         |    list_reduce(list_prepend(0.0,
         |      list_transform(range(1, 65), k -> cl.cc[i2][k] * fin.v[k])),
@@ -1686,6 +1706,34 @@ object PipelineQueries {
         |  round(lam.l, 6) AS eigval
         |FROM (SELECT unnest(range(0, 64)) AS x) CROSS JOIN fin CROSS JOIN lam
         |ORDER BY i""".stripMargin),
+
+    // PCA step 3 (r14): project EVERY embedding onto the top component —
+    // the distributed consumer of the eigenvector. The raw (unrounded)
+    // loading vector becomes a broadcast literal array; the projection is
+    // a zero-shuffle ordered fold per row (Spark `aggregate` over
+    // `zip_with` ≡ DuckDB `list_reduce` over an index-ordered transform),
+    // so the corpus is scanned ONCE with no exchange — at 100 TB this is
+    // a pure map regardless of cluster size. --
+    "q_pca_project" -> Q(
+      (s, d) => {
+        val (v, _) = pcaTopComponent(s, d)
+        val loading = array(v.map(lit).toIndexedSeq: _*)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            round(aggregate(
+              zip_with(transform(col("embedding"), x => x.cast("double")),
+                loading, (x, l) => x * l),
+              lit(0.0), (a, c) => a + c), 9).as("pc1"))
+          .orderBy("vec_id")
+      },
+      s"""WITH RECURSIVE $pcaCovSql,
+        |$pcaPowerSql
+        |SELECT vec_id, round(list_reduce(list_prepend(0.0,
+        |    list_transform(range(1, 65),
+        |      k -> embedding[k]::DOUBLE * fin.v[k])),
+        |  (a, b) -> a + b), 9) AS pc1
+        |FROM embeddings CROSS JOIN fin
+        |ORDER BY vec_id""".stripMargin),
 
     // deterministic per-language rate sampling: keep a doc iff
     // md5-60("smp_"+doc_id) mod 1000 < rate(lang)‰ — the scalable sampling

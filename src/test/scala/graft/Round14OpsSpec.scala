@@ -261,6 +261,23 @@ class Round14OpsSpec extends SparkSpec {
     assert(lam >= diag.max - 1e-9, s"lambda $lam < max variance ${diag.max}")
   }
 
+  test("q_pca_project: the projected variance IS the top eigenvalue") {
+    import graft.operators.PipelineQueries
+    val lam = PipelineQueries.all("q_pca_power").fn(spark, sf0)
+      .collect().head.getDouble(2)
+    val p = PipelineQueries.all("q_pca_project").fn(spark, sf0)
+      .collect().map(_.getDouble(1))
+    val mean = p.sum / p.length
+    val varP = p.map(x => (x - mean) * (x - mean)).sum / p.length
+    // Var(pc1) is the Rayleigh quotient v'Cv; the reported lambda is
+    // ||Cv|| which upper-bounds it until power iteration fully converges
+    // (plus ~1e-6 quantized-vs-raw slack). Both directions tie the three
+    // PCA queries to one another.
+    assert(varP <= lam + 1e-6, s"Rayleigh bound: Var(pc1)=$varP > lambda=$lam")
+    assert(lam - varP < 5e-3 * lam,
+      s"convergence: Var(pc1)=$varP too far below lambda=$lam")
+  }
+
   // ---- Jensen-Shannon drift ----
 
   test("q_js_drift: per-bin terms non-negative, total bounded by ln 2") {
