@@ -51,11 +51,9 @@ object PipelineQueries {
       .head()
   }
 
-  /** Driver-side top principal component: exact-int covariance assembly +
-    * 24 power-iteration steps, every float op IEEE-identical to the
-    * DuckDB recursive-CTE replay (same fold order). Returns (unit
-    * eigenvector RAW doubles, Rayleigh lambda = ||C v||). */
-  private def pcaTopComponent(s: SparkSession, dd: String): (Array[Double], Double) = {
+  /** Full symmetric covariance matrix from the aggregated buffer — every
+    * entry the same IEEE double the DuckDB `covq` CTE produces. */
+  private def pcaCovMatrix(s: SparkSession, dd: String): Array[Array[Double]] = {
     val dim = PcaDim
     val buf = pcaCovBuffer(s, dd)
     val n = buf(0)
@@ -67,6 +65,14 @@ object PipelineQueries {
         (n.toDouble * n.toDouble * 1048576.0 * 1048576.0)
       c(i)(j) = cov; c(j)(i) = cov
     }
+    c
+  }
+
+  /** 24 power-iteration steps from v₀ = 1/8·𝟙, every float op
+    * IEEE-identical to the DuckDB recursive-CTE replay (same fold
+    * order). Returns (unit eigenvector RAW doubles, lambda = ||C v||). */
+  private def powerIterate(c: Array[Array[Double]]): (Array[Double], Double) = {
+    val dim = c.length
     def matVec(v: Array[Double]): Array[Double] = {
       val w = new Array[Double](dim)
       var i = 0
@@ -93,6 +99,50 @@ object PipelineQueries {
     (v, norm(matVec(v)))
   }
 
+  /** Driver-side top principal component (see [[powerIterate]]). */
+  private def pcaTopComponent(s: SparkSession, dd: String): (Array[Double], Double) =
+    powerIterate(pcaCovMatrix(s, dd))
+
+  /** Second-stage power iteration with per-step Gram-Schmidt against v1
+    * (deflation alone is contaminated by v1's own convergence residual —
+    * measured v1·v2 ≈ 0.037 without the projection). Same IEEE-order
+    * discipline as [[powerIterate]]; the DuckDB twin replays dot,
+    * projection and normalization in the same fold order. */
+  private def powerIterateOrtho(c: Array[Array[Double]],
+      v1: Array[Double]): (Array[Double], Double) = {
+    val dim = c.length
+    def matVec(v: Array[Double]): Array[Double] = {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc = acc + c(i)(j) * v(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      w
+    }
+    def norm(w: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc = acc + w(i) * w(i); i += 1 }
+      math.sqrt(acc)
+    }
+    var v = Array.fill(dim)(0.125)
+    for (_ <- 0 until 24) {
+      val w = matVec(v)
+      var d = 0.0
+      var k = 0
+      while (k < dim) { d = d + v1(k) * w(k); k += 1 }
+      val p = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { p(i) = w(i) - d * v1(i); i += 1 }
+      val nrm = norm(p)
+      v = p.map(_ / nrm)
+    }
+    (v, norm(matVec(v)))
+  }
+
   /** DuckDB CTE chain ending in `covq` = (i, j, n, s_i, s_j, s_ij, cov):
     * the exact integer-quantized covariance of the embedding table —
     * shared by q_pca_cov (which SELECTs it) and q_pca_power (which
@@ -115,31 +165,36 @@ object PipelineQueries {
       |    / (nn.n::DOUBLE * nn.n::DOUBLE * 1048576.0 * 1048576.0) AS cov
       |FROM p JOIN s a ON a.i = p.i JOIN s b ON b.i = p.j CROSS JOIN nn)""".stripMargin
 
-  /** DuckDB CTE chain (requires WITH RECURSIVE and `covq` from
-    * [[pcaCovSql]]) ending in `fin` = one row holding the raw top
-    * eigenvector after 24 power-iteration steps — shared by q_pca_power
-    * (which also reports lambda) and q_pca_project (which projects the
-    * corpus onto it). */
-  private def pcaPowerSql: String =
-    """cm AS (SELECT i, j, cov FROM covq
-      |       UNION ALL SELECT j, i, cov FROM covq WHERE i <> j),
-      |crow AS (SELECT i, list(cov ORDER BY j) AS c FROM cm GROUP BY i),
-      |cl AS (SELECT list(c ORDER BY i) AS cc FROM crow),
-      |it(t, v) AS (
+  /** DuckDB power-iteration chain over the full matrix CTE `$mat`
+    * (rows (i, j, cov)): generates crow$x/cl$x/it$x/fin$x — `fin$x` is
+    * one row holding the raw eigenvector after 24 steps. Suffixing lets
+    * q_pca_top2 run the identical chain twice (raw C, then the deflated
+    * C − λ₁v₁v₁ᵀ). */
+  private def pcaPowerChainSql(x: String, mat: String): String =
+    s"""crow$x AS (SELECT i, list(cov ORDER BY j) AS c FROM $mat GROUP BY i),
+      |cl$x AS (SELECT list(c ORDER BY i) AS cc FROM crow$x),
+      |it$x(t, v) AS (
       |  SELECT 0, (SELECT list(0.125::DOUBLE ORDER BY x) FROM
       |             (SELECT unnest(range(0, 64)) AS x))
       |  UNION ALL
-      |  SELECT it.t + 1,
+      |  SELECT it$x.t + 1,
       |    list_transform([
       |      list_transform(range(1, 65), i2 ->
       |        list_reduce(list_prepend(0.0,
-      |          list_transform(range(1, 65), k -> cl.cc[i2][k] * it.v[k])),
+      |          list_transform(range(1, 65), k -> cl$x.cc[i2][k] * it$x.v[k])),
       |          (a, b) -> a + b))],
       |      w -> list_transform(w, y -> y / sqrt(
       |        list_reduce(list_prepend(0.0,
       |          list_transform(w, y2 -> y2 * y2)), (a, b) -> a + b))))[1]
-      |  FROM it CROSS JOIN cl WHERE it.t < 24),
-      |fin AS (SELECT v FROM it WHERE t = 24)""".stripMargin
+      |  FROM it$x CROSS JOIN cl$x WHERE it$x.t < 24),
+      |fin$x AS (SELECT v FROM it$x WHERE t = 24)""".stripMargin
+
+  /** The unsuffixed chain over the symmetric expansion of `covq` —
+    * shared by q_pca_power and q_pca_project. */
+  private def pcaPowerSql: String =
+    s"""cm AS (SELECT i, j, cov FROM covq
+      |       UNION ALL SELECT j, i, cov FROM covq WHERE i <> j),
+      |${pcaPowerChainSql("", "cm")}""".stripMargin
 
   /** DuckDB replay of the dHash signature chain (synthPatternPng pixels
     * -> 4x4 cell sums -> 64 comparison bits -> (lo, hi) u32 halves) up to
@@ -1253,6 +1308,37 @@ object PipelineQueries {
          |WHERE c.vec_id NOT IN (SELECT va FROM p)
          |ORDER BY c.vec_id""".stripMargin),
 
+    // Cluster-BALANCED sampling (r14): after clustering, curation takes a
+    // bounded, diverse subset — ≤ 32 per k-means cell by deterministic
+    // hash rank (md5-60("cb_" + vec_id)), so dominant clusters stop
+    // drowning out rare ones and the draw is bit-reproducible across
+    // runs, engines and retries. Rank-within-partition + filter (the
+    // q_group_topk shape — never a global sort); the window runs on the
+    // TINY (vec_id, cid) assignment, not on vectors. --
+    "q_sample_cluster" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        GraftFunctions.register(s)
+        val w = Window.partitionBy(col("cid"))
+          .orderBy(col("h"), col("vec_id"))
+        kmeansFit(s, d).select(col("vec_id"), col("cid"))
+          .withColumn("h", md5Hash60(concat(lit("cb_"),
+            col("vec_id").cast("string"))))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 32)
+          .select(col("cid"), col("rk").cast("long").as("rk"), col("vec_id"))
+          .orderBy("cid", "rk")
+      },
+      s"""$kmeansCtes,
+         |h AS (SELECT cid, vec_id,
+         |    ('0x' || substr(md5('cb_' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM a2),
+         |r AS (SELECT cid, vec_id,
+         |    row_number() OVER (PARTITION BY cid ORDER BY h, vec_id) AS rk
+         |  FROM h)
+         |SELECT cid, rk::BIGINT AS rk, vec_id FROM r WHERE rk <= 32
+         |ORDER BY cid, rk""".stripMargin),
+
     // IVF over the FITTED codebook (no label stand-in): every vector lives
     // in its k-means cell; a query probes its own cell's inverted list.
     // Same algorithm replayed by the oracle, so the (by-design approximate)
@@ -1734,6 +1820,80 @@ object PipelineQueries {
         |  (a, b) -> a + b), 9) AS pc1
         |FROM embeddings CROSS JOIN fin
         |ORDER BY vec_id""".stripMargin),
+
+    // PCA step 4 (r14): the SECOND principal component by Hotelling
+    // deflation — C₂ = C − λ₁v₁v₁ᵀ, then the identical 24-step power
+    // chain on C₂. Every deflated entry is one subtract of one
+    // left-associated product chain (cov − λ·vᵢ·vⱼ), so the second
+    // chain's inputs — and therefore all 24 of its iterations — stay
+    // bit-identical between the driver and the DuckDB replay, which runs
+    // TWO recursive CTEs back to back. Orthogonality v₁·v₂ ≈ 0 is
+    // spec-locked. Distributed cost: still the ONE CovAggregator pass. --
+    "q_pca_top2" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val c = pcaCovMatrix(s, d)
+        val (v1, lam1) = powerIterate(c)
+        val dim = PcaDim
+        val c2 = Array.tabulate(dim, dim)((i, j) =>
+          c(i)(j) - lam1 * v1(i) * v1(j))
+        val (v2, lam2) = powerIterateOrtho(c2, v1)
+        (0 until dim).map(i => (i, v1(i), v2(i), lam1, lam2))
+          .toDF("i", "r1", "r2", "rl1", "rl2")
+          .select(col("i"), round(col("r1"), 9).as("l1"),
+            round(col("r2"), 9).as("l2"),
+            round(col("rl1"), 6).as("e1"), round(col("rl2"), 6).as("e2"))
+          .orderBy("i")
+      },
+      s"""WITH RECURSIVE $pcaCovSql,
+        |$pcaPowerSql,
+        |w1 AS (SELECT list_transform(range(1, 65), i2 ->
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, 65), k -> cl.cc[i2][k] * fin.v[k])),
+        |      (a, b) -> a + b)) AS w
+        |  FROM fin CROSS JOIN cl),
+        |lam1 AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+        |    list_transform(w, y -> y * y)), (a, b) -> a + b)) AS l FROM w1),
+        |cm2 AS (SELECT c.i, c.j,
+        |    c.cov - lam1.l * fin.v[c.i + 1] * fin.v[c.j + 1] AS cov
+        |  FROM cm c CROSS JOIN fin CROSS JOIN lam1),
+        |crow2 AS (SELECT i, list(cov ORDER BY j) AS c FROM cm2 GROUP BY i),
+        |cl2 AS (SELECT list(c ORDER BY i) AS cc FROM crow2),
+        |it2(t, v) AS (
+        |  SELECT 0, (SELECT list(0.125::DOUBLE ORDER BY x) FROM
+        |             (SELECT unnest(range(0, 64)) AS x))
+        |  UNION ALL
+        |  SELECT it2.t + 1,
+        |    list_transform([
+        |      list_transform(range(1, 65), i2 ->
+        |        list_reduce(list_prepend(0.0,
+        |          list_transform(range(1, 65), k -> cl2.cc[i2][k] * it2.v[k])),
+        |          (a, b) -> a + b))],
+        |      w -> list_transform([
+        |          list_reduce(list_prepend(0.0,
+        |            list_transform(range(1, 65), k -> fin.v[k] * w[k])),
+        |            (a, b) -> a + b)],
+        |        d -> list_transform([
+        |            list_transform(range(1, 65), k -> w[k] - d * fin.v[k])],
+        |          p -> list_transform(p, y -> y / sqrt(
+        |            list_reduce(list_prepend(0.0,
+        |              list_transform(p, y2 -> y2 * y2)),
+        |              (a, b) -> a + b))))[1])[1])[1]
+        |  FROM it2 CROSS JOIN cl2 CROSS JOIN fin WHERE it2.t < 24),
+        |fin2 AS (SELECT v FROM it2 WHERE t = 24),
+        |w2 AS (SELECT list_transform(range(1, 65), i2 ->
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, 65), k -> cl2.cc[i2][k] * fin2.v[k])),
+        |      (a, b) -> a + b)) AS w
+        |  FROM fin2 CROSS JOIN cl2),
+        |lam2 AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+        |    list_transform(w, y -> y * y)), (a, b) -> a + b)) AS l FROM w2)
+        |SELECT x::INTEGER AS i, round(fin.v[x + 1], 9) AS l1,
+        |  round(fin2.v[x + 1], 9) AS l2,
+        |  round(lam1.l, 6) AS e1, round(lam2.l, 6) AS e2
+        |FROM (SELECT unnest(range(0, 64)) AS x) CROSS JOIN fin
+        |  CROSS JOIN fin2 CROSS JOIN lam1 CROSS JOIN lam2
+        |ORDER BY i""".stripMargin),
 
     // deterministic per-language rate sampling: keep a doc iff
     // md5-60("smp_"+doc_id) mod 1000 < rate(lang)‰ — the scalable sampling

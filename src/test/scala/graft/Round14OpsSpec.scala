@@ -278,6 +278,42 @@ class Round14OpsSpec extends SparkSpec {
       s"convergence: Var(pc1)=$varP too far below lambda=$lam")
   }
 
+  test("q_pca_top2: first component matches q_pca_power; components " +
+      "orthogonal; spectrum ordered") {
+    import graft.operators.PipelineQueries
+    val t2 = PipelineQueries.all("q_pca_top2").fn(spark, sf0).collect()
+    val pw = PipelineQueries.all("q_pca_power").fn(spark, sf0).collect()
+    assert(t2.length == 64)
+    t2.zip(pw).foreach { case (a, b) =>
+      assert(a.getDouble(1) == b.getDouble(1), s"l1 vs loading at i=${a.getInt(0)}")
+    }
+    assert(t2.head.getDouble(3) == pw.head.getDouble(2), "e1 == eigval")
+    val dot = t2.map(r => r.getDouble(1) * r.getDouble(2)).sum
+    assert(math.abs(dot) < 1e-5, s"v1.v2 = $dot not orthogonal")
+    assert(t2.head.getDouble(4) <= t2.head.getDouble(3) + 1e-9,
+      "second eigenvalue cannot exceed the first")
+  }
+
+  // ---- cluster-balanced sampling ----
+
+  test("q_sample_cluster: every cell contributes min(32, |cell|), ranks dense") {
+    import graft.operators.PipelineQueries
+    val sel = PipelineQueries.all("q_sample_cluster").fn(spark, sf0).collect()
+    val byCell = sel.groupBy(_.getInt(0))
+    val cellSizes = graft.operators.KMeansQuant
+      .fit(graft.core.Tables.embeddings(spark, sf0), "vec_id", "embedding", 8, 2)
+      .groupBy("cid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cellSizes.foreach { case (cid, n) =>
+      val got = byCell.get(cid).map(_.length).getOrElse(0)
+      assert(got == math.min(32L, n), s"cell $cid: $got of $n")
+    }
+    byCell.values.foreach { rows =>
+      val rks = rows.map(_.getLong(1)).sorted
+      assert(rks.sameElements(1L to rks.length), "ranks must be dense 1..k")
+    }
+  }
+
   // ---- Jensen-Shannon drift ----
 
   test("q_js_drift: per-bin terms non-negative, total bounded by ln 2") {
