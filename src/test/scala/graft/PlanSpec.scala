@@ -345,4 +345,36 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("substring excision: no cartesian, and the removal join-back reads " +
+      "text from a scan, not an exchange") {
+    val df = graft.operators.Scoring.all("q_dedup_substring").fn(spark, sf0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic shape:\n$plan")
+    // the full-text side must flow scan -> join without an exchange in
+    // between: removal lists are the small side (AQE broadcasts them),
+    // so corpus text is never shuffled
+    val hasTextExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text"))
+    assert(!hasTextExchange, s"document text crossed an exchange:\n$plan")
+  }
+
+  test("pca covariance: single aggregation over the scan, no exchange of rows") {
+    val df = graft.core.Tables.embeddings(spark, sf0)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0) + lit(0.5))
+          .cast("long")).as("v"))
+    import spark.implicits._
+    val agg = df.as[Seq[Long]]
+      .select(new graft.functions.CovAggregator(64).toColumn)
+    val plan = agg.queryExecution.executedPlan.toString
+    // ObjectHashAggregate partial -> exchange of ONE buffer row per
+    // partition -> final: the only exchange carries SinglePartition
+    assert(plan.contains("ObjectHashAggregate"), s"typed agg missing:\n$plan")
+    assert(plan.contains("Exchange SinglePartition"),
+      s"reduce must be the single buffer exchange:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no data-proportional exchange allowed:\n$plan")
+  }
 }
