@@ -1759,6 +1759,45 @@ object PipelineQueries {
         |SELECT i, j, n, s_i, s_j, s_ij, cov FROM covq
         |ORDER BY i, j""".stripMargin),
 
+    // Incremental PCA maintenance (r14): the covariance buffer is a
+    // commutative monoid (exact integer adds), so a delta batch updates
+    // the statistics WITHOUT rescanning the base — aggregate the delta's
+    // 2145-slot buffer, add it slot-wise to the stored one, re-assemble.
+    // Here the corpus splits into base (vec_id % 10 != 0) and a "new
+    // arrivals" delta (% 10 == 0), each aggregated separately and merged
+    // on the driver; integer addition commutes, so the result is
+    // BIT-IDENTICAL to the monolithic q_pca_cov (spec-locked), and the
+    // oracle is the same full-recompute covariance — the IVM two-path
+    // discipline. At 100 TB the nightly job costs |delta|, never |base|.
+    "q_pca_incr" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val dim = PcaDim
+        def bufOf(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+          .select(transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1048576.0) + lit(0.5))
+              .cast("long")).as("v"))
+          .as[Seq[Long]]
+          .select(new graft.functions.CovAggregator(dim).toColumn)
+          .head()
+        val base = bufOf(Tables.embeddings(s, d).where(col("vec_id") % 10 =!= 0))
+        val delta = bufOf(Tables.embeddings(s, d).where(col("vec_id") % 10 === 0))
+        val buf = base.zip(delta).map { case (a, b) => a + b }
+        val n = buf(0)
+        val rows = for { i <- 0 until dim; j <- i until dim } yield {
+          val si = buf(1 + i); val sj = buf(1 + j)
+          val sij = buf(1 + dim + i * dim - i * (i - 1) / 2 + (j - i))
+          val cov = (n.toDouble * sij.toDouble - si.toDouble * sj.toDouble) /
+            (n.toDouble * n.toDouble * 1048576.0 * 1048576.0)
+          (i, j, n, si, sj, sij, cov)
+        }
+        rows.toDF("i", "j", "n", "s_i", "s_j", "s_ij", "cov")
+          .orderBy("i", "j")
+      },
+      s"""WITH $pcaCovSql
+        |SELECT i, j, n, s_i, s_j, s_ij, cov FROM covq
+        |ORDER BY i, j""".stripMargin),
+
     // PCA step 2 (r14): the top principal component by POWER ITERATION —
     // a fixed 24 steps of v ← C·v / ‖C·v‖ from v₀ = 1/8·𝟙 on the exact
     // covariance assembled above. Every float op is IEEE-correctly-rounded

@@ -294,6 +294,16 @@ class Round14OpsSpec extends SparkSpec {
       "second eigenvalue cannot exceed the first")
   }
 
+  test("q_pca_incr: base+delta merge is bit-identical to the monolithic pass") {
+    import graft.operators.PipelineQueries
+    val incr = PipelineQueries.all("q_pca_incr").fn(spark, sf0).collect()
+    val mono = PipelineQueries.all("q_pca_cov").fn(spark, sf0).collect()
+    assert(incr.length == mono.length)
+    incr.zip(mono).foreach { case (a, b) =>
+      assert(a == b, s"incremental and monolithic diverge at (${a.getInt(0)},${a.getInt(1)})")
+    }
+  }
+
   // ---- cluster-balanced sampling ----
 
   test("q_sample_cluster: every cell contributes min(32, |cell|), ranks dense") {
