@@ -1308,6 +1308,53 @@ object PipelineQueries {
          |WHERE c.vec_id NOT IN (SELECT va FROM p)
          |ORDER BY c.vec_id""".stripMargin),
 
+    // Embedding-space outlier pruning (r14): diagonal-Mahalanobis distance
+    // to the corpus centroid — the curation gate that drops vectors far
+    // from the data manifold before they poison nearest-neighbor
+    // structure. Mean and per-dim variance come from the SAME exact
+    // CovAggregator buffer as the PCA family (μ_k = s_k/n and σ²_k =
+    // covq's diagonal — one IEEE division each from exact ints), the
+    // distance is a zero-shuffle ordered fold per row, and the top-20 is
+    // a TakeOrdered — never a global sort. d² = Σ((x_k−μ_k)/2²⁰-grid …)²
+    // uses raw doubles against the quantized moments, mirrored
+    // token-for-token by the oracle. --
+    "q_embed_outliers" -> Q(
+      (s, d) => {
+        val dim = PcaDim
+        val buf = pcaCovBuffer(s, d)
+        val n = buf(0)
+        val mu = Array.tabulate(dim)(k =>
+          buf(1 + k).toDouble / n.toDouble / 1048576.0)
+        val sg = Array.tabulate(dim) { k =>
+          val skk = buf(1 + dim + k * dim - k * (k - 1) / 2)
+          (n.toDouble * skk.toDouble - buf(1 + k).toDouble * buf(1 + k).toDouble) /
+            (n.toDouble * n.toDouble * 1048576.0 * 1048576.0)
+        }
+        val muL = array(mu.map(lit).toIndexedSeq: _*)
+        val sgL = array(sg.map(lit).toIndexedSeq: _*)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            round(aggregate(
+              zip_with(
+                zip_with(transform(col("embedding"), x => x.cast("double")),
+                  muL, (x, m) => x - m),
+                sgL, (dv, v) => dv * dv / v),
+              lit(0.0), (a, c) => a + c), 9).as("maha2"))
+          .orderBy(col("maha2").desc, col("vec_id"))
+          .limit(20)
+      },
+      s"""WITH $pcaCovSql,
+        |mo AS (SELECT list(s_i::DOUBLE / n::DOUBLE / 1048576.0 ORDER BY i) AS mu,
+        |    list(cov ORDER BY i) AS sg
+        |  FROM covq WHERE i = j)
+        |SELECT vec_id, round(list_reduce(list_prepend(0.0,
+        |    list_transform(range(1, 65), k ->
+        |      (embedding[k]::DOUBLE - mo.mu[k]) * (embedding[k]::DOUBLE - mo.mu[k])
+        |        / mo.sg[k])),
+        |  (a, b) -> a + b), 9) AS maha2
+        |FROM embeddings CROSS JOIN mo
+        |ORDER BY maha2 DESC, vec_id LIMIT 20""".stripMargin),
+
     // Cluster-BALANCED sampling (r14): after clustering, curation takes a
     // bounded, diverse subset — ≤ 32 per k-means cell by deterministic
     // hash rank (md5-60("cb_" + vec_id)), so dominant clusters stop

@@ -304,6 +304,19 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_outliers: distances positive and descending; the top-20 cut " +
+      "dominates the non-emitted corpus") {
+    import graft.operators.PipelineQueries
+    val out = PipelineQueries.all("q_embed_outliers").fn(spark, sf0).collect()
+    assert(out.length == 20)
+    val ds = out.map(_.getDouble(1))
+    assert(ds.forall(_ > 0))
+    assert(ds.sameElements(ds.sortBy(-_)), "must be emitted far-first")
+    // E[d^2] over the corpus is exactly dim for diagonal Mahalanobis, so
+    // the far tail must sit well above it
+    assert(ds.head > 64.0, s"top outlier ${ds.head} should exceed E[d^2]=dim")
+  }
+
   // ---- cluster-balanced sampling ----
 
   test("q_sample_cluster: every cell contributes min(32, |cell|), ranks dense") {
