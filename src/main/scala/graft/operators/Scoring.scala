@@ -59,6 +59,48 @@ object Scoring {
   val spanLen = 16
   val spanStride = 8
 
+  /** Exact-substring EXCISION (Lee et al. 2022, the removal operation):
+    * every repeated non-overlapping `spanL`-token span keeps exactly its
+    * FIRST occurrence in corpus order (min doc_id·10⁹ + span_idx per span
+    * hash) and is cut everywhere else; each document's text is rebuilt
+    * from the surviving tokens. Returns (id, n_before, n_removed_spans,
+    * n_after, cleaned).
+    *
+    * Scale shape: the window shuffles (id, idx, hash) triples only —
+    * never text; removal lists (∝ duplication density, not corpus size)
+    * join back onto the full-text scan where AQE broadcasts them
+    * (plan-locked in PlanSpec), and the rebuild is a zero-shuffle
+    * indexed-HOF projection. Corpus text is scanned exactly twice and
+    * shuffled never. Callers must have GraftFunctions registered. */
+  def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanL: Int = spanLen): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val spans = toks
+      .where(size(col("t")) >= spanL)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), expr(s"size(t) div $spanL - 1")),
+        i => md5Hash60(concat_ws(" ",
+          slice(col("t"), i * spanL + 1, lit(spanL)))))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "h")
+      .withColumn("key", col("doc_id") * lit(1000000000L) + col("idx"))
+    val removed = spans
+      .withColumn("first", min(col("key")).over(Window.partitionBy("h")))
+      .where(col("key") > col("first"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("rm"))
+    toks.join(removed, Seq("doc_id"), "left")
+      .withColumn("rmc", coalesce(col("rm"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_before"),
+        size(col("rmc")).cast("long").as("n_removed_spans"),
+        (size(col("t")) - lit(spanL) * size(col("rmc")))
+          .cast("long").as("n_after"),
+        array_join(filter(col("t"),
+          (x, p) => !array_contains(col("rmc"),
+            (p.cast("double") / spanL).cast("int"))), " ").as("cleaned"))
+  }
+
   private val statsCache = new graft.core.SessionCache[org.apache.spark.sql.DataFrame]
 
   /** DuckDB CTE chain producing `scored` = (doc_id, dl, score) — the
@@ -377,32 +419,7 @@ object Scoring {
     "q_dedup_substring" -> Q(
       (s, d) => {
         GraftFunctions.register(s)
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("t"))
-        val spans = toks
-          .where(size(col("t")) >= spanLen)
-          .select(col("doc_id"), posexplode(transform(
-            sequence(lit(0), expr(s"size(t) div $spanLen - 1")),
-            i => md5Hash60(concat_ws(" ",
-              slice(col("t"), i * spanLen + 1, lit(spanLen)))))))
-          .withColumnRenamed("pos", "idx").withColumnRenamed("col", "h")
-          .withColumn("key", col("doc_id") * lit(1000000000L) + col("idx"))
-        val removed = spans
-          .withColumn("first", min(col("key")).over(Window.partitionBy("h")))
-          .where(col("key") > col("first"))
-          .groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(col("idx"))).as("rm"))
-        toks.join(removed, Seq("doc_id"), "left")
-          .withColumn("rmc", coalesce(col("rm"), array().cast("array<int>")))
-          .select(col("doc_id"),
-            size(col("t")).cast("long").as("n_before"),
-            size(col("rmc")).cast("long").as("n_removed_spans"),
-            (size(col("t")) - lit(spanLen) * size(col("rmc")))
-              .cast("long").as("n_after"),
-            array_join(filter(col("t"),
-              (x, p) => !array_contains(col("rmc"),
-                (p.cast("double") / spanLen).cast("int"))), " ").as("cleaned"))
-          .orderBy("doc_id")
+        exciseSpans(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
       },
       s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
          |d AS (SELECT doc_id, t, len(t) AS n FROM toks),

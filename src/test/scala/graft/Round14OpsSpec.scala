@@ -207,6 +207,47 @@ class Round14OpsSpec extends SparkSpec {
     assert(occ > distinct, "sf0.001 documents must contain planted duplicate spans")
   }
 
+  test("exciseSpans: equals the brute-force first-occurrence model on " +
+      "randomized block corpora") {
+    import graft.functions.{GraftFunctions => GFF}
+    GFF.register(spark)
+    val L = graft.operators.Scoring.spanLen
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      // a small pool of 16-token blocks guarantees cross-doc repeats
+      val pool = Vector.fill(6)(Vector.fill(L)("w" + rnd.nextInt(50)))
+      val docs = (1L to 30L).map { id =>
+        val nBlocks = 1 + rnd.nextInt(4)
+        val tail = Vector.fill(rnd.nextInt(L))("t" + rnd.nextInt(50))
+        (id, ((1 to nBlocks).flatMap(_ => pool(rnd.nextInt(pool.size))) ++ tail)
+          .mkString(" "))
+      }
+      // brute-force model: first (doc, idx) occurrence of each span survives
+      val toks = docs.map { case (id, s) =>
+        id -> s.split("[^a-z0-9]+").filter(_.nonEmpty).toVector }.toMap
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = docs.sortBy(_._1).map { case (id, _) =>
+        val t = toks(id)
+        val removedIdx = (0 until t.length / L).filter { i =>
+          val span = t.slice(i * L, i * L + L).mkString(" ")
+          if (seen.contains(span)) true else { seen += span; false }
+        }.toSet
+        val cleaned = t.zipWithIndex
+          .filterNot { case (_, p) => removedIdx.contains(p / L) }
+          .map(_._1).mkString(" ")
+        (id, t.length.toLong, removedIdx.size.toLong,
+          t.length.toLong - L * removedIdx.size, cleaned)
+      }
+      val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+        .repartition(7) // result must not depend on the physical split
+      val got = graft.operators.Scoring.exciseSpans(df, "doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+      assert(got.toSeq == expect, s"round $round diverged from the model")
+    }
+  }
+
   // ---- t-closeness ----
 
   test("q_t_closeness: emd in [0,1], gate is the exact integer compare") {
