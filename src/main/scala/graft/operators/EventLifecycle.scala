@@ -42,6 +42,67 @@ object EventLifecycle {
 
   val all: Map[String, Q] = Map(
 
+    // -- A/B experiment readout (r14): deterministic hash-bucket variant
+    //    assignment (md5-60("ab_" + user_id) % 2 — exactly how production
+    //    bucketing works, reproducible across runs/engines), per-variant
+    //    user and converter counts as EXACT integers from two tiny keyed
+    //    aggs (user-keyed rollup, then a 2-row variant agg; conversion =
+    //    a high-value purchase, value > 100 — the raw any-purchase rate
+    //    saturates at 1.0 on the harness corpus and degenerates z), and the
+    //    pooled two-proportion z statistic with ONE sqrt — the float
+    //    expression tree mirrored token-for-token by the oracle, z
+    //    rounded to 6 before the |z| > 1.96 gate so the flag can't flip
+    //    on a ulp. At 100 TB: one user-keyed exchange, reduce side 2 rows. --
+    "q_ab_test" -> Q(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.md5Hash60
+        val perUser = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("value"))
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("value") > 100.0, 1).otherwise(0))
+            .as("converted"))
+          .withColumn("variant",
+            (md5Hash60(concat(lit("ab_"), col("user_id").cast("string"))) % 2)
+              .cast("int"))
+        val v = perUser.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("converted")).cast("long").as("c"))
+        val wide = v.where(col("variant") === 0)
+          .select(col("n").as("n0"), col("c").as("c0"))
+          .crossJoin(v.where(col("variant") === 1)
+            .select(col("n").as("n1"), col("c").as("c1")))
+        val p0 = col("c0").cast("double") / col("n0")
+        val p1 = col("c1").cast("double") / col("n1")
+        val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+        val z = (p1 - p0) /
+          sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+        wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+          round(p0, 6).as("rate0"), round(p1, 6).as("rate1"),
+          round(z, 6).as("z"),
+          (abs(round(z, 6)) > 1.96).as("significant"))
+      },
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 100.0 THEN 1 ELSE 0 END) AS converted,
+        |    ('0x' || substr(md5('ab_' || user_id::VARCHAR), 1, 15))::BIGINT % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT variant, count(*)::BIGINT AS n, sum(converted)::BIGINT AS c
+        |  FROM u GROUP BY variant)
+        |SELECT a.n AS n0, a.c AS c0, b.n AS n1, b.c AS c1,
+        |  round(a.c::DOUBLE / a.n, 6) AS rate0,
+        |  round(b.c::DOUBLE / b.n, 6) AS rate1,
+        |  round((b.c::DOUBLE / b.n - a.c::DOUBLE / a.n) /
+        |    sqrt(((a.c + b.c)::DOUBLE / (a.n + b.n))
+        |      * (1.0 - (a.c + b.c)::DOUBLE / (a.n + b.n))
+        |      * (1.0 / a.n + 1.0 / b.n)), 6) AS z,
+        |  abs(round((b.c::DOUBLE / b.n - a.c::DOUBLE / a.n) /
+        |    sqrt(((a.c + b.c)::DOUBLE / (a.n + b.n))
+        |      * (1.0 - (a.c + b.c)::DOUBLE / (a.n + b.n))
+        |      * (1.0 / a.n + 1.0 / b.n)), 6)) > 1.96 AS significant
+        |FROM (SELECT n, c FROM v WHERE variant = 0) a
+        |CROSS JOIN (SELECT n, c FROM v WHERE variant = 1) b""".stripMargin),
+
     // -- time-window event dedup (telemetry near-duplicate suppression):
     //    an event is kept iff it is the first of its (user, type) or its
     //    predecessor is more than 1 h older — the standard client-retry /

@@ -378,6 +378,27 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- A/B experiment readout ----
+
+  test("q_ab_test: buckets partition the users, z recomputes from the " +
+      "emitted counts, gate consistent") {
+    import graft.operators.EventLifecycle
+    val r = EventLifecycle.all("q_ab_test").fn(spark, sf0).collect()
+    assert(r.length == 1)
+    val (n0, c0, n1, c1) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3))
+    val users = graft.core.Tables.events(spark, sf0)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(n0 + n1 == users, "variants must partition the user population")
+    assert(c0 <= n0 && c1 <= n1 && c0 + c1 > 0 && c0 + c1 < n0 + n1,
+      "conversion must be non-degenerate on the harness corpus")
+    val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val z = (p1 - p0) / math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    assert(math.abs(r(0).getDouble(6) - z) < 1e-6, "z must recompute from counts")
+    assert(r(0).getBoolean(7) == (math.abs(r(0).getDouble(6)) > 1.96))
+  }
+
   // ---- Jensen-Shannon drift ----
 
   test("q_js_drift: per-bin terms non-negative, total bounded by ln 2") {
