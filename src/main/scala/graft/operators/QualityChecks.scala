@@ -65,6 +65,54 @@ object QualityChecks {
         |    WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END) >= 3 AS meets_l
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // -- CUSUM change-point detection (r14): the sequential complement of
+    //    the window gates — S_t = max(0, S_{t-1} + (x_t − k)) over the
+    //    daily revenue series, alarm when S crosses 2k. Everything is
+    //    int64 cents (decimal-exact daily sums ×100, k = total div days),
+    //    so the recurrence and the gate are EXACT in any engine — the one
+    //    sequential op in the family, and it runs as an ordered fold over
+    //    the TINY day rollup (the q_ts_ewma discipline: the corpus
+    //    aggregates once, the recursion touches |days| rows). --
+    "q_cusum" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(expr("ts_ns div 86400000000000").as("day"),
+            col("value").cast(DecimalType(18, 2)).as("v"))
+          .groupBy(col("day"))
+          .agg((sum(col("v")) * 100).cast("long").as("mv"))
+        val tot = daily.agg(
+          expr("sum(mv) div count(1)").as("k"))
+        daily.agg(sort_array(collect_list(struct(col("day"), col("mv"))))
+            .as("xs"))
+          .crossJoin(tot)
+          .select(col("xs"), col("k"), posexplode(expr(
+            """aggregate(xs,
+              |  named_struct('s', 0L, 'out', cast(array() as array<bigint>)),
+              |  (a, x) -> named_struct(
+              |    's', greatest(0L, a.s + (x.mv - k)),
+              |    'out', concat(a.out, array(greatest(0L, a.s + (x.mv - k))))),
+              |  a -> a.out)""".stripMargin)))
+          .select(element_at(col("xs"), col("pos") + 1).getField("day").as("day"),
+            element_at(col("xs"), col("pos") + 1).getField("mv").as("mv"),
+            col("k"), col("col").as("s"),
+            (col("col") > col("k") * 2).as("alarm"))
+          .orderBy("day")
+      },
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS mv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(mv) AS BIGINT) // count(*) AS k FROM daily),
+        |r AS (SELECT day, mv, row_number() OVER (ORDER BY day) AS rn FROM daily),
+        |it(rn, day, mv, s) AS (
+        |  SELECT r.rn, r.day, r.mv, greatest(0, 0 + (r.mv - t.k))
+        |  FROM r CROSS JOIN t WHERE r.rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.day, r.mv, greatest(0, it.s + (r.mv - t.k))
+        |  FROM it JOIN r ON r.rn = it.rn + 1 CROSS JOIN t)
+        |SELECT day, mv, t.k, s::BIGINT AS s, s > t.k * 2 AS alarm
+        |FROM it CROSS JOIN t ORDER BY day""".stripMargin),
+
     // -- t-closeness (r14): completes the privacy-audit triad (k-anonymity
     //    = group size, l-diversity = sensitive-value variety, t-closeness
     //    = sensitive-value DISTRIBUTION). A QI group leaks when its

@@ -378,6 +378,22 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_cusum: the recurrence replays exactly from the emitted rows") {
+    import graft.operators.QualityChecks
+    val rows = QualityChecks.all("q_cusum").fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    val k = rows.head.getLong(2)
+    assert(rows.forall(_.getLong(2) == k))
+    var s = 0L
+    rows.foreach { r =>
+      s = math.max(0L, s + (r.getLong(1) - k))
+      assert(r.getLong(3) == s, s"cusum diverges at day ${r.getLong(0)}")
+      assert(r.getBoolean(4) == (s > 2 * k))
+    }
+    assert(rows.exists(_.getLong(3) == 0L) || rows.head.getLong(1) > k,
+      "a mean-centered series must touch zero unless it opens above target")
+  }
+
   // ---- A/B experiment readout ----
 
   test("q_ab_test: buckets partition the users, z recomputes from the " +
