@@ -6,6 +6,7 @@ import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Document scoring / retrieval operators (north-star extension, round 12):
   * the ranking and model-scoring steps between curation and training.
@@ -277,6 +278,66 @@ object Scoring {
          |  round(1.0 / (1.0 + exp(-(w_sum / n_toks))), 6) AS prob,
          |  (w_sum / n_toks > 0.0) AS keep
          |FROM f ORDER BY doc_id""".stripMargin),
+
+    // -- classifier calibration (r14): the reliability diagram + expected
+    //    calibration error of the hashed quality classifier — the eval a
+    //    pipeline runs before trusting classifier-filtered data. The
+    //    label is a deterministic long-doc proxy (n_toks ≥ 64; the
+    //    OPERATOR — binning, per-bin accuracy vs confidence, ECE terms —
+    //    is the point, the label a harness stand-in). Exactness: prob is
+    //    rounded to 6 dp, so DECIMAL(18,6) sums it EXACTLY and
+    //    order-free; counts are ints; per-bin ECE terms are emitted as
+    //    rows (the q_psi_drift discipline) with one mirrored float
+    //    expression each. ONE bin-keyed partial agg, reduce ∝ 16 bins. --
+    "q_calibration_ece" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .where(size(col("t")) > 0)
+          .select(size(col("t")).cast("long").as("n_toks"),
+            aggregate(transform(col("t"), (x: Column) => weight(x)),
+              lit(0.0), (a, c) => a + c).as("w_sum"))
+          .select(
+            round(lit(1.0) / (lit(1.0) + exp(-(col("w_sum") / col("n_toks")))), 6)
+              .as("prob"),
+            (col("n_toks") >= 64).as("label"))
+        val bins = scored
+          .select(least(lit(15), floor(col("prob") * 16).cast("int")).cast("long").as("bin"),
+            col("prob"), col("label"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("label"), 1)).as("pos"),
+            sum(col("prob").cast(DecimalType(18, 6))).as("cs"))
+        val tot = bins.agg(sum(col("n")).as("nn"))
+        val acc = col("pos").cast("double") / col("n")
+        val conf = col("cs").cast("double") / col("n")
+        bins.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n"), col("pos"),
+            round(acc, 9).as("acc"), round(conf, 9).as("conf"),
+            round((col("n").cast("double") / col("nn")) * abs(acc - conf), 9)
+              .as("ece_term"))
+          .orderBy("bin")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |f AS (SELECT len(t)::BIGINT AS n_toks,
+         |    list_reduce(list_prepend(0.0, list_transform(t, x -> ${weightSql("x")})),
+         |      (a, c) -> a + c) AS w_sum
+         |  FROM toks WHERE len(t) > 0),
+         |sc AS (SELECT round(1.0 / (1.0 + exp(-(w_sum / n_toks))), 6) AS prob,
+         |    n_toks >= 64 AS label FROM f),
+         |b AS (SELECT least(15, floor(prob * 16)::INTEGER)::BIGINT AS bin,
+         |    count(*)::BIGINT AS n,
+         |    count(CASE WHEN label THEN 1 END)::BIGINT AS pos,
+         |    sum(prob::DECIMAL(18,6)) AS cs
+         |  FROM sc GROUP BY 1),
+         |t AS (SELECT sum(n)::BIGINT AS nn FROM b)
+         |SELECT bin, n, pos,
+         |  round(pos::DOUBLE / n, 9) AS acc,
+         |  round(cs::DOUBLE / n, 9) AS conf,
+         |  round((n::DOUBLE / nn) * abs(pos::DOUBLE / n - cs::DOUBLE / n), 9)
+         |    AS ece_term
+         |FROM b CROSS JOIN t ORDER BY bin""".stripMargin),
 
     // -- top-k per group (the grouped-retrieval shape: "best 3 docs per
     //    language"): rank-within-partition + filter — the window sorts

@@ -394,6 +394,23 @@ class Round14OpsSpec extends SparkSpec {
       "a mean-centered series must touch zero unless it opens above target")
   }
 
+  test("q_calibration_ece: bins partition the scored corpus, terms " +
+      "non-negative, ECE bounded by 1") {
+    val rows = Scoring.all("q_calibration_ece").fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    val scored = graft.core.Tables.documents(spark, sf0)
+      .where(size(graft.functions.GraftFunctions.tokens(col("text"))) > 0).count()
+    assert(rows.map(_.getLong(1)).sum == scored)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+      assert(r.getDouble(5) >= 0)
+    }
+    val ece = rows.map(_.getDouble(5)).sum
+    assert(ece >= 0 && ece <= 1, s"ECE $ece out of range")
+  }
+
   // ---- A/B experiment readout ----
 
   test("q_ab_test: buckets partition the users, z recomputes from the " +
