@@ -217,6 +217,66 @@ object EventStreams {
       .orderBy("user_id", "day")
   }
 
+  /** At-ingest CUSUM change-point detector — the streaming twin of the
+    * batch `q_cusum`. State is ONE global day→cents rollup (CUSUM is an
+    * inherently sequential GLOBAL statistic); every batch merges its
+    * day sums, re-derives the target k = total div days, replays the
+    * exact int64 recurrence S_t = max(0, S_{t-1} + (x_t − k)) over the
+    * full day sequence, and re-emits every day with a version counter —
+    * highest version per day ≡ the batch answer under ANY micro-batch
+    * split (same convergence contract as [[streamingAnomaly]]).
+    *
+    * Scale note: the state is O(days), not O(events) — the corpus
+    * aggregates into the map as it streams. A production deployment
+    * would freeze the prefix at the watermark (keep only the fence's
+    * running S) and pin k as a calibration constant; here k is
+    * re-derived per batch because the BATCH operator defines it from
+    * the data, and the two must agree bit-for-bit. */
+  def streamingCusum(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    readStream(spark, sfDir, glob, maxFilesPerTrigger)
+      .select(expr("ts_ns div 86400000000000").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Long, Map[Long, Long]), (Long, Long, Long, Long, Boolean, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val (ver0, m0) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          val m = scala.collection.mutable.Map.empty[Long, Long] ++= m0
+          it.foreach { case (day, cents) =>
+            m.update(day, m.getOrElse(day, 0L) + cents)
+          }
+          val ver = ver0 + 1
+          state.update((ver, m.toMap))
+          val days = m.keys.toVector.sorted
+          val k = m.values.sum / days.size
+          var s = 0L
+          days.map { d =>
+            s = math.max(0L, s + (m(d) - k))
+            (d, m(d), k, s, s > 2 * k, ver)
+          }.iterator
+      }
+      .toDF("day", "mv", "k", "s", "alarm", "ver")
+  }
+
+  /** Drive [[streamingCusum]] to completion; highest version per day =
+    * the converged judgment, equal to batch `q_cusum`. */
+  def streamingCusumFinal(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snaps = runUpdatesToBatch(spark,
+      streamingCusum(spark, sfDir, glob, maxFilesPerTrigger))
+    val w = Window.partitionBy(col("day")).orderBy(col("ver").desc)
+    snaps.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("day", "mv", "k", "s", "alarm")
+      .orderBy("day")
+  }
+
   /** At-ingest twin of the batch time-window event dedup
     * (`q_event_dedup_window`): per (user, event_type), an event is kept
     * iff it is the first in event time or arrives more than `gapUs`

@@ -76,6 +76,15 @@ object StreamingQueries {
       (s, d) => EventStreams.streamingAnomalyFinal(s, d),
       graft.operators.QualityChecks.all("q_anomaly").oracle.get),
 
+    // streaming CUSUM: the at-ingest change-point detector — one global
+    // day-rollup state, the exact int64 recurrence replayed per batch
+    // with versioned re-emission (highest version = batch answer under
+    // any split, convergence spec-proven); the BATCH oracle is reused
+    // verbatim
+    "q_stream_cusum" -> Q(
+      (s, d) => EventStreams.streamingCusumFinal(s, d),
+      graft.operators.QualityChecks.all("q_cusum").oracle.get),
+
     // streaming ingest quality gate: documents stream in, the per-row
     // quality filter (>= 20 tokens AND < 20% punctuation) admits or drops
     // each AS IT ARRIVES, per-lang admission counts aggregate in complete

@@ -119,6 +119,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming CUSUM: multi-batch arrival converges to the batch answer") {
+    // The recurrence depends on EVERY earlier day AND the global target k,
+    // so early emissions are doubly wrong (short prefix, drifting k) —
+    // the versioned re-emission must still converge exactly once all
+    // 8 time-ordered batches land.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum_").toString
+    Tables.events(spark, sf0).drop("ts_ns")
+      .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val streamed = EventStreams
+      .streamingCusumFinal(spark, dir, "part-*.parquet", Some(1))
+      .collect().map(_.toSeq)
+    val batch = graft.operators.QualityChecks.all("q_cusum")
+      .fn(spark, sf0).collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful streams run on the RocksDB state store (larger-than-heap state path)") {
     // The default HDFS-backed state store keeps every version on the
     // executor heap - fine at harness scale, an OOM at 100 TB key
