@@ -102,6 +102,46 @@ object Scoring {
             (p.cast("double") / spanL).cast("int"))), " ").as("cleaned"))
   }
 
+  /** DuckDB CTE chain ending in `b` = (bin, n, pos, cs): the 16-bin
+    * calibration rollup of the hashed quality classifier against the
+    * long-doc proxy label — shared by q_calibration_ece and
+    * q_calibration_isotonic. */
+  private def calibBinsSql: String =
+    s"""toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |f AS (SELECT len(t)::BIGINT AS n_toks,
+       |    list_reduce(list_prepend(0.0, list_transform(t, x -> ${weightSql("x")})),
+       |      (a, c) -> a + c) AS w_sum
+       |  FROM toks WHERE len(t) > 0),
+       |sc AS (SELECT round(1.0 / (1.0 + exp(-(w_sum / n_toks))), 6) AS prob,
+       |    n_toks >= 64 AS label FROM f),
+       |b AS (SELECT least(15, floor(prob * 16)::INTEGER)::BIGINT AS bin,
+       |    count(*)::BIGINT AS n,
+       |    count(CASE WHEN label THEN 1 END)::BIGINT AS pos,
+       |    sum(prob::DECIMAL(18,6)) AS cs
+       |  FROM sc GROUP BY 1)""".stripMargin
+
+  /** Spark twin of [[calibBinsSql]]: (bin, n, pos, cs) — ONE bin-keyed
+    * partial agg over the classifier-scored corpus. */
+  private def calibBins(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .select(size(col("t")).cast("long").as("n_toks"),
+        aggregate(transform(col("t"), (x: Column) => weight(x)),
+          lit(0.0), (a, c) => a + c).as("w_sum"))
+      .select(
+        round(lit(1.0) / (lit(1.0) + exp(-(col("w_sum") / col("n_toks")))), 6)
+          .as("prob"),
+        (col("n_toks") >= 64).as("label"))
+      .select(least(lit(15), floor(col("prob") * 16).cast("int")).cast("long").as("bin"),
+        col("prob"), col("label"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("label"), 1)).as("pos"),
+        sum(col("prob").cast(DecimalType(18, 6))).as("cs"))
+  }
+
   private val statsCache = new graft.core.SessionCache[org.apache.spark.sql.DataFrame]
 
   /** DuckDB CTE chain producing `scored` = (doc_id, dl, score) — the
@@ -291,24 +331,7 @@ object Scoring {
     //    expression each. ONE bin-keyed partial agg, reduce ∝ 16 bins. --
     "q_calibration_ece" -> Q(
       (s, d) => {
-        GraftFunctions.register(s)
-        val scored = Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("t"))
-          .where(size(col("t")) > 0)
-          .select(size(col("t")).cast("long").as("n_toks"),
-            aggregate(transform(col("t"), (x: Column) => weight(x)),
-              lit(0.0), (a, c) => a + c).as("w_sum"))
-          .select(
-            round(lit(1.0) / (lit(1.0) + exp(-(col("w_sum") / col("n_toks")))), 6)
-              .as("prob"),
-            (col("n_toks") >= 64).as("label"))
-        val bins = scored
-          .select(least(lit(15), floor(col("prob") * 16).cast("int")).cast("long").as("bin"),
-            col("prob"), col("label"))
-          .groupBy(col("bin"))
-          .agg(count(lit(1)).as("n"),
-            count(when(col("label"), 1)).as("pos"),
-            sum(col("prob").cast(DecimalType(18, 6))).as("cs"))
+        val bins = calibBins(s, d)
         val tot = bins.agg(sum(col("n")).as("nn"))
         val acc = col("pos").cast("double") / col("n")
         val conf = col("cs").cast("double") / col("n")
@@ -319,18 +342,7 @@ object Scoring {
               .as("ece_term"))
           .orderBy("bin")
       },
-      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
-         |f AS (SELECT len(t)::BIGINT AS n_toks,
-         |    list_reduce(list_prepend(0.0, list_transform(t, x -> ${weightSql("x")})),
-         |      (a, c) -> a + c) AS w_sum
-         |  FROM toks WHERE len(t) > 0),
-         |sc AS (SELECT round(1.0 / (1.0 + exp(-(w_sum / n_toks))), 6) AS prob,
-         |    n_toks >= 64 AS label FROM f),
-         |b AS (SELECT least(15, floor(prob * 16)::INTEGER)::BIGINT AS bin,
-         |    count(*)::BIGINT AS n,
-         |    count(CASE WHEN label THEN 1 END)::BIGINT AS pos,
-         |    sum(prob::DECIMAL(18,6)) AS cs
-         |  FROM sc GROUP BY 1),
+      s"""WITH $calibBinsSql,
          |t AS (SELECT sum(n)::BIGINT AS nn FROM b)
          |SELECT bin, n, pos,
          |  round(pos::DOUBLE / n, 9) AS acc,
@@ -338,6 +350,87 @@ object Scoring {
          |  round((n::DOUBLE / nn) * abs(pos::DOUBLE / n - cs::DOUBLE / n), 9)
          |    AS ece_term
          |FROM b CROSS JOIN t ORDER BY bin""".stripMargin),
+
+    // -- isotonic calibration (r14): ECE's fix — fit the NONDECREASING
+    //    step function closest to the per-bin empirical rates by
+    //    pool-adjacent-violators. Every merge decision is the exact
+    //    integer cross-multiply numᵢ·denⱼ < numⱼ·denᵢ (never a float
+    //    compare), so the block structure — and therefore the fitted
+    //    rates, emitted as exact num/den pairs — is engine-independent,
+    //    and the DuckDB oracle replays the WHOLE merge loop in one
+    //    recursive CTE over a list-of-blocks state. Distributed cost:
+    //    the one bin-keyed agg; PAVA runs on ≤ 16 driver rows. --
+    "q_calibration_isotonic" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val bins = calibBins(s, d)
+          .select(col("bin"), col("n"), col("pos"))
+          .orderBy("bin").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // PAVA: (num, den, nBins) blocks; merge while the top violates
+        // monotonicity against its predecessor
+        val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        bins.foreach { case (_, n, pos) =>
+          stack += ((pos, n, 1L))
+          while (stack.length >= 2 && {
+            val t = stack(stack.length - 1); val p = stack(stack.length - 2)
+            t._1 * p._2 < p._1 * t._2
+          }) {
+            val t = stack.remove(stack.length - 1)
+            val p = stack.remove(stack.length - 1)
+            stack += ((p._1 + t._1, p._2 + t._2, p._3 + t._3))
+          }
+        }
+        val perBin = stack.flatMap { case (num, den, nb) =>
+          Seq.fill(nb.toInt)((num, den)) }
+        bins.zip(perBin).map { case ((bin, n, pos), (num, den)) =>
+          (bin, n, pos, num, den) }.toSeq
+          .toDF("bin", "n", "pos", "cal_num", "cal_den")
+          .select(col("bin"), col("n"), col("pos"), col("cal_num"),
+            col("cal_den"),
+            round(col("cal_num").cast("double") / col("cal_den"), 9)
+              .as("cal_rate"))
+          .orderBy("bin")
+      },
+      s"""WITH RECURSIVE $calibBinsSql,
+         |rb AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS rn
+         |  FROM b),
+         |nb AS (SELECT count(*)::BIGINT AS m FROM rb),
+         |it(step, i, blocks) AS (
+         |  SELECT 0::BIGINT, 0::BIGINT,
+         |    []::STRUCT(num BIGINT, den BIGINT, nb BIGINT)[]
+         |  UNION ALL
+         |  SELECT it.step + 1,
+         |    CASE WHEN len(it.blocks) >= 2
+         |           AND it.blocks[-1].num * it.blocks[-2].den
+         |             < it.blocks[-2].num * it.blocks[-1].den
+         |         THEN it.i ELSE it.i + 1 END,
+         |    CASE WHEN len(it.blocks) >= 2
+         |           AND it.blocks[-1].num * it.blocks[-2].den
+         |             < it.blocks[-2].num * it.blocks[-1].den
+         |         THEN list_append(it.blocks[1:len(it.blocks) - 2],
+         |           {'num': it.blocks[-2].num + it.blocks[-1].num,
+         |            'den': it.blocks[-2].den + it.blocks[-1].den,
+         |            'nb': it.blocks[-2].nb + it.blocks[-1].nb})
+         |         ELSE list_append(it.blocks,
+         |           {'num': rb.pos, 'den': rb.n, 'nb': 1::BIGINT}) END
+         |  FROM it CROSS JOIN nb LEFT JOIN rb ON rb.rn = it.i + 1
+         |  WHERE (len(it.blocks) >= 2
+         |         AND it.blocks[-1].num * it.blocks[-2].den
+         |           < it.blocks[-2].num * it.blocks[-1].den)
+         |        OR it.i < nb.m),
+         |fin AS (SELECT blocks FROM it ORDER BY step DESC LIMIT 1),
+         |ex AS (SELECT unnest(blocks) AS blk,
+         |    unnest(range(1, len(blocks) + 1)) AS j FROM fin),
+         |cum AS (SELECT j, blk,
+         |    sum(blk.nb) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS cend
+         |  FROM ex)
+         |SELECT rb.bin, rb.n, rb.pos,
+         |  cum.blk.num AS cal_num, cum.blk.den AS cal_den,
+         |  round(cum.blk.num::DOUBLE / cum.blk.den, 9) AS cal_rate
+         |FROM cum JOIN rb
+         |  ON rb.rn BETWEEN cum.cend - cum.blk.nb + 1 AND cum.cend
+         |ORDER BY rb.bin""".stripMargin),
 
     // -- top-k per group (the grouped-retrieval shape: "best 3 docs per
     //    language"): rank-within-partition + filter — the window sorts

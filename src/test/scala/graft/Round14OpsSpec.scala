@@ -411,6 +411,23 @@ class Round14OpsSpec extends SparkSpec {
     assert(ece >= 0 && ece <= 1, s"ECE $ece out of range")
   }
 
+  test("q_calibration_isotonic: fitted rates nondecreasing, blocks conserve " +
+      "mass, and fit equals pooled empirical rate per block") {
+    val rows = Scoring.all("q_calibration_isotonic").fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    val rates = rows.map(r => (r.getLong(3).toDouble, r.getLong(4).toDouble))
+      .map { case (num, den) => num / den }
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      "PAVA output must be nondecreasing")
+    // each block's (cal_num, cal_den) must equal the sum of its bins'
+    // (pos, n) — mass conservation
+    rows.groupBy(r => (r.getLong(3), r.getLong(4))).foreach {
+      case ((num, den), bs) =>
+        assert(bs.map(_.getLong(1)).sum == den, s"block den $den")
+        assert(bs.map(_.getLong(2)).sum == num, s"block num $num")
+    }
+  }
+
   // ---- A/B experiment readout ----
 
   test("q_ab_test: buckets partition the users, z recomputes from the " +
