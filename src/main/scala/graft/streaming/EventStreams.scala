@@ -383,6 +383,91 @@ object EventStreams {
     rd.parquet(if (isDir) s"$sfDir/documents.parquet" else sfDir)
   }
 
+  /** Embedding stream (same single-file/directory split as documents). */
+  def readEmbeddingsStream(spark: SparkSession, sfDir: String,
+      glob: String = "embeddings.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = probedSchemas.computeIfAbsent(s"$sfDir/$glob",
+      _ => spark.read.parquet(
+        if (hasGlobMeta(glob)) s"$sfDir/$glob" else s"$sfDir/$glob").schema)
+    val isDir = !hasGlobMeta(glob) && java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$sfDir/$glob"))
+    val rd = spark.readStream.schema(schema)
+    if (!isDir) rd.option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))
+    rd.parquet(if (isDir) s"$sfDir/$glob" else sfDir)
+  }
+
+  /** Streaming PCA statistics — the CovAggregator buffer maintained AT
+    * INGEST. The buffer is a commutative monoid of exact int64 sums, so
+    * merging each micro-batch's contribution into one global state row
+    * converges to the monolithic batch buffer BIT-IDENTICALLY under any
+    * arrival split (the q_pca_incr two-path identity, made streaming).
+    * State: ONE 2145-slot long vector. Emissions are versioned; the
+    * highest version after the stream drains is the converged buffer,
+    * from which [[streamingPcaCovFinal]] assembles the same (i, j, n,
+    * s_i, s_j, s_ij, cov) rows as batch `q_pca_cov`. */
+  def streamingPcaCov(spark: SparkSession, sfDir: String,
+      dim: Int,
+      glob: String = "embeddings.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val size = 1 + dim + dim * (dim + 1) / 2
+    readEmbeddingsStream(spark, sfDir, glob, maxFilesPerTrigger)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0) + lit(0.5))
+          .cast("long")).as("v"))
+      .as[Seq[Long]]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Seq[Long])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val (ver0, buf0) = state.getOption
+            .getOrElse((0L, Seq.fill(size)(0L)))
+          val buf = buf0.toArray
+          it.foreach { v =>
+            val x = v.toArray
+            buf(0) += 1L
+            var i = 0
+            var p = 1 + dim
+            while (i < dim) {
+              val xi = x(i)
+              buf(1 + i) += xi
+              var j = i
+              while (j < dim) { buf(p) += xi * x(j); p += 1; j += 1 }
+              i += 1
+            }
+          }
+          val ver = ver0 + 1
+          state.update((ver, buf.toSeq))
+          Iterator.single((ver, buf.toSeq))
+      }
+      .toDF("ver", "buf")
+  }
+
+  /** Drive [[streamingPcaCov]] to completion and assemble the covariance
+    * rows from the highest-version buffer — schema-identical to batch
+    * `q_pca_cov`, value-identical by the monoid argument. */
+  def streamingPcaCovFinal(spark: SparkSession, sfDir: String,
+      dim: Int,
+      glob: String = "embeddings.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val snaps = runUpdatesToBatch(spark,
+      streamingPcaCov(spark, sfDir, dim, glob, maxFilesPerTrigger))
+    val buf = snaps.orderBy(col("ver").desc).head().getSeq[Long](1)
+    val n = buf(0)
+    val rows = for { i <- 0 until dim; j <- i until dim } yield {
+      val si = buf(1 + i); val sj = buf(1 + j)
+      val sij = buf(1 + dim + i * dim - i * (i - 1) / 2 + (j - i))
+      val cov = (n.toDouble * sij.toDouble - si.toDouble * sj.toDouble) /
+        (n.toDouble * n.toDouble * 1048576.0 * 1048576.0)
+      (i, j, n, si, sj, sij, cov)
+    }
+    rows.toDF("i", "j", "n", "s_i", "s_j", "s_ij", "cov").orderBy("i", "j")
+  }
+
   /** Streaming novelty gate — the Bloom-fronted ingest pipeline: a filter
     * built from the SEEN corpus (batch side) is collected to a word map and
     * compiled into a per-row expression over the incoming document stream

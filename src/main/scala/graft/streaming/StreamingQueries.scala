@@ -85,6 +85,15 @@ object StreamingQueries {
       (s, d) => EventStreams.streamingCusumFinal(s, d),
       graft.operators.QualityChecks.all("q_cusum").oracle.get),
 
+    // streaming PCA statistics: the CovAggregator buffer maintained at
+    // ingest — exact int64 monoid merges per micro-batch converge
+    // BIT-IDENTICALLY to the monolithic covariance under any arrival
+    // split (8-way convergence spec-proven); the batch q_pca_cov oracle
+    // is reused verbatim
+    "q_stream_pca_cov" -> Q(
+      (s, d) => EventStreams.streamingPcaCovFinal(s, d, 64),
+      graft.operators.PipelineQueries.all("q_pca_cov").oracle.get),
+
     // streaming ingest quality gate: documents stream in, the per-row
     // quality filter (>= 20 tokens AND < 20% punctuation) admits or drops
     // each AS IT ARRIVES, per-lang admission counts aggregate in complete

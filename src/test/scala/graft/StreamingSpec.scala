@@ -137,6 +137,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming PCA statistics: multi-batch arrival is bit-identical to batch") {
+    // Integer-monoid state: not "converges", IS the same bits under any
+    // split — the strongest convergence contract in the streaming family.
+    val dir = java.nio.file.Files.createTempDirectory("graft_spca_").toString
+    Tables.embeddings(spark, sf0)
+      .repartitionByRange(8, col("vec_id")).sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(dir)
+    val streamed = EventStreams
+      .streamingPcaCovFinal(spark, dir, 64, "part-*.parquet", Some(1))
+      .collect().map(_.toSeq)
+    val batch = graft.operators.PipelineQueries.all("q_pca_cov")
+      .fn(spark, sf0).collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful streams run on the RocksDB state store (larger-than-heap state path)") {
     // The default HDFS-backed state store keeps every version on the
     // executor heap - fine at harness scale, an OOM at 100 TB key
