@@ -86,6 +86,34 @@ object TimeSeries {
         col("z.s.v").as("v"), col("z.e").as("ewma"))
   }
 
+  /** Holt double-exponential smoothing per user (α = β = 0.5: correctly-
+    * rounded halvings, the q_ts_ewma determinism discipline extended to
+    * a COUPLED level+trend recurrence): l_t = ½x_t + ½(l+b),
+    * b_t = ½(l_t − l) + ½b, one-step forecast = l_t + b_t. l_t is
+    * inlined twice in the b_t expression on BOTH engines (neither SQL
+    * recursion nor a fold lambda can bind intermediates) — the inlined
+    * copy computes the identical double, so 30 coupled iterations stay
+    * bit-equal with no rounding anywhere. */
+  def holtDaily(events: DataFrame): DataFrame = {
+    val obs = dailyObserved(events)
+    obs.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("s"))
+      .withColumn("e", expr(
+        """aggregate(s, cast(array() as array<struct<l:double,b:double>>), (acc, x) ->
+          |  case when size(acc) = 0
+          |       then array(named_struct('l', cast(x.v as double), 'b', 0.0D))
+          |       else array_append(acc, named_struct(
+          |         'l', 0.5D * x.v + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b),
+          |         'b', 0.5D * ((0.5D * x.v + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b))
+          |                      - element_at(acc, -1).l)
+          |              + 0.5D * element_at(acc, -1).b)) end)
+          |""".stripMargin))
+      .select(col("user_id"), explode(arrays_zip(col("s"), col("e"))).as("z"))
+      .select(col("user_id"), Norm.dateStr(col("z.s.day")).as("day"),
+        col("z.s.v").as("v"), col("z.e.l").as("level"), col("z.e.b").as("trend"),
+        (col("z.e.l") + col("z.e.b")).as("forecast"))
+  }
+
   /** Shared oracle prefix: daily decimal-exact rollup + each observed
     * point's NEXT observed neighbor (segment form — equivalent to the
     * engine's nearest-neighbor windows because every gap is interior). */
@@ -136,6 +164,34 @@ object TimeSeries {
     // -- EWMA smoothing: the oracle replays the exact recurrence order
     //    with a recursive CTE (e_t = 0.5·v_t + 0.5·e_{t−1}) over the same
     //    decimal-exact daily means — bit-identical, no rounding. --
+    // Holt level+trend smoothing (r14): EWMA's trend-aware upgrade — the
+    // one-step-ahead forecaster a telemetry pipeline actually deploys.
+    // Coupled recurrence, α = β = 0.5 (exact halvings); the DuckDB
+    // oracle replays both recurrences in one recursive CTE with l_t
+    // inlined twice, token-for-token the engine's fold. Scale: one
+    // user-keyed rollup; recursion length = days per user.
+    "q_ts_holt" -> Q(
+      (s, d) => holtDaily(Tables.events(s, d)).orderBy("user_id", "day"),
+      """WITH RECURSIVE obs AS (
+        |  SELECT user_id, ts::DATE AS day,
+        |    sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ord AS (
+        |  SELECT user_id, day, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM obs),
+        |rec AS (
+        |  SELECT user_id, day, v, rn, v AS l, 0.0::DOUBLE AS b
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.day, o.v, o.rn,
+        |    0.5 * o.v + 0.5 * (r.l + r.b),
+        |    0.5 * ((0.5 * o.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v,
+        |  l AS level, b AS trend, l + b AS forecast
+        |FROM rec ORDER BY user_id, day""".stripMargin),
+
     "q_ts_ewma" -> Q(
       (s, d) => ewmaDaily(Tables.events(s, d)).orderBy("user_id", "day"),
       """WITH RECURSIVE obs AS (

@@ -428,6 +428,47 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_ts_holt: recurrence replays exactly per user; constant series " +
+      "has zero trend") {
+    import graft.operators.TimeSeries
+    val rows = TimeSeries.all("q_ts_holt").fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs0) =>
+      val rs = rs0.sortBy(_.getString(1))
+      var l = rs.head.getDouble(2); var b = 0.0
+      assert(rs.head.getDouble(3) == l && rs.head.getDouble(4) == 0.0)
+      rs.tail.foreach { r =>
+        val x = r.getDouble(2)
+        val l1 = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (l1 - l) + 0.5 * b
+        l = l1
+        assert(r.getDouble(3) == l && r.getDouble(4) == b,
+          s"user $uid day ${r.getString(1)} diverges")
+        assert(r.getDouble(5) == l + b, "forecast = level + trend")
+      }
+    }
+    // synthetic constant series: level locks to the constant, trend to 0
+    import spark.implicits._
+    val const = (1 to 10).map(i => (1L, f"2024-01-$i%02d", 5.0))
+      .toDF("user_id", "day", "v")
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("s"))
+      .withColumn("e", expr(
+        """aggregate(s, cast(array() as array<struct<l:double,b:double>>), (acc, x) ->
+          |  case when size(acc) = 0
+          |       then array(named_struct('l', cast(x.v as double), 'b', 0.0D))
+          |       else array_append(acc, named_struct(
+          |         'l', 0.5D * x.v + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b),
+          |         'b', 0.5D * ((0.5D * x.v + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b))
+          |                      - element_at(acc, -1).l)
+          |              + 0.5D * element_at(acc, -1).b)) end)""".stripMargin))
+      .select(explode(col("e")).as("e")).collect()
+    const.foreach { r =>
+      assert(r.getStruct(0).getDouble(0) == 5.0 && r.getStruct(0).getDouble(1) == 0.0,
+        "constant input must hold level=const, trend=0 exactly")
+    }
+  }
+
   // ---- A/B experiment readout ----
 
   test("q_ab_test: buckets partition the users, z recomputes from the " +
