@@ -89,4 +89,35 @@ class PerceptualHashSpec extends SparkSpec {
     val total = graft.core.Tables.documents(spark, sf0).count() / 3
     assert(nGroups >= total * 9 / 10, s"$nGroups of $total groups paired")
   }
+
+  test("pngLuma fast path: luminance plane byte-identical to ImageIO on " +
+      "the synth corpus; declines non-PNG, truncation and bit flips") {
+    // differential: the pure-JVM decoder vs the ImageIO reference
+    for (id <- 0L until 300L) {
+      val bytes = PerceptualHash.synthPatternPng(id)
+      val fast = PerceptualHash.pngLuma(bytes)
+      assert(fast != null, s"fast path must accept the JDK-encoded PNG (id=$id)")
+      val (w, h, lum) = fast
+      val im = graft.functions.ImageCodec.readImage(bytes)
+      assert(w == im.getWidth && h == im.getHeight)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = im.getRGB(x, y)
+        val ref = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        assert(lum(y * w + x) == ref, s"id=$id px($x,$y)")
+      }
+    }
+    // non-PNG formats decline (fall back to ImageIO inside dhash)
+    for (id <- 0L until 12L) {
+      val media = graft.functions.ImageCodec.synthImage(id)
+      if ((id % 4) != 0) // 1 jpeg, 2 gif, 3 unknown — not PNG
+        assert(PerceptualHash.pngLuma(media) == null, s"id=$id must decline")
+    }
+    // corruption: truncation and a data bit flip must be declined, never
+    // mis-decoded (the CRC/exact-count strictness contract)
+    val ok = PerceptualHash.synthPatternPng(7L)
+    assert(PerceptualHash.pngLuma(ok.take(ok.length - 9)) == null, "truncated")
+    val flipped = ok.clone()
+    flipped(60) = (flipped(60) ^ 0x10).toByte // inside IDAT data
+    assert(PerceptualHash.pngLuma(flipped) == null, "bit flip must fail CRC")
+  }
 }
