@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.core.Tables
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Batch event-lifecycle operators (north-star extension, round 12):
   * the "event log → curated table" reshaping steps a training-data
@@ -102,6 +103,112 @@ object EventLifecycle {
         |      * (1.0 / a.n + 1.0 / b.n)), 6)) > 1.96 AS significant
         |FROM (SELECT n, c FROM v WHERE variant = 0) a
         |CROSS JOIN (SELECT n, c FROM v WHERE variant = 1) b""".stripMargin),
+
+    // -- CUPED variance-reduced A/B readout (r14): the industry-standard
+    //    upgrade of q_ab_test — each user's post-period revenue y is
+    //    adjusted by their PRE-period revenue x (y − θ(x − x̄), θ =
+    //    cov(x,y)/var(x)), which cancels between-user variance the
+    //    experiment didn't cause. Everything reduces to EXACT sums:
+    //    per-user cents are int64, pooled Σxy/Σx² are DECIMAL(38,0)
+    //    (HUGEINT in the oracle — per-user products overflow int64 at
+    //    ladder scale), and the adjusted MEANS collapse algebraically to
+    //    (Σy_v − θ·(Σx_v − n_v·x̄))/n_v — no per-row float ever sums, so
+    //    no summation-order hazard exists. θ and x̄ are each ONE IEEE
+    //    division of exact operands; the pre/post pivot is min(day)+15,
+    //    data-derived and integer-exact. Two tiny keyed aggs at 100 TB. --
+    "q_ab_cuped" -> Q(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.md5Hash60
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        val pivot = ev.agg((min(col("day")) + 15).as("pivot"))
+        val perUser = ev.crossJoin(broadcast(pivot))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("day") < col("pivot"), col("cents"))
+              .otherwise(0L)).as("x"),
+            sum(when(col("day") >= col("pivot"), col("cents"))
+              .otherwise(0L)).as("y"))
+          .withColumn("variant",
+            (md5Hash60(concat(lit("ab_"), col("user_id").cast("string"))) % 2)
+              .cast("int"))
+        val g = perUser.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+          sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sx0"),
+          sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("sx1"),
+          sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy1"))
+        val num = (col("n").cast(DecimalType(38, 0)) * col("sxy")
+          - col("sx").cast(DecimalType(38, 0)) * col("sy"))
+        val den = (col("n").cast(DecimalType(38, 0)) * col("sxx")
+          - col("sx").cast(DecimalType(38, 0)) * col("sx"))
+        val theta = when(den === 0, lit(0.0))
+          .otherwise(num.cast("double") / den.cast("double"))
+        val xbar = col("sx").cast("double") / col("n")
+        def adj(sy: Column, sx: Column, n: Column): Column =
+          (sy.cast("double")
+            - theta * (sx.cast("double") - n.cast("double") * xbar)) /
+            n.cast("double")
+        g.select(col("n0"), col("n1"),
+          round(theta, 9).as("theta"),
+          round(col("sy0").cast("double") / col("n0"), 6).as("mean_y0"),
+          round(col("sy1").cast("double") / col("n1"), 6).as("mean_y1"),
+          round(adj(col("sy0"), col("sx0"), col("n0")), 6).as("mean_adj0"),
+          round(adj(col("sy1"), col("sx1"), col("n1")), 6).as("mean_adj1"),
+          round(adj(col("sy1"), col("sx1"), col("n1"))
+            - adj(col("sy0"), col("sx0"), col("n0")), 6).as("lift_adj"))
+      },
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT min(day) + 15 AS pv FROM ev),
+        |u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN day < pv THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN day >= pv THEN cents ELSE 0 END) AS BIGINT) AS y,
+        |    ('0x' || substr(md5('ab_' || user_id::VARCHAR), 1, 15))::BIGINT % 2 AS variant
+        |  FROM ev CROSS JOIN p GROUP BY user_id),
+        |g AS (SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+        |  FROM u)
+        |SELECT n0, n1,
+        |  round(CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0.0
+        |    ELSE (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+        |      / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE END, 9) AS theta,
+        |  round(sy0::DOUBLE / n0, 6) AS mean_y0,
+        |  round(sy1::DOUBLE / n1, 6) AS mean_y1,
+        |  round((sy0::DOUBLE - (CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0.0
+        |      ELSE (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+        |        / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE END)
+        |      * (sx0::DOUBLE - n0::DOUBLE * (sx::DOUBLE / n))) / n0::DOUBLE, 6)
+        |    AS mean_adj0,
+        |  round((sy1::DOUBLE - (CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0.0
+        |      ELSE (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+        |        / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE END)
+        |      * (sx1::DOUBLE - n1::DOUBLE * (sx::DOUBLE / n))) / n1::DOUBLE, 6)
+        |    AS mean_adj1,
+        |  round(((sy1::DOUBLE - (CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0.0
+        |      ELSE (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+        |        / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE END)
+        |      * (sx1::DOUBLE - n1::DOUBLE * (sx::DOUBLE / n))) / n1::DOUBLE)
+        |    - ((sy0::DOUBLE - (CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0.0
+        |      ELSE (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+        |        / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE END)
+        |      * (sx0::DOUBLE - n0::DOUBLE * (sx::DOUBLE / n))) / n0::DOUBLE), 6)
+        |    AS lift_adj
+        |FROM g""".stripMargin),
 
     // -- time-window event dedup (telemetry near-duplicate suppression):
     //    an event is kept iff it is the first of its (user, type) or its

@@ -490,6 +490,23 @@ class Round14OpsSpec extends SparkSpec {
     assert(r(0).getBoolean(7) == (math.abs(r(0).getDouble(6)) > 1.96))
   }
 
+  test("q_ab_cuped: adjustment preserves the pooled mean and lift closes") {
+    import graft.operators.EventLifecycle
+    val r = EventLifecycle.all("q_ab_cuped").fn(spark, sf0).collect()
+    assert(r.length == 1)
+    val (n0, n1) = (r(0).getLong(0), r(0).getLong(1))
+    val (y0, y1) = (r(0).getDouble(3), r(0).getDouble(4))
+    val (a0, a1) = (r(0).getDouble(5), r(0).getDouble(6))
+    assert(!r(0).getDouble(2).isNaN && !r(0).getDouble(2).isInfinite, "theta finite")
+    // CUPED is mean-preserving over the POOLED population: sum(x - xbar)
+    // over all users is 0, so n0*adj0 + n1*adj1 == n0*y0 + n1*y1 up to
+    // the 6-dp emission rounding
+    val tol = (n0 + n1) * 5e-7 + 1e-9
+    assert(math.abs((n0 * a0 + n1 * a1) - (n0 * y0 + n1 * y1)) <= tol,
+      s"pooled mean must be preserved: adj=${n0 * a0 + n1 * a1} raw=${n0 * y0 + n1 * y1}")
+    assert(math.abs(r(0).getDouble(7) - (a1 - a0)) <= 2e-6, "lift = adj1 - adj0")
+  }
+
   // ---- Jensen-Shannon drift ----
 
   test("q_js_drift: per-bin terms non-negative, total bounded by ln 2") {
