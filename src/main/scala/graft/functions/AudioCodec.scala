@@ -195,7 +195,12 @@ object AudioCodec {
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     val channels = bb.getShort(fmt(0) + 2).toInt
     val block = bb.getShort(fmt(0) + 12).toInt
-    if (block <= 0 || channels <= 0)
+    val bits = bb.getShort(fmt(0) + 14).toInt
+    // the frame loop below consumes channels*2 bytes per frame, which is
+    // only the declared frame size for 16-bit PCM; an 8-bit WAV (block ==
+    // channels) would read 2x the data chunk and run off the buffer —
+    // decline to the empty sentinel instead
+    if (block <= 0 || channels <= 0 || bits != 16 || block != channels * 2)
       return new GenericArrayData(Array.emptyLongArray)
     val frames = data(1) / block
     if (frames < FpWindows) return new GenericArrayData(Array.emptyLongArray)

@@ -118,7 +118,7 @@ object PerceptualHash {
 
   /** Strict pure-JVM PNG luminance decoder for [[dhash]]'s fast path:
     * returns `(w, h, lum)` with `lum(y*w+x) = r+g+b`, or null when the
-    * bytes are anything but a clean non-interlaced 8-bit gray/RGB PNG —
+    * bytes are anything but a clean non-interlaced 8-bit truecolor PNG —
     * chunk structure, consumed-chunk CRCs and the EXACT inflated byte
     * count are all verified, so the fast path accepts a (near-)subset of
     * what ImageIO accepts and every decline falls back. Filters 0-4
@@ -157,8 +157,13 @@ object PerceptualHash {
           val bitDepth = bytes(off + 16) & 0xFF
           colorType = bytes(off + 17) & 0xFF
           val interlace = bytes(off + 20) & 0xFF
-          // strict scope: 8-bit, gray(0) or truecolor(2), no interlace
-          if (bitDepth != 8 || (colorType != 0 && colorType != 2) ||
+          // strict scope: 8-bit truecolor(2) only, no interlace. Gray
+          // (colorType 0) is deliberately DECLINED: ImageIO gamma-maps
+          // gray->sRGB (238 raw -> 247 via getRGB), so a raw-byte gray
+          // fast path would diverge from the ImageIO fallback and break
+          // the identical-luminance differential contract — gray PNGs
+          // fall back to ImageIO instead.
+          if (bitDepth != 8 || colorType != 2 ||
             interlace != 0 || w <= 0 || h <= 0 ||
             w.toLong * h > 64L * 1024 * 1024) return null
         case "IDAT" =>

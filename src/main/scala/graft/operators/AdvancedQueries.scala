@@ -56,12 +56,19 @@ object AdvancedQueries {
     val num = nD * col("sxy") - col("sx") * col("sy")
     val den = nD * col("sxx") - col("sx") * col("sx")
     val deny = nD * col("syy") - col("sy") * col("sy")
+    // den = 0 (constant x) / deny = 0 (constant y) are degenerate fits:
+    // Spark's non-ANSI Divide yields NULL there while DuckDB's IEEE float
+    // division yields +-inf/NaN — guard explicitly (and mirror the CASE in
+    // the oracle SQL) so both engines agree on NULL.
     g.select(col(group), col("n"),
-      round(num.cast("double") / den.cast("double"), 6).as("slope"),
-      round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
-        / den.cast("double"), 6).as("intercept"),
-      round((num.cast("double") * num.cast("double"))
-        / (den.cast("double") * deny.cast("double")), 6).as("r2"))
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6)).as("slope"),
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / den.cast("double"), 6)).as("intercept"),
+      when(den === 0 || deny === 0, lit(null).cast("double"))
+        .otherwise(round((num.cast("double") * num.cast("double"))
+          / (den.cast("double") * deny.cast("double")), 6)).as("r2"))
   }
 
   /** Heaviest join key's share of probe-side rows, from ONE cheap agg:
@@ -646,10 +653,13 @@ object AdvancedQueries {
         |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
         |  FROM li GROUP BY 1)
         |SELECT l_returnflag, n,
-        |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
-        |  round(CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS intercept,
-        |  round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
-        |      / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL ELSE
+        |    round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS slope,
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL ELSE
+        |    round(CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS intercept,
+        |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL ELSE
+        |    round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+        |      / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) END AS r2
         |FROM g ORDER BY l_returnflag""".stripMargin),
 
     // -- array function surface (arrays emitted as joined strings — the

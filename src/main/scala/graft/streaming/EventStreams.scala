@@ -373,23 +373,29 @@ object EventStreams {
     * same per-row expressions as batch; Structured Streaming's
     * batch/stream parity means one definition serves both. */
   def readDocumentsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = probedSchemas.computeIfAbsent(s"$sfDir/documents.parquet",
-      p => spark.read.parquet(p).schema)
-    // same single-file vs directory-table split as [[readStream]]
-    val isDir = java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    // fingerprinted cache key (readStream's scheme): a regenerated corpus
+    // at the same path must not be served a stale cached schema
+    val (isDir, fingerprint) = statSource(spark, s"$sfDir/documents.parquet")
+    val schema = probedSchemas.computeIfAbsent(
+      s"$sfDir/documents.parquet|$fingerprint",
+      _ => spark.read.parquet(s"$sfDir/documents.parquet").schema)
     val rd = spark.readStream.schema(schema)
     if (!isDir) rd.option("pathGlobFilter", "documents.parquet")
     rd.parquet(if (isDir) s"$sfDir/documents.parquet" else sfDir)
   }
 
-  /** Embedding stream (same single-file/directory split as documents). */
+  /** Embedding stream (same single-file/directory split as documents;
+    * glob sources re-probe every construction, the readStream rule). */
   def readEmbeddingsStream(spark: SparkSession, sfDir: String,
       glob: String = "embeddings.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val schema = probedSchemas.computeIfAbsent(s"$sfDir/$glob",
-      _ => spark.read.parquet(
-        if (hasGlobMeta(glob)) s"$sfDir/$glob" else s"$sfDir/$glob").schema)
+    val schema =
+      if (hasGlobMeta(glob)) spark.read.parquet(s"$sfDir/$glob").schema
+      else {
+        val (_, fingerprint) = statSource(spark, s"$sfDir/$glob")
+        probedSchemas.computeIfAbsent(s"$sfDir/$glob|$fingerprint",
+          _ => spark.read.parquet(s"$sfDir/$glob").schema)
+      }
     val isDir = !hasGlobMeta(glob) && java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(s"$sfDir/$glob"))
     val rd = spark.readStream.schema(schema)

@@ -57,4 +57,29 @@ class AudioCodecSpec extends AnyFunSuite {
     val b = AudioCodec.synthWav(9L)
     assert(AudioCodec.wavField(b.take(b.length - 4), 5) == AudioCodec.NOT_WAV)
   }
+
+  test("audioFp declines non-16-bit PCM instead of over-reading the data chunk") {
+    // a structurally valid 8-bit mono PCM WAV: block align == channels == 1,
+    // so the old channels*2-bytes-per-frame loop would read 2x the data
+    // bytes and run off the buffer; the fix returns the empty sentinel
+    val frames = 200 // > FpWindows so only the bits gate can decline it
+    val buf = java.nio.ByteBuffer.allocate(44 + frames)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + frames)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1)       // PCM
+    buf.putShort(1)       // mono
+    buf.putInt(8000)      // rate
+    buf.putInt(8000)      // byte rate
+    buf.putShort(1)       // block align (1 byte/frame)
+    buf.putShort(8)       // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(frames)
+    for (j <- 0 until frames) buf.put((j % 251).toByte)
+    val wav8 = buf.array()
+    assert(AudioCodec.wavField(wav8, 2) == 8, "fixture must declare 8 bits")
+    assert(AudioCodec.wavField(wav8, 3) == frames)
+    assert(AudioCodec.audioFp(wav8).numElements() == 0,
+      "8-bit PCM must yield the empty sentinel, not an out-of-bounds read")
+  }
 }

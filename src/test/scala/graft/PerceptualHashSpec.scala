@@ -120,4 +120,34 @@ class PerceptualHashSpec extends SparkSpec {
     flipped(60) = (flipped(60) ^ 0x10).toByte // inside IDAT data
     assert(PerceptualHash.pngLuma(flipped) == null, "bit flip must fail CRC")
   }
+
+  test("pngLuma declines grayscale (colorType 0) PNGs — ImageIO gamma-maps " +
+      "gray->sRGB, so a raw-byte gray fast path would break the " +
+      "identical-luminance differential; dhash still hashes them via ImageIO") {
+    // a real colorType-0 PNG via ImageIO (TYPE_BYTE_GRAY encodes as gray)
+    val im = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 32; x <- 0 until 36)
+      im.getRaster.setSample(x, y, 0, (x * 37 + y * 91) % 200)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    val bytes = out.toByteArray
+    // confirm it really is colorType 0 (offset 8+4+4+4+4+1+... : IHDR data
+    // starts at 16; colorType is IHDR byte 9 -> absolute offset 25)
+    assert((bytes(25) & 0xFF) == 0, "fixture must be a colorType-0 PNG")
+    assert(PerceptualHash.pngLuma(bytes) == null, "gray PNG must decline")
+    // and dhash still produces a hash through the ImageIO fallback, equal to
+    // the hash of the gamma-corrected RGB rendering of the same pixels
+    val a = PerceptualHash.dhash(bytes)
+    assert(a.numElements() == 2, "dhash must fall back to ImageIO for gray")
+    val rgbIm = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 36)
+      rgbIm.setRGB(x, y, im.getRGB(x, y))
+    val out2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgbIm, "png", out2)
+    val b = PerceptualHash.dhash(out2.toByteArray)
+    assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1),
+      "gray fallback hash must match the ImageIO-rendered RGB twin")
+  }
 }
