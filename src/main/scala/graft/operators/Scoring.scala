@@ -60,12 +60,21 @@ object Scoring {
   val spanLen = 16
   val spanStride = 8
 
-  /** Exact-substring EXCISION (Lee et al. 2022, the removal operation):
-    * every repeated non-overlapping `spanL`-token span keeps exactly its
-    * FIRST occurrence in corpus order (min doc_id·10⁹ + span_idx per span
-    * hash) and is cut everywhere else; each document's text is rebuilt
-    * from the surviving tokens. Returns (id, n_before, n_removed_spans,
-    * n_after, cleaned).
+  /** ALIGNED exact-substring EXCISION — the grid approximation: every
+    * repeated non-overlapping `spanL`-token span (stride = length, so
+    * spans start only at multiples of spanL) keeps exactly its FIRST
+    * occurrence in corpus order (min doc_id·10⁹ + span_idx per span hash)
+    * and is cut everywhere else; each document's text is rebuilt from the
+    * surviving tokens. Returns (id, n_before, n_removed_spans, n_after,
+    * cleaned).
+    *
+    * CONTRACT NOTE (r14 verdict #2): span hashes are computed on the
+    * ALIGNED 16-token grid, a strictly weaker contract than Lee et al.
+    * 2022's suffix-array ExactSubstr — a duplicate passage offset by
+    * 1–15 tokens from a span boundary is invisible here. The
+    * shift-invariant operator is [[exciseSpansShift]] /
+    * `q_dedup_substring_shift`; this one survives as the cheap
+    * grid-granular twin (16× fewer span hashes through the shuffle).
     *
     * Scale shape: the window shuffles (id, idx, hash) triples only —
     * never text; removal lists (∝ duplication density, not corpus size)
@@ -100,6 +109,58 @@ object Scoring {
         array_join(filter(col("t"),
           (x, p) => !array_contains(col("rmc"),
             (p.cast("double") / spanL).cast("int"))), " ").as("cleaned"))
+  }
+
+  /** SHIFT-INVARIANT exact-substring EXCISION (r15 — suffix-array
+    * semantics at fixed match length `spanL`, the Lee et al. 2022
+    * operation an actual dedup run needs): span hashes are computed at
+    * EVERY position (stride 1, the [[graft.functions.TextHashes
+    * .gramHashes60]] codegen kernel), so a duplicated passage is caught
+    * at ANY alignment — the 1-to-15-token-offset duplicates the aligned
+    * grid misses. Ownership is min global position (doc_id·10⁹ + pos)
+    * per span hash; every non-canonical occurrence marks its spanL token
+    * positions for removal, and overlapping marks resolve into maximal
+    * non-overlapping cut intervals per document (reported as
+    * `n_intervals`) simply by removing the UNION of marked positions.
+    * Documents are rebuilt from the surviving tokens. Returns (doc_id,
+    * n_before, n_removed_toks, n_intervals, n_after, cleaned).
+    *
+    * Scale shape: stride-1 hashing is a per-row codegen projection (the
+    * rolling-gram kernel — no per-position expression interpretation);
+    * the ownership window shuffles (doc_id, pos, hash) triples only,
+    * ~n_tokens rows of ~24 B — 16× the aligned twin's rows but still
+    * O(corpus tokens), never text; marked positions ∝ duplication
+    * density × spanL, grouped once per doc; the removal lists join back
+    * onto the full-text scan where AQE broadcasts them, and the rebuild
+    * is a zero-shuffle indexed-lambda filter. Corpus text is scanned
+    * exactly twice and shuffled never — the same shape the aligned twin
+    * ships, paying only the 16× narrow-row factor for full shift
+    * invariance. Callers must have GraftFunctions registered. */
+  def exciseSpansShift(docs: DataFrame, idCol: String, textCol: String,
+      spanL: Int = spanLen): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val spans = toks
+      .select(col("doc_id"), posexplode(gramHashes60(col("t"), spanL)))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("h"),
+        (col("doc_id") * lit(1000000000L) + col("pos")).as("key"))
+    val marked = spans
+      .withColumn("first", min(col("key")).over(Window.partitionBy("h")))
+      .where(col("key") > col("first"))
+      .select(col("doc_id"),
+        explode(sequence(col("idx"), col("idx") + (spanL - 1))).as("p"))
+    val removed = marked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("p"))).as("rm"))
+    toks.join(removed, Seq("doc_id"), "left")
+      .withColumn("rmc", coalesce(col("rm"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_before"),
+        size(col("rmc")).cast("long").as("n_removed_toks"),
+        size(filter(col("rmc"), p => !array_contains(col("rmc"), p - 1)))
+          .cast("long").as("n_intervals"),
+        (size(col("t")) - size(col("rmc"))).cast("long").as("n_after"),
+        array_join(filter(col("t"),
+          (_, p) => !array_contains(col("rmc"), p)), " ").as("cleaned"))
   }
 
   /** DuckDB CTE chain ending in `b` = (bin, n, pos, cs): the 16-bin
@@ -556,12 +617,15 @@ object Scoring {
          |    AS dup_span_frac
          |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
-    // -- exact-substring EXCISION (r14): q_dup_span_frac scores the
-    //    duplication; this query performs the Lee et al. 2022 operation
-    //    itself — every repeated span keeps exactly its FIRST occurrence
-    //    in corpus order and is cut everywhere else, then each document's
-    //    text is rebuilt from the surviving tokens. Non-overlapping
-    //    16-token spans (stride = length) make removal well-defined; the
+    // -- ALIGNED exact-substring EXCISION (r14): q_dup_span_frac scores
+    //    the duplication; this query cuts it on the 16-token GRID — every
+    //    repeated aligned span keeps exactly its FIRST occurrence in
+    //    corpus order and is cut everywhere else, then each document's
+    //    text is rebuilt from the surviving tokens. Grid alignment
+    //    (stride = length) is an APPROXIMATION of Lee et al. 2022: a
+    //    duplicate offset 1-15 tokens from the grid escapes — use
+    //    q_dedup_substring_shift for the shift-invariant semantics; this
+    //    twin costs 16x fewer span hashes through the shuffle. The
     //    canonical occurrence is min(doc_id·10⁹ + span_idx) per span hash
     //    (span_idx < 10⁹ would need a single 16-billion-token document).
     //    Scale shape: the window shuffles (doc_id, idx, hash) triples
@@ -594,6 +658,44 @@ object Scoring {
          |    list_filter(range(1, d.n + 1),
          |      p -> NOT list_contains(coalesce(rm, []::BIGINT[]), (p - 1) // $spanLen)),
          |    p -> d.t[p]), ' '), '') AS cleaned
+         |FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
+    // -- SHIFT-INVARIANT exact-substring excision (r15, verdict #2): the
+    //    suffix-array semantics q_dedup_substring's aligned grid
+    //    approximates — stride-1 span hashes catch a duplicated passage
+    //    at ANY offset (ownership = min global position per hash),
+    //    overlapping removals resolve to maximal non-overlapping cut
+    //    intervals by unioning marked positions. The oracle replays the
+    //    identical computation 1-based (DuckDB's list lambdas are
+    //    1-indexed; the +1-uniform keys preserve every min-ownership
+    //    winner). See exciseSpansShift for the scale shape. --
+    "q_dedup_substring_shift" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        exciseSpansShift(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |d AS (SELECT doc_id, t, len(t) AS n FROM toks),
+         |s AS (SELECT doc_id, i,
+         |    ('0x' || substr(md5(array_to_string(
+         |      t[i : i + $spanLen - 1], ' ')), 1, 15))::BIGINT AS h,
+         |    doc_id * 1000000000 + i AS key
+         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(n - $spanLen + 1, 0) + 1)) AS i
+         |        FROM d)),
+         |o AS (SELECT doc_id, i, key,
+         |    min(key) OVER (PARTITION BY h) AS first FROM s),
+         |m AS (SELECT DISTINCT doc_id, unnest(range(i, i + $spanLen)) AS p
+         |      FROM o WHERE key > first),
+         |rem AS (SELECT doc_id, list_sort(list(p)) AS rm FROM m GROUP BY doc_id)
+         |SELECT d.doc_id, d.n::BIGINT AS n_before,
+         |  coalesce(len(rm), 0)::BIGINT AS n_removed_toks,
+         |  coalesce(len(list_filter(rm, p -> NOT list_contains(rm, p - 1))), 0)::BIGINT
+         |    AS n_intervals,
+         |  (d.n - coalesce(len(rm), 0))::BIGINT AS n_after,
+         |  coalesce(array_to_string(list_filter(d.t,
+         |    (x, p) -> rm IS NULL OR NOT list_contains(rm, p)), ' '), '') AS cleaned
          |FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
          |ORDER BY d.doc_id""".stripMargin)
   )

@@ -80,4 +80,59 @@ class ScoringSpec extends SparkSpec {
       assert(r.getBoolean(4) === (h < 2.0))
     }
   }
+
+  test("shift-invariant excision catches the offset duplicate the aligned grid misses") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // doc 0: 64 unique tokens; doc 1: 3 filler tokens, then an exact copy
+    // of doc 0's tokens [0, 16), then unique filler — the copied passage
+    // starts at position 3, OFF the 16-token grid by 3
+    val passage = (0 until 16).map(i => s"dup$i")
+    val doc0 = (passage ++ (16 until 64).map(i => s"a$i")).mkString(" ")
+    val doc1 = ((0 until 3).map(i => s"b$i") ++ passage ++
+      (0 until 45).map(i => s"c$i")).mkString(" ")
+    val docs = spark.createDataFrame(Seq((0L, doc0), (1L, doc1)))
+      .toDF("doc_id", "text")
+
+    // the aligned operator is blind to it: doc 1 loses nothing
+    val aligned = Scoring.exciseSpans(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(aligned(1).getLong(2) == 0L,
+      "aligned grid must miss the offset-3 duplicate (the documented gap)")
+
+    // the shift-invariant operator excises exactly the 16 copied tokens
+    // as ONE maximal interval, rebuilding doc 1 without the passage
+    val shifted = Scoring.exciseSpansShift(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(shifted(0).getLong(2) == 0L, "first occurrence must be kept")
+    assert(shifted(0).getString(5) == doc0)
+    assert(shifted(1).getLong(2) == 16L, "exactly the copied span is cut")
+    assert(shifted(1).getLong(3) == 1L, "one maximal interval")
+    assert(shifted(1).getLong(4) == 64L - 16L)
+    val expect1 = ((0 until 3).map(i => s"b$i") ++
+      (0 until 45).map(i => s"c$i")).mkString(" ")
+    assert(shifted(1).getString(5) == expect1)
+  }
+
+  test("shift-invariant excision: overlapping repeats union into maximal intervals") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // doc 1 copies a 20-token passage of doc 0 (positions 5..24): five
+    // stride-1 spans of 16 are duplicated, overlapping — the union must be
+    // one 20-token interval, not 5x16 marks
+    val passage = (0 until 20).map(i => s"p$i")
+    val doc0 = ((0 until 5).map(i => s"x$i") ++ passage ++
+      (0 until 20).map(i => s"y$i")).mkString(" ")
+    val doc1 = ((0 until 7).map(i => s"z$i") ++ passage ++
+      (0 until 18).map(i => s"w$i")).mkString(" ")
+    val docs = spark.createDataFrame(Seq((0L, doc0), (1L, doc1)))
+      .toDF("doc_id", "text")
+    val r = Scoring.exciseSpansShift(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(1).getLong(2) == 20L, "union of overlapping marks = the passage")
+    assert(r(1).getLong(3) == 1L, "resolved to ONE maximal interval")
+    val expect1 = ((0 until 7).map(i => s"z$i") ++
+      (0 until 18).map(i => s"w$i")).mkString(" ")
+    assert(r(1).getString(5) == expect1)
+  }
 }
