@@ -19,6 +19,71 @@ import org.apache.spark.sql.functions._
   */
 object Tokenize {
 
+  /** Fixed-context SEQUENCE PACKING (r15, verdict #3) — the last step
+    * every LLM data pipeline runs before writing shards: BPE-tokenized
+    * documents, each followed by ONE EOS token, are concatenated in a
+    * deterministic hash-ranked order into a single global token stream
+    * which is cut into consecutive `ctx`-token training sequences
+    * ("packs"). Returns one row per pack: (pack_id, n_docs, n_tokens,
+    * n_eos) — every pack holds exactly `ctx` tokens except the final
+    * remainder, n_docs counts documents contributing ≥1 token, n_eos the
+    * document ends (EOS positions) inside the pack.
+    *
+    * The global token offset of each document is a corpus-wide prefix sum
+    * computed WITHOUT a single-partition window (the q_cusum/q_ts_holt
+    * collect-the-series shape would not survive a 100 TB doc list):
+    * documents are split into `parts` ranges by the TOP BITS of their
+    * md5-60 sort key — a static, sample-free range partitioning (the key
+    * is uniform by construction, so ranges balance; no
+    * repartitionByRange sampling, hence bit-deterministic on recompute
+    * with zero caching) — each range cumsums in parallel under one
+    * pid-keyed window, and the `parts` per-range totals (bounded driver
+    * collect, the LazyFrame offsets pattern) broadcast back as prefix
+    * offsets. One narrow shuffle of (doc_id, skey, n) triples; the text
+    * itself is scanned by the count kernel and never moves. Pack
+    * assignment then explodes each doc into the ≤2 packs it overlaps
+    * (∝ docs, not tokens) and ONE pack-keyed aggregate finishes.
+    *
+    * At cluster scale `parts` rises with executor count; the driver
+    * still holds `parts` longs. Oracle: DuckDB replays the identical
+    * prefix sum with one window over the same (skey, doc_id) order. */
+  def packSequences(docs: org.apache.spark.sql.DataFrame,
+      ctx: Int = 512, parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    require((parts & (parts - 1)) == 0, "parts must be a power of two")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val counts = docs.select(col("doc_id"),
+      GraftFunctions.md5Hash60(
+        concat(lit("pk_"), col("doc_id").cast("string"))).as("skey"),
+      (GraftFunctions.bpeCount(col("text")) + lit(1L)).as("n"))
+    // static range split: top log2(parts) bits of the 60-bit uniform key
+    val shift = 60 - Integer.numberOfTrailingZeros(parts)
+    val withPid = counts.withColumn("pid",
+      shiftright(col("skey"), shift).cast("int"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("skey"), col("doc_id"))
+    // bounded driver collect: `parts` per-range totals -> prefix offsets
+    val totals = withPid.groupBy(col("pid")).agg(sum(col("n")).as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offs = (0 until parts).scanLeft(0L)((a, p) => a + totals.getOrElse(p, 0L))
+    val offsDf = spark.createDataFrame(
+      (0 until parts).map(p => (p, offs(p)))).toDF("pid", "poff")
+    withPid
+      .withColumn("cum", sum(col("n")).over(w))
+      .join(broadcast(offsDf), "pid")
+      .select(col("doc_id"), col("n"),
+        (col("poff") + col("cum") - col("n")).as("gb"))
+      .select(col("doc_id"), col("n"), col("gb"),
+        explode(sequence(expr(s"gb div $ctx"),
+          expr(s"(gb + n - 1) div $ctx"))).as("pack_id"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("gb") + col("n"), (col("pack_id") + 1) * ctx) -
+          greatest(col("gb"), col("pack_id") * ctx)).as("n_tokens"),
+        sum(when(expr(s"(gb + n - 1) div $ctx") === col("pack_id"), 1L)
+          .otherwise(0L)).as("n_eos"))
+      .orderBy("pack_id")
+  }
+
   /** Shared oracle CTEs: `bm` (the merge table), `btoks(doc_id, lang, t)`
     * — the per-doc BPE token list. Callers prefix `WITH RECURSIVE`. */
   private val bpeCte: String =
@@ -109,6 +174,34 @@ object Tokenize {
          |  ((sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
          |     ROWS UNBOUNDED PRECEDING) - n_toks) // 2048)::BIGINT AS shard_ix
          |FROM t ORDER BY lang, doc_id""".stripMargin),
+
+    // -- fixed-context SEQUENCE PACKING (r15, verdict #3): docs + EOS
+    //    concatenated in hash-ranked order, cut into exact 512-token
+    //    training sequences. See packSequences for the sample-free
+    //    two-phase prefix sum; the oracle replays it with ONE window over
+    //    the identical (skey, doc_id) order — `//` and Spark `div` agree
+    //    on truncation, and every quantity is an exact integer. --
+    "q_pack_sequences" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        packSequences(Tables.documents(s, d))
+      },
+      s"""WITH RECURSIVE $bpeCte,
+         |c AS (SELECT doc_id,
+         |    ('0x' || substr(md5('pk_' || doc_id::VARCHAR), 1, 15))::BIGINT AS skey,
+         |    len(t)::BIGINT + 1 AS n
+         |  FROM btoks),
+         |o AS (SELECT doc_id, n,
+         |    (sum(n) OVER (ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING)
+         |      - n)::BIGINT AS gb
+         |  FROM c),
+         |e AS (SELECT doc_id, n, gb,
+         |    unnest(range(gb // 512, (gb + n - 1) // 512 + 1)) AS pack_id FROM o)
+         |SELECT pack_id::BIGINT AS pack_id, count(*)::BIGINT AS n_docs,
+         |  sum(least(gb + n, (pack_id + 1) * 512)
+         |    - greatest(gb, pack_id * 512))::BIGINT AS n_tokens,
+         |  count(CASE WHEN (gb + n - 1) // 512 = pack_id THEN 1 END)::BIGINT AS n_eos
+         |FROM e GROUP BY 1 ORDER BY pack_id""".stripMargin),
 
     // -- corpus subword vocabulary: top-30 BPE tokens by frequency (the
     //    sanity view a tokenizer change is judged by; explode + one
