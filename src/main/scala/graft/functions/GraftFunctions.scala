@@ -127,6 +127,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_synth_avi",
       (e: Seq[Expression]) => invokeIn(VideoCodec.getClass, BinaryType, "synthAvi", e,
         Seq(LongType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_synth_avi_group",
+      (e: Seq[Expression]) => invokeIn(VideoCodec.getClass, BinaryType,
+        "synthAviGroup", e, Seq(LongType)), "scala_udf")
     // ISO-BMFF (MP4) metadata codec (Mp4Codec — big-endian box walk)
     reg.createOrReplaceTempFunction("graft_mp4_field",
       (e: Seq[Expression]) => invokeIn(Mp4Codec.getClass, IntegerType, "mp4Field", e,
@@ -200,6 +203,7 @@ object GraftFunctions {
   def aviField(c: Column, which: Int): Column = call_function("graft_avi_field", c, lit(which))
   def aviFrames(c: Column): Column = call_function("graft_avi_frames", c)
   def synthAvi(id: Column): Column = call_function("graft_synth_avi", id)
+  def synthAviGroup(id: Column): Column = call_function("graft_synth_avi_group", id)
   def mp4Field(c: Column, which: Int): Column = call_function("graft_mp4_field", c, lit(which))
   def synthWav(id: Column): Column = call_function("graft_synth_wav", id)
   def wavField(c: Column, which: Int): Column = call_function("graft_wav_field", c, lit(which))

@@ -46,19 +46,69 @@ object VideoCodec {
       javax.imageio.ImageIO.write(im, "jpg", out)
       out.toByteArray
     }
+    wrapAvi(frames, w0, h0)
+  }
 
-    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
-      val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
-      val bb = ByteBuffer.allocate(8 + padded.length).order(ByteOrder.LITTLE_ENDIAN)
-      bb.put(fourcc(cc)).putInt(payload.length).put(padded)
-      bb.array()
-    }
-    def list(listType: String, body: Array[Byte]): Array[Byte] = {
-      val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
-      bb.put(fourcc("LIST")).putInt(4 + body.length).put(fourcc(listType)).put(body)
-      bb.array()
-    }
+  /** Frames per near-dup-group video ([[synthAviGroup]]). */
+  final val GroupVideoFrames: Int = 4
 
+  /** Video near-dup GROUP synthesis (r15 — the video leg of the dedup
+    * family): an AVI whose [[GroupVideoFrames]] frame chunks carry PNG
+    * payloads in the [[PerceptualHash.synthPatternPng]] style (the
+    * container's RIFF walk is payload-agnostic and [[PerceptualHash
+    * .dhash]] decodes each frame losslessly, keeping the whole pixel
+    * chain replayable by the SQL oracle — JPEG frames would not be).
+    * Groups of three (`g = id/3`): frame f's 36×32 texture is the
+    * xor-of-primes spatial hash with the frame index mixed in as a
+    * fourth xor term (`⊕ f·15485863` — xor, not addition, for the same
+    * anti-translation reason synthPatternPng documents), avalanche-read
+    * from high product bits. Variant `v = id%3 ∈ {1,2}` brightens cell
+    * (v, v) of FRAME v by +8 — a single-frame local edit, so
+    * base↔variant total signature Hamming stays ≤ 3 while cross-group
+    * signatures sit near Hamming 128 (4 frames × ~32). */
+  def synthAviGroup(id: Long): Array[Byte] = {
+    val g = id / 3
+    val v = (id % 3).toInt
+    val w = 36
+    val h = 32
+    val frames = (0 until GroupVideoFrames).map { f =>
+      val plane = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val t = (g * 73856093L) ^ (x * 19349663L) ^ (y * 83492791L) ^
+            (f * 15485863L)
+          val z = t & 0x7FFFFFFFL
+          var lum = (((z * 2654435761L) >> 21) & 0xFF).toInt
+          if (v > 0 && f == v && x / 4 == v && y / 4 == v) lum = (lum + 8) % 256
+          plane(y * w + x) = lum.toByte
+          x += 1
+        }
+        y += 1
+      }
+      PerceptualHash.encodePngRgbGray(w, h, plane)
+    }
+    wrapAvi(frames, w, h)
+  }
+
+  private def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+    val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
+    val bb = ByteBuffer.allocate(8 + padded.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(fourcc(cc)).putInt(payload.length).put(padded)
+    bb.array()
+  }
+
+  private def list(listType: String, body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(fourcc("LIST")).putInt(4 + body.length).put(fourcc(listType)).put(body)
+    bb.array()
+  }
+
+  /** Wrap frame payloads in a spec-shaped AVI container
+    * (RIFF/hdrl/avih/strl/movi, little-endian sizes, even-byte padding). */
+  private def wrapAvi(frames: Seq[Array[Byte]], w0: Int, h0: Int): Array[Byte] = {
+    val nf = frames.length
     val avih = { // MainAVIHeader: 56 bytes, all uint32le
       val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
       bb.putInt(33333) // dwMicroSecPerFrame (~30 fps)

@@ -310,6 +310,53 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Video near-dup pairing over MULTI-FRAME signatures (r15 — the video
+    * leg of the dedup family, composing the image dHash kernel with the
+    * AVI frame walk): input is one row per (doc_id, frame_ix) with that
+    * frame's 64-bit dHash as u32 halves (lo, hi); a video's signature is
+    * the frame-hash tuple, its distance to another video the SUM of
+    * per-frame Hamming distances over aligned frame indexes (the
+    * temporal signature — re-encoded/lightly-edited duplicates keep
+    * frame alignment; videos must carry the same fixed frame-sample
+    * count k).
+    *
+    * Banding generalizes [[hamming64Pairs]]: each frame hash splits into
+    * four 16-bit blocks, giving 4k (frame_ix, block, value) bands per
+    * video; a pair within total Hamming H differs in at most H of the 4k
+    * bands, so band-equality candidates are pigeonhole-EXACT for
+    * H < 4k (k=4 frames → exact far beyond the ≤3 threshold used here).
+    * Exact verify joins candidates back to the k-row signatures per side
+    * and sums `bit_count(xor)` — candidate-proportional, never corpus².
+    * Only shuffles: the banded join keyed on (frame_ix, block, value)
+    * and the (da, db)-keyed verify agg. Output: (da, db, hamming). */
+  def hammingFramePairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // one materialization: the upstream chain (container split + per-frame
+    // decode + hash) is the expensive part and is read three times below
+    val mat = sigs.localCheckpoint()
+    val blocks = mat.select(col("doc_id"), col("frame_ix"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("hi").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(0xFFFFL)))))
+      .toDF("doc_id", "frame_ix", "blk", "bv")
+    val cands = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.frame_ix") === col("b.frame_ix") &&
+          col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cands
+      .join(mat.as("x"), col("da") === col("x.doc_id"))
+      .join(mat.as("y"), col("db") === col("y.doc_id") &&
+        col("x.frame_ix") === col("y.frame_ix"))
+      .groupBy(col("da"), col("db"))
+      .agg(sum(bit_count(col("x.lo").bitwiseXOR(col("y.lo"))) +
+        bit_count(col("x.hi").bitwiseXOR(col("y.hi")))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over duplicate pairs → canonical representative
     * per cluster (the dedup canonicalization step: every member maps to the
     * minimum doc_id of its component).

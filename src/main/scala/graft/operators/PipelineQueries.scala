@@ -2697,6 +2697,73 @@ object PipelineQueries {
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY da, db""".stripMargin),
 
+    // Video near-dedup — the third multimodal dedup modality (r15,
+    // verdict #4), COMPOSING the shipped pieces: VideoCodec's AVI frame
+    // walk splits each container into its frame payloads, the
+    // PerceptualHash.dhash kernel hashes every frame, and the banded
+    // Hamming machinery pairs videos on SUMMED per-frame distance
+    // (Dedup.hammingFramePairs — 16 (frame, block, value) bands,
+    // pigeonhole-exact at this threshold). Corpus: synthAviGroup — AVIs
+    // whose 4 frame chunks carry synthPatternPng-style PNGs (lossless, so
+    // the oracle replays the ENTIRE chain from doc_id arithmetic: per-
+    // frame pixels -> 4x4 cell sums -> comparison bits -> u32 halves ->
+    // summed aligned-frame Hamming -> pair set); variant k edits one cell
+    // of frame k only, a single-frame local edit. Scale: split+decode+
+    // hash is one zero-shuffle codegen projection fanning 4 frames/video;
+    // candidates are banded and verify is candidate-proportional — never
+    // all-pairs.
+    "q_mm_dedup_video" -> Q(
+      (s, d) => {
+        import graft.functions.{GraftFunctions => GFF}
+        GFF.register(s)
+        val vids = spreadDocIds(s, d)
+          .select(col("doc_id"), GFF.synthAviGroup(col("doc_id")).as("payload"))
+        val sigs = vids
+          .select(col("doc_id"), posexplode(GFF.aviFrames(col("payload"))))
+          .select(col("doc_id"), col("pos").as("frame_ix"),
+            GFF.dhash(col("col")).as("fh"))
+          .where(size(col("fh")) === 2)
+          .select(col("doc_id"), col("frame_ix"),
+            element_at(col("fh"), 1).as("lo"), element_at(col("fh"), 2).as("hi"))
+        Dedup.hammingFramePairs(sigs).orderBy("da", "db")
+      },
+      """WITH raw AS (
+        |  SELECT doc_id, f.f AS f, x.x AS x, y.y AS y,
+        |    ((xor(xor(xor((doc_id // 3) * 73856093, x.x * 19349663),
+        |              y.y * 83492791), f.f * 15485863) % 2147483648)
+        |     * 2654435761 >> 21) % 256 AS base
+        |  FROM documents,
+        |       (SELECT unnest(range(0, 4)) AS f) f,
+        |       (SELECT unnest(range(0, 36)) AS x) x,
+        |       (SELECT unnest(range(0, 32)) AS y) y),
+        |px AS (
+        |  SELECT doc_id, f, x, y,
+        |    CASE WHEN doc_id % 3 > 0 AND f = doc_id % 3
+        |              AND x // 4 = doc_id % 3 AND y // 4 = doc_id % 3
+        |         THEN (base + 8) % 256 ELSE base END AS lum
+        |  FROM raw),
+        |cells AS (
+        |  SELECT doc_id, f, x // 4 AS cx, y // 4 AS cy, 3 * sum(lum) AS s
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.cy, a.cx,
+        |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.f = b.f
+        |       AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |hashes AS (
+        |  SELECT doc_id, f,
+        |    sum(CASE WHEN cy < 4 THEN bit::BIGINT << (cy * 8 + cx)::INT ELSE 0 END) AS lo,
+        |    sum(CASE WHEN cy >= 4 THEN bit::BIGINT << ((cy - 4) * 8 + cx)::INT ELSE 0 END) AS hi
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  sum(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
+        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id AND a.f = b.f
+        |GROUP BY 1, 2
+        |HAVING sum(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))) <= 3
+        |ORDER BY da, db""".stripMargin),
+
     "q_mm_decode" -> Q(
       (s, d) => {
         val media = Multimodal.synthesizeBmp(Tables.documents(s, d), "doc_id", "text")

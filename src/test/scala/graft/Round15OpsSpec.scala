@@ -44,6 +44,60 @@ class Round15OpsSpec extends SparkSpec {
     assert(a == b, "packing must not depend on input partitioning")
   }
 
+  // ---- video near-dedup ----
+
+  test("synthAviGroup: valid AVI of 4 losslessly-decodable PNG frames") {
+    import graft.functions.{PerceptualHash, VideoCodec}
+    for (id <- Seq(0L, 1L, 2L, 3L, 100L, 4409L)) {
+      val avi = VideoCodec.synthAviGroup(id)
+      assert(VideoCodec.aviField(avi, 0) == 36)
+      assert(VideoCodec.aviField(avi, 1) == 32)
+      assert(VideoCodec.aviField(avi, 3) == VideoCodec.GroupVideoFrames)
+      val frames = VideoCodec.splitFrames(avi)
+      assert(frames.length == VideoCodec.GroupVideoFrames)
+      // frame-replay: every frame decodes on the strict PNG fast path and
+      // its luminance plane matches the synthesis formula exactly
+      frames.zipWithIndex.foreach { case (f, fi) =>
+        val dec = PerceptualHash.pngLuma(f)
+        assert(dec != null, s"frame $fi of id=$id must decode")
+        val (w, h, lum) = dec
+        assert(w == 36 && h == 32)
+        val g = id / 3; val v = (id % 3).toInt
+        for (y <- 0 until 32; x <- 0 until 36) {
+          val t = (g * 73856093L) ^ (x * 19349663L) ^ (y * 83492791L) ^
+            (fi * 15485863L)
+          var e = (((t & 0x7FFFFFFFL) * 2654435761L >> 21) & 0xFF).toInt
+          if (v > 0 && fi == v && x / 4 == v && y / 4 == v) e = (e + 8) % 256
+          assert(lum(y * 36 + x) == 3 * e, s"id=$id f=$fi px($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("hammingFramePairs: in-group video variants pair, groups separate") {
+    import graft.functions.{GraftFunctions => GFF}
+    import graft.operators.Dedup
+    GFF.register(spark)
+    val vids = Tables.documents(spark, sf0)
+      .select(col("doc_id"), GFF.synthAviGroup(col("doc_id")).as("payload"))
+    val sigs = vids
+      .select(col("doc_id"), posexplode(GFF.aviFrames(col("payload"))))
+      .select(col("doc_id"), col("pos").as("frame_ix"), GFF.dhash(col("col")).as("fh"))
+      .where(size(col("fh")) === 2)
+      .select(col("doc_id"), col("frame_ix"),
+        element_at(col("fh"), 1).as("lo"), element_at(col("fh"), 2).as("hi"))
+    val pairs = Dedup.hammingFramePairs(sigs).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+    // every pair is within one triple-group (base + two one-frame edits)
+    assert(pairs.forall(r => r.getAs[Long]("da") / 3 == r.getAs[Long]("db") / 3))
+    // recall: base<->variant pairs are Hamming <= 3 by construction, so a
+    // large majority of groups must surface
+    val nGroups = pairs.map(_.getAs[Long]("da") / 3).distinct.length
+    val total = Tables.documents(spark, sf0).count() / 3
+    assert(nGroups >= total * 9 / 10, s"$nGroups of $total groups paired")
+  }
+
   test("packSequences plan: the prefix-sum window is pid-partitioned, " +
       "never a single global partition") {
     GraftFunctions.register(spark)
