@@ -159,6 +159,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_bpe_count",
       (e: Seq[Expression]) => invokeIn(TextBpe.getClass, LongType, "bpeCount", e,
         Seq(StringType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_with",
+      (e: Seq[Expression]) => invokeIn(TextBpe.getClass,
+        ArrayType(StringType, containsNull = false), "bpeWith", e,
+        Seq(StringType, StringType)), "scala_udf")
     // perceptual image hash (PerceptualHash — dHash over decoded pixels)
     reg.createOrReplaceTempFunction("graft_dhash",
       (e: Seq[Expression]) => invokeIn(PerceptualHash.getClass,
@@ -212,6 +216,8 @@ object GraftFunctions {
   def audioFp(c: Column): Column = call_function("graft_audio_fp", c)
   def bpeTokens(c: Column): Column = call_function("graft_bpe", c)
   def bpeCount(c: Column): Column = call_function("graft_bpe_count", c)
+  def bpeTokensWith(c: Column, spec: String): Column =
+    call_function("graft_bpe_with", c, lit(spec))
   def dhash(c: Column): Column = call_function("graft_dhash", c)
   def synthPatternPng(id: Column): Column = call_function("graft_synth_pattern_png", id)
 

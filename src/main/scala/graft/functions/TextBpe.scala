@@ -225,4 +225,87 @@ object TextBpe {
     merges.zipWithIndex.map { case ((a, b), i) =>
       s"(${i + 1}, '|$a||$b|', '|$a$b|')"
     }.mkString(", ")
+
+  // ---- parametric encode (the BPE TRAINING loop's re-encode step, r15) ----
+
+  /** A runtime merge table compiled to the same dense pair→(rank, id)
+    * matrix the pinned kernel uses. Vocab = 37 base chars + one id per
+    * spec merge; sides must be existing tokens (well-formed by
+    * construction when the spec comes from a training loop, which only
+    * ever merges tokens that exist in the current tokenization). */
+  private final class SpecTable(spec: String) {
+    val specMerges: Array[(String, String)] =
+      if (spec.isEmpty) Array.empty
+      else spec.split(",").map { m =>
+        val sp = m.indexOf(' ')
+        (m.substring(0, sp), m.substring(sp + 1))
+      }
+    val vocabSize: Int = 37 + specMerges.length
+    val tokenStr: Array[String] = {
+      val arr = new Array[String](vocabSize)
+      var i = 0
+      while (i < 26) { arr(i) = String.valueOf(('a' + i).toChar); i += 1 }
+      while (i < 36) { arr(i) = String.valueOf(('0' + i - 26).toChar); i += 1 }
+      arr(36) = "_"
+      specMerges.zipWithIndex.foreach { case ((a, b), k) => arr(37 + k) = a + b }
+      arr
+    }
+    private val sid = new java.util.HashMap[String, Integer](vocabSize * 2)
+    tokenStr.zipWithIndex.foreach { case (t, i) => sid.put(t, i) }
+    val pRank: Array[Int] = Array.fill(vocabSize * vocabSize)(Int.MaxValue)
+    val pId: Array[Int] = new Array[Int](vocabSize * vocabSize)
+    specMerges.zipWithIndex.foreach { case ((a, b), k) =>
+      val ia = sid.get(a); val ib = sid.get(b)
+      require(ia != null && ib != null, s"spec side '$a'/'$b' not yet formed")
+      val key = ia * vocabSize + ib
+      pRank(key) = k
+      pId(key) = 37 + k
+    }
+    val tokenU8: Array[UTF8String] = tokenStr.map(UTF8String.fromString)
+  }
+
+  // compiled spec tables, keyed by the spec string; a training run touches
+  // k distinct specs per executor JVM — bounded, never corpus-sized
+  private val specCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SpecTable]()
+
+  /** StaticInvoke kernel: BPE token array under a RUNTIME merge table
+    * (`spec` = comma-joined "left right" merges in rank order, "" = plain
+    * char tokenization). Same min-rank encode loop as the pinned kernel;
+    * the compiled table is memoized per spec per JVM. */
+  def bpeWith(text: UTF8String, spec: UTF8String): ArrayData = {
+    val t = specCache.computeIfAbsent(spec.toString, s => new SpecTable(s))
+    val norm = normalize(text.toString)
+    var n = norm.length
+    val ids = new Array[Int](math.max(n, 1))
+    var i = 0
+    while (i < n) { ids(i) = charId(norm.charAt(i)); i += 1 }
+    var continue = n > 1
+    while (continue) {
+      var best = Int.MaxValue
+      i = 0
+      while (i < n - 1) {
+        val r = t.pRank(ids(i) * t.vocabSize + ids(i + 1))
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        var w = 0
+        i = 0
+        while (i < n) {
+          if (i < n - 1 && t.pRank(ids(i) * t.vocabSize + ids(i + 1)) == best) {
+            ids(w) = t.pId(ids(i) * t.vocabSize + ids(i + 1)); i += 2
+          } else { ids(w) = ids(i); i += 1 }
+          w += 1
+        }
+        n = w
+        continue = n > 1
+      }
+    }
+    val arr = new Array[Any](n)
+    i = 0
+    while (i < n) { arr(i) = t.tokenU8(ids(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
 }

@@ -44,6 +44,60 @@ class Round15OpsSpec extends SparkSpec {
     assert(a == b, "packing must not depend on input partitioning")
   }
 
+  // ---- iterative BPE merge training ----
+
+  test("bpeTrain: hand-checkable corpus learns the obvious merges in order") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // "ababab" x3 docs: pair (a,b) dominates (count 9); after merging to
+    // 'ab', pair (ab,ab) appears 3 times (LTR non-overlap within each doc
+    // counts (ab,ab) at positions 0-1 and 1-2 -> 2 per doc, 6 total);
+    // "xy" x2 contributes (x,y) = 2
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, "ababab"), Row(1L, "ababab"), Row(2L, "ababab"), Row(3L, "xy"),
+        Row(4L, "xy"))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val learned = Tokenize.bpeTrain(docs, k = 3).collect()
+    assert(learned.length == 3)
+    assert(learned(0).getString(3) == "ab" && learned(0).getLong(4) == 9L)
+    assert(learned(1).getString(3) == "abab" && learned(1).getLong(4) == 6L)
+    // after abab: docs are [abab, ab] -> pair (abab, ab) x3; (x,y) only 2
+    assert(learned(2).getString(1) == "abab" && learned(2).getString(2) == "ab")
+    assert(learned(2).getLong(4) == 3L)
+  }
+
+  test("bpeTrain: distributed loop equals a local reference trainer on sf0.001") {
+    import graft.functions.TextBpe
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Tables.documents(spark, sf0)
+    val k = 8
+    val distributed = Tokenize.bpeTrain(docs, k).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    // local reference: same kernel, driver-side counting
+    val texts = docs.select("text").collect().map(_.getString(0))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    while (merges.length < k) {
+      val spec = merges.map { case (a, b, _) => s"$a $b" }.mkString(",")
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      texts.foreach { txt =>
+        val t = TextBpe.bpeWith(
+          UTF8String.fromString(txt), UTF8String.fromString(spec))
+        var i = 0
+        while (i < t.numElements() - 1) {
+          val key = (t.getUTF8String(i).toString, t.getUTF8String(i + 1).toString)
+          counts(key) = counts.getOrElse(key, 0L) + 1
+          i += 1
+        }
+      }
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, s"$a $b") }
+      merges += ((best._1._1, best._1._2, best._2))
+    }
+    assert(distributed.toSeq == merges.toSeq,
+      s"distributed $distributed != local $merges")
+  }
+
   // ---- video near-dedup ----
 
   test("synthAviGroup: valid AVI of 4 losslessly-decodable PNG frames") {
