@@ -592,10 +592,22 @@ object EventStreams {
     * silently deleting the fence before the watermark operator ever sees
     * it (how this operator's tail went missing in development).
     * StreamingSpec asserts equality with the batch LEFT JOIN under an
-    * 8-way micro-batch split. */
+    * 8-way micro-batch split.
+    *
+    * FULL OUTER (r15, `joinType = "full_outer"`): unmatched CLICKS also
+    * emit, purchase side null, once the watermark proves no purchase in
+    * `[c_ts, c_ts + 1 h]` can still arrive — the same deferred-emission
+    * mechanics on the other store. The one fence row per side still
+    * suffices: after the fence the watermark sits at `max + 2 h`, past
+    * every real click's candidate window (`c_ts + 1 h ≤ max + 1 h`) and
+    * every real purchase's interval, so both tails flush; the fence rows
+    * themselves can never emit (the watermark never passes their OWN
+    * windows at `max + 4 h`), and consumers drop negatives batch-side as
+    * before. */
   def purchaseClickJoinOuterToBatch(spark: SparkSession, sfDir: String,
       glob: String = "events.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      joinType: String = "left_outer"): DataFrame = {
     // batch-side read of the SAME files the stream will drain (glob form
     // covers single-file, directory-table and part-split layouts alike)
     val fence = graft.core.Tables.normalizeEventTs(
@@ -620,7 +632,7 @@ object EventStreams {
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"),
-      "left_outer")
+      joinType)
     val name = s"ssjoinouter_${System.nanoTime()}"
     withStatePartitions(spark) {
       val q = joined.writeStream

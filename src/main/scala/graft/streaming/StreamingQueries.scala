@@ -243,6 +243,32 @@ object StreamingQueries {
         |WHERE a.event_type = 'purchase'
         |GROUP BY 1 ORDER BY a.event_id""".stripMargin),
 
+    // watermarked stream-stream FULL OUTER interval join (r15, verdict
+    // #7) — completes the enrichment matrix (inner / left / full):
+    // unmatched purchases AND unmatched clicks both emit null-padded as
+    // the watermark fences their windows (see the operator doc for why
+    // one fence per side flushes both tails). Unmatched clicks carry a
+    // null event_id, grouped under the -1 sentinel so both engines agree
+    // without touching null-ordering divergence; the batch FULL JOIN
+    // oracle checks matched multiplicities and BOTH unmatched tails.
+    "q_stream_join_full" -> Q(
+      (s, d) => {
+        val out = EventStreams.purchaseClickJoinOuterToBatch(s, d,
+          joinType = "full_outer")
+        out.where(col("event_id").isNull || col("event_id") >= 0)
+          .groupBy(coalesce(col("event_id"), lit(-1L)).as("event_id"))
+          .agg(count(col("c_ts")).as("n_clicks"))
+          .orderBy("event_id")
+      },
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT coalesce(a.event_id, -1) AS event_id, count(b.ts) AS n_clicks
+        |FROM p a FULL JOIN c b
+        |  ON a.user_id = b.user_id
+        | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+        |GROUP BY 1 ORDER BY event_id""".stripMargin),
+
     // Bloom-fronted streaming novelty gate: the seen corpus (doc_id < 250)
     // compressed to a word map compiled into the stream's plan; proven-new
     // rows skip the join entirely, the might-contain sliver pays the exact

@@ -326,4 +326,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
     assert(batch.exists(_(1) == 0L), "fixture must contain clickless purchases")
   }
+
+  test("stream-stream FULL OUTER interval join equals the batch full join " +
+      "under an 8-way micro-batch split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fullj_").toString
+    Tables.events(spark, sf0).drop("ts_ns")
+      .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    // deterministic replay order (see the left-outer twin above)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(f.lastModified() - (parts.length - i) * 60000L) }
+    val out = EventStreams.purchaseClickJoinOuterToBatch(
+      spark, dir, "part-*.parquet", Some(1), joinType = "full_outer")
+    val streamed = out.where(col("event_id").isNull || col("event_id") >= 0)
+      .groupBy(coalesce(col("event_id"), lit(-1L)).as("event_id"))
+      .agg(count(col("c_ts")).as("n_clicks"))
+      .orderBy("event_id").collect().map(_.toSeq)
+    val ev = Tables.events(spark, sf0)
+    val batch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
+      .join(ev.where(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts")),
+        col("pu") === col("cu") &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+          col("cts") <= col("pts"),
+        "full_outer")
+      .groupBy(coalesce(col("event_id"), lit(-1L)).as("event_id"))
+      .agg(count(col("cts")).as("n_clicks"))
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+    // fixture must exercise BOTH unmatched tails
+    assert(batch.exists(r => r(0) == -1L && r(1).asInstanceOf[Long] > 0L),
+      "fixture must contain purchaseless clicks")
+    assert(batch.exists(r => r(0).asInstanceOf[Long] >= 0L && r(1) == 0L),
+      "fixture must contain clickless purchases")
+  }
 }
