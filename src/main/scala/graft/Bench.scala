@@ -92,6 +92,51 @@ object Bench {
       } catch { case _: Throwable => "unknown" }
     }
 
+  /** Per-query minima merged across legs: union of keys, min per key.
+    * The r14 review lost time to a uniform ~1.4× driver-leg inflation that
+    * per-query minima across the round's legs would have dismissed on
+    * sight — so the artifact now carries them (verdict r14 #6). */
+  def mergeMinima(prior: Map[String, Double],
+      leg: Map[String, Double]): Map[String, Double] =
+    (prior.keySet ++ leg.keySet).iterator.map { k =>
+      k -> (prior.get(k).toSeq ++ leg.get(k).toSeq).min
+    }.toMap
+
+  /** Round-scoped sidecar carrying the merged minima between legs
+    * (`name\tmin` lines + a `__legs\tN` counter; lives in target/, so it
+    * never outlives a clean). SPARK_GRAFT_BENCH_MINFILE overrides the
+    * path; "none" disables the merge. */
+  private def minimaPath: Option[java.nio.file.Path] = {
+    val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINFILE",
+      "target/bench_minima.tsv")
+    if (p == "none") None else Some(java.nio.file.Paths.get(p))
+  }
+
+  private def readMinima(): (Map[String, Double], Int) =
+    minimaPath match {
+      case Some(p) if java.nio.file.Files.exists(p) =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val lines = java.nio.file.Files.readAllLines(p).asScala
+            .map(_.split("\t")).collect { case Array(k, v) => k -> v }
+          val legs = lines.collectFirst { case ("__legs", v) => v.toInt }
+            .getOrElse(0)
+          (lines.collect { case (k, v) if k != "__legs" =>
+            k -> v.toDouble }.toMap, legs)
+        } catch { case _: Throwable => (Map.empty, 0) }
+      case _ => (Map.empty, 0)
+    }
+
+  private def writeMinima(m: Map[String, Double], legs: Int): Unit =
+    minimaPath.foreach { p =>
+      try {
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        val body = (s"__legs\t$legs" +:
+          m.toSeq.sorted.map { case (k, v) => f"$k\t$v%.4f" }).mkString("\n")
+        java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -237,7 +282,33 @@ object Bench {
     // artifact alone.
     val gcMeasured = gcMillis - gcPre
     val shufflePartsEff = spark.conf.get("spark.sql.shuffle.partitions")
-    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contended},"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"gc_ms":$gcMeasured,"gc_ms_total":$gcMillis,"git_sha":"$gitSha","shuffle_partitions":$shufflePartsEff,"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+    // Cross-leg minima (r14 verdict #6): merge this leg's per-query minima
+    // with the round's prior legs, emit the merged HEADLINE map plus a
+    // leg-noise band (this leg's min / merged min over headline rows) so a
+    // reader can dismiss uniform host inflation without digging in target/.
+    // Full-registry runs only — arg-restricted tuning runs are cold-start
+    // by design and would poison the minima.
+    val legMin: Map[String, Double] =
+      results.collect { case (k, ts, _) if ts.nonEmpty => k -> ts.min }.toMap
+    val (minAll, nLegs, noiseMed, noiseMax) =
+      if (args.nonEmpty) (legMin, 1, 1.0, 1.0)
+      else {
+        val (prior, priorLegs) = readMinima()
+        val merged = mergeMinima(prior, legMin)
+        writeMinima(merged, priorLegs + 1)
+        val ratios = legMin.collect {
+          case (k, v) if headline(k) && merged.get(k).exists(_ > 0) =>
+            v / merged(k)
+        }.toSeq
+        (merged, priorLegs + 1,
+          if (ratios.isEmpty) 1.0 else median(ratios),
+          if (ratios.isEmpty) 1.0 else ratios.max)
+      }
+    val qsMinAll = minAll.toSeq.sorted.collect { case (k, v) if headline(k) =>
+      s"\"" + k + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    val legNoise = s"""{"n_legs":$nLegs,"this_leg_over_min_med":${r2(noiseMed)},"this_leg_over_min_max":${r2(noiseMax)}}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contended},"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"gc_ms":$gcMeasured,"gc_ms_total":$gcMillis,"git_sha":"$gitSha","shuffle_partitions":$shufflePartsEff,"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"queries_min_all_legs":$qsMinAll,"leg_noise":$legNoise,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     // The summary JSON is emitted on BOTH streams, and on stderr it is the
     // LAST line AFTER the per-query rows: under sbt the stdout println can
     // flush before the buffered stderr block, and a driver that keeps only
@@ -250,7 +321,7 @@ object Bench {
     // record — total + the attribution fields only, bounded well under any
     // tail window — is emitted AFTER the full one on both streams. Whatever
     // the window size, the LAST line always parses.
-    val compact = s"""{"metric":"total_compact","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"n_failed":${results.count(_._2.isEmpty)},"gc_ms":$gcMeasured,"git_sha":"$gitSha","contended":$contended,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total_compact","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"n_failed":${results.count(_._2.isEmpty)},"gc_ms":$gcMeasured,"git_sha":"$gitSha","contended":$contended,"n_legs":$nLegs,"sf":"$sfDir"}"""
     System.err.println(summary)
     System.err.println(compact)
     println(summary)

@@ -56,4 +56,19 @@ class RegistrySpec extends AnyFunSuite {
     val missingW = Bench.warmupRows.filterNot(keys)
     assert(missingW.isEmpty, s"warmup names not in registry: $missingW")
   }
+
+  test("cross-leg minima merge: union of keys, min per key, headline covered") {
+    // the r15 bench artifact's queries_min_all_legs rides this merge; a
+    // regression that drops keys would silently shrink round-over-round
+    // comparability (r14 verdict #6)
+    val prior = Map("a" -> 2.0, "b" -> 1.0)
+    val leg = Map("b" -> 3.0, "c" -> 0.5)
+    val m = Bench.mergeMinima(prior, leg)
+    assert(m === Map("a" -> 2.0, "b" -> 1.0, "c" -> 0.5))
+    // a full-registry leg covers every headline query, so the merged map
+    // must too — regardless of what prior legs carried
+    val legFull = Bench.headline.map(_ -> 1.0).toMap
+    val merged = Bench.mergeMinima(Map("stale_only" -> 9.9), legFull)
+    assert(Bench.headline.subsetOf(merged.keySet))
+  }
 }
