@@ -320,30 +320,33 @@ object Dedup {
     * frame alignment; videos must carry the same fixed frame-sample
     * count k).
     *
-    * Banding generalizes [[hamming64Pairs]]: each frame hash splits into
-    * four 16-bit blocks, giving 4k (frame_ix, block, value) bands per
-    * video; a pair within total Hamming H differs in at most H of the 4k
-    * bands, so band-equality candidates are pigeonhole-EXACT for
-    * H < 4k (k=4 frames → exact far beyond the ≤3 threshold used here).
+    * Bands are WHOLE FRAME HASHES, not 16-bit blocks: a pair within total
+    * Hamming H has its differing bits spread over at most H frames, so
+    * with H < k at least one aligned frame matches EXACTLY — candidates
+    * = videos sharing an identical (frame_ix, 64-bit hash), pigeonhole-
+    * exact for H ≤ k−1 (k=4 frames covers the ≤3 threshold). The 64-bit
+    * band key is the load-bearing scale choice: the first cut banded on
+    * 16-bit blocks like [[hamming64Pairs]], and at 320 K videos the
+    * 65 536-value band space birthday-collided into Θ(n²/2¹⁶) spurious
+    * candidates — the x16→x64 ladder rung read 15× on 4× data, GC-bound
+    * on candidate churn. Full-hash equality across unrelated videos is
+    * ~2⁻⁶⁴ per aligned pair, so candidates ∝ true near-dup density at
+    * any corpus size (measured post-fix: x16→x64 back to ~4× on 4×).
     * Exact verify joins candidates back to the k-row signatures per side
     * and sums `bit_count(xor)` — candidate-proportional, never corpus².
-    * Only shuffles: the banded join keyed on (frame_ix, block, value)
-    * and the (da, db)-keyed verify agg. Output: (da, db, hamming). */
-  def hammingFramePairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * Only shuffles: the candidate join keyed on (frame_ix, lo, hi) and
+    * the (da, db)-keyed verify agg. Output: (da, db, hamming). */
+  def hammingFramePairs(sigs: DataFrame, maxHamming: Int = 3,
+      frames: Int = 4): DataFrame = {
+    require(maxHamming < frames,
+      "frame-hash banding is exact only for Hamming < frame count")
     // one materialization: the upstream chain (container split + per-frame
     // decode + hash) is the expensive part and is read three times below
     val mat = sigs.localCheckpoint()
-    val blocks = mat.select(col("doc_id"), col("frame_ix"),
-      posexplode(array(
-        col("lo").bitwiseAND(lit(0xFFFFL)),
-        shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(0xFFFFL)),
-        col("hi").bitwiseAND(lit(0xFFFFL)),
-        shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(0xFFFFL)))))
-      .toDF("doc_id", "frame_ix", "blk", "bv")
-    val cands = blocks.as("a")
-      .join(blocks.as("b"),
+    val cands = mat.as("a")
+      .join(mat.as("b"),
         col("a.frame_ix") === col("b.frame_ix") &&
-          col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.lo") === col("b.lo") && col("a.hi") === col("b.hi") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()

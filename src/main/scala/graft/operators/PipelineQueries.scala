@@ -2702,8 +2702,9 @@ object PipelineQueries {
     // walk splits each container into its frame payloads, the
     // PerceptualHash.dhash kernel hashes every frame, and the banded
     // Hamming machinery pairs videos on SUMMED per-frame distance
-    // (Dedup.hammingFramePairs — 16 (frame, block, value) bands,
-    // pigeonhole-exact at this threshold). Corpus: synthAviGroup — AVIs
+    // (Dedup.hammingFramePairs — whole-frame-hash bands, pigeonhole-exact
+    // for Hamming < frame count; see its doc for why 16-bit blocks
+    // birthday-collide at 320 K videos). Corpus: synthAviGroup — AVIs
     // whose 4 frame chunks carry synthPatternPng-style PNGs (lossless, so
     // the oracle replays the ENTIRE chain from doc_id arithmetic: per-
     // frame pixels -> 4x4 cell sums -> comparison bits -> u32 halves ->
