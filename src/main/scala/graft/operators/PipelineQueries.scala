@@ -35,6 +35,57 @@ object PipelineQueries {
     Tables.documents(s, d).select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** Per-frame dHash signatures of the synthetic video corpus —
+    * (doc_id, frame_ix, lo, hi); shared by q_mm_dedup_video and its
+    * canonicalization composition. */
+  private def videoSigs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{GraftFunctions => GFF}
+    GFF.register(s)
+    spreadDocIds(s, d)
+      .select(col("doc_id"), GFF.synthAviGroup(col("doc_id")).as("payload"))
+      .select(col("doc_id"), posexplode(GFF.aviFrames(col("payload"))))
+      .select(col("doc_id"), col("pos").as("frame_ix"),
+        GFF.dhash(col("col")).as("fh"))
+      .where(size(col("fh")) === 2)
+      .select(col("doc_id"), col("frame_ix"),
+        element_at(col("fh"), 1).as("lo"), element_at(col("fh"), 2).as("hi"))
+  }
+
+  /** DuckDB replay of the video per-frame dHash chain up to
+    * `hashes(doc_id, f, lo, hi)` — shared by q_mm_dedup_video and its
+    * canonicalization composition. */
+  private def videoHashesSql: String =
+    """raw AS (
+      |  SELECT doc_id, f.f AS f, x.x AS x, y.y AS y,
+      |    ((xor(xor(xor((doc_id // 3) * 73856093, x.x * 19349663),
+      |              y.y * 83492791), f.f * 15485863) % 2147483648)
+      |     * 2654435761 >> 21) % 256 AS base
+      |  FROM documents,
+      |       (SELECT unnest(range(0, 4)) AS f) f,
+      |       (SELECT unnest(range(0, 36)) AS x) x,
+      |       (SELECT unnest(range(0, 32)) AS y) y),
+      |px AS (
+      |  SELECT doc_id, f, x, y,
+      |    CASE WHEN doc_id % 3 > 0 AND f = doc_id % 3
+      |              AND x // 4 = doc_id % 3 AND y // 4 = doc_id % 3
+      |         THEN (base + 8) % 256 ELSE base END AS lum
+      |  FROM raw),
+      |cells AS (
+      |  SELECT doc_id, f, x // 4 AS cx, y // 4 AS cy, 3 * sum(lum) AS s
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT a.doc_id, a.f, a.cy, a.cx,
+      |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.f = b.f
+      |       AND a.cy = b.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |hashes AS (
+      |  SELECT doc_id, f,
+      |    sum(CASE WHEN cy < 4 THEN bit::BIGINT << (cy * 8 + cx)::INT ELSE 0 END) AS lo,
+      |    sum(CASE WHEN cy >= 4 THEN bit::BIGINT << ((cy - 4) * 8 + cx)::INT ELSE 0 END) AS hi
+      |  FROM bits GROUP BY 1, 2)""".stripMargin
+
   /** Embedding dimensionality (pinned by the harness embeddings table). */
   private val PcaDim = 64
 
@@ -2714,56 +2765,42 @@ object PipelineQueries {
     // candidates are banded and verify is candidate-proportional — never
     // all-pairs.
     "q_mm_dedup_video" -> Q(
-      (s, d) => {
-        import graft.functions.{GraftFunctions => GFF}
-        GFF.register(s)
-        val vids = spreadDocIds(s, d)
-          .select(col("doc_id"), GFF.synthAviGroup(col("doc_id")).as("payload"))
-        val sigs = vids
-          .select(col("doc_id"), posexplode(GFF.aviFrames(col("payload"))))
-          .select(col("doc_id"), col("pos").as("frame_ix"),
-            GFF.dhash(col("col")).as("fh"))
-          .where(size(col("fh")) === 2)
-          .select(col("doc_id"), col("frame_ix"),
-            element_at(col("fh"), 1).as("lo"), element_at(col("fh"), 2).as("hi"))
-        Dedup.hammingFramePairs(sigs).orderBy("da", "db")
-      },
-      """WITH raw AS (
-        |  SELECT doc_id, f.f AS f, x.x AS x, y.y AS y,
-        |    ((xor(xor(xor((doc_id // 3) * 73856093, x.x * 19349663),
-        |              y.y * 83492791), f.f * 15485863) % 2147483648)
-        |     * 2654435761 >> 21) % 256 AS base
-        |  FROM documents,
-        |       (SELECT unnest(range(0, 4)) AS f) f,
-        |       (SELECT unnest(range(0, 36)) AS x) x,
-        |       (SELECT unnest(range(0, 32)) AS y) y),
-        |px AS (
-        |  SELECT doc_id, f, x, y,
-        |    CASE WHEN doc_id % 3 > 0 AND f = doc_id % 3
-        |              AND x // 4 = doc_id % 3 AND y // 4 = doc_id % 3
-        |         THEN (base + 8) % 256 ELSE base END AS lum
-        |  FROM raw),
-        |cells AS (
-        |  SELECT doc_id, f, x // 4 AS cx, y // 4 AS cy, 3 * sum(lum) AS s
-        |  FROM px GROUP BY 1, 2, 3, 4),
-        |bits AS (
-        |  SELECT a.doc_id, a.f, a.cy, a.cx,
-        |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-        |  FROM cells a JOIN cells b
-        |    ON a.doc_id = b.doc_id AND a.f = b.f
-        |       AND a.cy = b.cy AND b.cx = a.cx + 1
-        |  WHERE a.cx < 8),
-        |hashes AS (
-        |  SELECT doc_id, f,
-        |    sum(CASE WHEN cy < 4 THEN bit::BIGINT << (cy * 8 + cx)::INT ELSE 0 END) AS lo,
-        |    sum(CASE WHEN cy >= 4 THEN bit::BIGINT << ((cy - 4) * 8 + cx)::INT ELSE 0 END) AS hi
-        |  FROM bits GROUP BY 1, 2)
+      (s, d) => Dedup.hammingFramePairs(videoSigs(s, d)).orderBy("da", "db"),
+      s"""WITH $videoHashesSql
         |SELECT a.doc_id AS da, b.doc_id AS db,
         |  sum(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
         |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id AND a.f = b.f
         |GROUP BY 1, 2
         |HAVING sum(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))) <= 3
         |ORDER BY da, db""".stripMargin),
+
+    // The canonicalization step COMPOSED onto the VIDEO near-dup pairs
+    // (r15): frame-hash-banded pairs -> connected components -> min-id
+    // representative — the third modality through the same generic
+    // Dedup.dupClusters machinery (text q_dedup_clusters, image
+    // q_mm_dedup_canon), proving the pair relation is the shared
+    // composition contract across every dedup leg. Oracle: the video
+    // pixel replay extended with a recursive-CTE transitive closure.
+    "q_mm_dedup_video_canon" -> Q(
+      (s, d) => {
+        val pairs = Dedup.hammingFramePairs(videoSigs(s, d))
+        Dedup.dupClusters(pairs.select(col("da"), col("db"))).orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE $videoHashesSql,
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id AND a.f = b.f
+        |  GROUP BY 1, 2
+        |  HAVING sum(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))) <= 3),
+        |sym AS (SELECT da AS a, db AS b FROM pairs
+        |        UNION SELECT db AS a, da AS b FROM pairs),
+        |reach AS (
+        |  SELECT a AS src, b AS dst FROM sym
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+        |)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
 
     "q_mm_decode" -> Q(
       (s, d) => {

@@ -47,8 +47,12 @@ object Tokenize {
     * At cluster scale `parts` rises with executor count; the driver
     * still holds `parts` longs. Oracle: DuckDB replays the identical
     * prefix sum with one window over the same (skey, doc_id) order. */
-  def packSequences(docs: org.apache.spark.sql.DataFrame,
-      ctx: Int = 512, parts: Int = 32): org.apache.spark.sql.DataFrame = {
+  /** The per-document global token offsets behind [[packSequences]]:
+    * (doc_id, n, gb) where n = BPE count + 1 EOS and gb = the document's
+    * starting offset in the concatenated stream (hash-ranked order). See
+    * [[packSequences]] for the sample-free two-phase prefix sum. */
+  def packOffsets(docs: org.apache.spark.sql.DataFrame,
+      parts: Int = 32): org.apache.spark.sql.DataFrame = {
     require((parts & (parts - 1)) == 0, "parts must be a power of two")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
@@ -72,6 +76,11 @@ object Tokenize {
       .join(broadcast(offsDf), "pid")
       .select(col("doc_id"), col("n"),
         (col("poff") + col("cum") - col("n")).as("gb"))
+  }
+
+  def packSequences(docs: org.apache.spark.sql.DataFrame,
+      ctx: Int = 512, parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    packOffsets(docs, parts)
       .select(col("doc_id"), col("n"), col("gb"),
         explode(sequence(expr(s"gb div $ctx"),
           expr(s"(gb + n - 1) div $ctx"))).as("pack_id"))
@@ -248,6 +257,51 @@ object Tokenize {
          |  sum(least(gb + n, (pack_id + 1) * 512)
          |    - greatest(gb, pack_id * 512))::BIGINT AS n_tokens,
          |  count(CASE WHEN (gb + n - 1) // 512 = pack_id THEN 1 END)::BIGINT AS n_eos
+         |FROM e GROUP BY 1 ORDER BY pack_id""".stripMargin),
+
+    // -- sequence packing, CONTENT-verified (r15): q_pack_sequences'
+    //    count/EOS accounting can't see token identity — this twin
+    //    actually ASSEMBLES each pack and fingerprints it, proving the
+    //    packed stream byte-for-byte. Tokens move ONCE: each doc's BPE
+    //    array + its EOS marker explode to (global position, token)
+    //    keyed by pack, and one pack-keyed aggregate md5-hashes the
+    //    tokens in stream order (positions are unique, so the sorted
+    //    struct list pins the order in both engines). Shuffle = the
+    //    token stream once, ~12 B + token per row — the exact "text
+    //    moves once" contract of a shard writer. --
+    "q_pack_content" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val toks = docs
+          .select(col("doc_id"), GraftFunctions.bpeTokens(col("text")).as("t"))
+          .join(packOffsets(docs), "doc_id")
+          .select(col("gb"),
+            posexplode(concat(col("t"), array(lit("</s>")))))
+          .select((col("gb") + col("pos")).as("p"), col("col").as("tok"))
+        toks
+          .groupBy(expr("p div 512").as("pack_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            md5(concat_ws(" ",
+              transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+                x => x.getField("tok")))).as("fp"))
+          .orderBy("pack_id")
+      },
+      s"""WITH RECURSIVE $bpeCte,
+         |c AS (SELECT doc_id,
+         |    ('0x' || substr(md5('pk_' || doc_id::VARCHAR), 1, 15))::BIGINT AS skey,
+         |    len(t)::BIGINT + 1 AS n
+         |  FROM btoks),
+         |o AS (SELECT doc_id, n,
+         |    (sum(n) OVER (ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING)
+         |      - n)::BIGINT AS gb
+         |  FROM c),
+         |e AS (SELECT o.gb + j - 1 AS p,
+         |    list_append(b.t, '</s>')[CAST(j AS INTEGER)] AS tok
+         |  FROM o JOIN btoks b USING (doc_id),
+         |       UNNEST(range(1, len(b.t) + 2)) AS u(j))
+         |SELECT (p // 512)::BIGINT AS pack_id, count(*)::BIGINT AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY p)) AS fp
          |FROM e GROUP BY 1 ORDER BY pack_id""".stripMargin),
 
     // -- corpus subword vocabulary: top-30 BPE tokens by frequency (the

@@ -44,6 +44,42 @@ class Round15OpsSpec extends SparkSpec {
     assert(a == b, "packing must not depend on input partitioning")
   }
 
+  test("pack content twin agrees with the counting operator pack-by-pack, " +
+      "and the assembled stream is the concatenation it claims") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf0)
+    val counts = Tokenize.packSequences(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val content = Tokenize.all("q_pack_content").fn(spark, sf0).collect()
+    assert(content.map(r => r.getLong(0) -> r.getLong(1)).toMap == counts,
+      "content twin must see the identical pack boundaries")
+    // independent replay: rebuild the global stream on the driver from the
+    // same hash-ranked order and hash each 512-chunk
+    import graft.functions.TextBpe
+    import org.apache.spark.unsafe.types.UTF8String
+    val ordered = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, _) =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"pk_$id".getBytes("UTF-8"))
+        (java.lang.Long.parseLong(
+          h.take(8).map("%02x".format(_)).mkString.take(15), 16), id)
+      }
+    val stream = ordered.flatMap { case (_, txt) =>
+      val t = TextBpe.bpe(UTF8String.fromString(txt))
+      (0 until t.numElements()).map(t.getUTF8String(_).toString) :+ "</s>"
+    }
+    val fps = stream.grouped(512).zipWithIndex.map { case (chunk, i) =>
+      i.toLong -> java.security.MessageDigest.getInstance("MD5")
+        .digest(chunk.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.toMap
+    content.foreach { r =>
+      assert(r.getString(2) == fps(r.getLong(0)),
+        s"pack ${r.getLong(0)} fingerprint mismatch vs driver replay")
+    }
+  }
+
   // ---- iterative BPE merge training ----
 
   test("bpeTrain: hand-checkable corpus learns the obvious merges in order") {
