@@ -168,6 +168,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => invokeIn(PerceptualHash.getClass,
         ArrayType(LongType, containsNull = false), "dhash", e,
         Seq(BinaryType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dhash128",
+      (e: Seq[Expression]) => invokeIn(PerceptualHash.getClass,
+        ArrayType(LongType, containsNull = false), "dhash128", e,
+        Seq(BinaryType)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_synth_pattern_png",
       (e: Seq[Expression]) => invokeIn(PerceptualHash.getClass, BinaryType,
         "synthPatternPng", e, Seq(LongType)), "scala_udf")
@@ -219,6 +223,7 @@ object GraftFunctions {
   def bpeTokensWith(c: Column, spec: String): Column =
     call_function("graft_bpe_with", c, lit(spec))
   def dhash(c: Column): Column = call_function("graft_dhash", c)
+  def dhash128(c: Column): Column = call_function("graft_dhash128", c)
   def synthPatternPng(id: Column): Column = call_function("graft_synth_pattern_png", id)
 
   /** Lowercase alphanumeric word tokens (both engines: split on

@@ -45,35 +45,42 @@ object PerceptualHash {
     * EMPTY array when no codec claims the bytes or the frame is smaller
     * than the pooling grid — callers filter on `size = 2`, mirroring the
     * NOT_IMAGE sentinel of the header probes. */
-  def dhash(bytes: Array[Byte]): ArrayData = {
-    // Fast path: pure-JVM PNG luminance decode (Inflater + filter undo,
-    // CRC-verified) — ~5× cheaper than the ImageIO dispatch for the
-    // dominant web format. Identical luminance by PNG losslessness
-    // (differentially spec-locked against the ImageIO path); anything
-    // the strict parser declines (other formats, interlaced, 16-bit,
-    // palette, bad CRC, truncation) falls through to ImageIO unchanged.
+  /** Decode any claimed image to its `(w, h, r+g+b luminance)` plane —
+    * pure-JVM PNG fast path (Inflater + filter undo, CRC-verified, ~5×
+    * cheaper than the ImageIO dispatch for the dominant web format;
+    * identical luminance by PNG losslessness, differentially spec-locked)
+    * with ImageIO fallback for everything the strict parser declines
+    * (other formats, interlaced, 16-bit, palette, gray, bad CRC,
+    * truncation). Null when no codec claims the bytes. Shared by
+    * [[dhash]] and [[dhash128]]. */
+  private def decodeLum(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     val fast = pngLuma(bytes)
-    val (w, h, lum) =
-      if (fast != null) fast
-      else {
-        val im = ImageCodec.readImage(bytes)
-        if (im == null) return new GenericArrayData(Array.emptyLongArray)
-        val iw = im.getWidth
-        val ih = im.getHeight
-        val l = new Array[Int](iw * ih)
-        var py = 0
-        while (py < ih) {
-          var px = 0
-          while (px < iw) {
-            val rgb = im.getRGB(px, py)
-            l(py * iw + px) =
-              ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-            px += 1
-          }
-          py += 1
+    if (fast != null) fast
+    else {
+      val im = ImageCodec.readImage(bytes)
+      if (im == null) return null
+      val iw = im.getWidth
+      val ih = im.getHeight
+      val l = new Array[Int](iw * ih)
+      var py = 0
+      while (py < ih) {
+        var px = 0
+        while (px < iw) {
+          val rgb = im.getRGB(px, py)
+          l(py * iw + px) =
+            ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          px += 1
         }
-        (iw, ih, l)
+        py += 1
       }
+      (iw, ih, l)
+    }
+  }
+
+  def dhash(bytes: Array[Byte]): ArrayData = {
+    val dec = decodeLum(bytes)
+    if (dec == null) return new GenericArrayData(Array.emptyLongArray)
+    val (w, h, lum) = dec
     if (w < GRID_W || h < GRID_H) return new GenericArrayData(Array.emptyLongArray)
     // Integer luminance sums + pixel counts per pooled cell. Cell bounds
     // are floor(px*GRID/w): exact integer pooling for any dims (cells
@@ -114,6 +121,59 @@ object PerceptualHash {
       cy += 1
     }
     new GenericArrayData(Array(lo, hi))
+  }
+
+  final val GRID_H128 = 16 // 16 pooled rows -> 8 x 16 = 128 comparison bits
+
+  /** 128-bit dHash as FOUR unsigned 32-bit words `[w0..w3]` — the
+    * wide-signature SCALE PATH for banded image near-dedup (r15): the
+    * 64-bit hash's exact-for-Hamming-≤3 banding needs 16-bit bands, whose
+    * 65 536-value space birthday-collides into Θ(n²/2¹⁶) spurious
+    * candidates past ~10⁶ images (measured on the video leg's x64 rung
+    * before its fix). Doubling the pooled rows (9×16 grid, 8 comparisons
+    * × 16 rows) doubles signature length, so exact-≤3 banding uses FOUR
+    * 32-BIT bands — collision space 2³², candidates ∝ true near-dup
+    * density to ~10⁹ images. Same decode, same integer cross-multiplied
+    * pooling, same empty-array sentinel; bit `cy·8+cx` lives in word
+    * `cy/4` at position `(cy%4)·8+cx`. Finer vertical pooling also
+    * sharpens discrimination (synth corpus: in-group ≤4 bits, cross-group
+    * ≥49 — measured before shipping). */
+  def dhash128(bytes: Array[Byte]): ArrayData = {
+    val dec = decodeLum(bytes)
+    if (dec == null) return new GenericArrayData(Array.emptyLongArray)
+    val (w, h, lum) = dec
+    if (w < GRID_W || h < GRID_H128)
+      return new GenericArrayData(Array.emptyLongArray)
+    val sums = new Array[Long](GRID_W * GRID_H128)
+    val cnts = new Array[Long](GRID_W * GRID_H128)
+    var py = 0
+    while (py < h) {
+      val cy = py * GRID_H128 / h
+      val rowOff = py * w
+      var px = 0
+      while (px < w) {
+        val cx = px * GRID_W / w
+        val i = cy * GRID_W + cx
+        sums(i) += lum(rowOff + px)
+        cnts(i) += 1
+        px += 1
+      }
+      py += 1
+    }
+    val words = new Array[Long](4)
+    var cy = 0
+    while (cy < GRID_H128) {
+      var cx = 0
+      while (cx < GRID_W - 1) {
+        val a = cy * GRID_W + cx
+        val b = a + 1
+        if (sums(a) * cnts(b) > sums(b) * cnts(a))
+          words(cy / 4) |= 1L << ((cy % 4) * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    new GenericArrayData(words)
   }
 
   /** Strict pure-JVM PNG luminance decoder for [[dhash]]'s fast path:

@@ -310,6 +310,35 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Banded pairing over 128-BIT signatures carried as four u32 words
+    * `(doc_id, w0..w3)` — the WIDE-signature scale path of
+    * [[hamming64Pairs]] (r15): 4 bands of 32 bits each, pigeonhole-exact
+    * for Hamming ≤ 3 exactly like the 4×16 banding, but the band-value
+    * space grows 2¹⁶ → 2³², so birthday-collision candidates fall from
+    * Θ(n²/2¹⁶) (superlinear past ~10⁶ items — the failure mode the video
+    * leg's x64 rung measured) to Θ(n²/2³³) — negligible to ~10⁹ items.
+    * Pairs with the 128-bit [[graft.functions.PerceptualHash.dhash128]].
+    * Only shuffle: the (band, 32-bit value)-keyed candidate join.
+    * Output: (da, db, hamming). */
+  def hamming128Pairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x32-bit banding is exact only for Hamming <= 3")
+    val mat = sigs.localCheckpoint() // one signature materialization (see hamming64Pairs)
+    val blocks = mat.select(
+      col("doc_id") +: (0 to 3).map(i => col(s"w$i")) :+
+        posexplode(array((0 to 3).map(i => col(s"w$i")): _*)): _*)
+      .toDF("doc_id", "w0", "w1", "w2", "w3", "blk", "bv")
+    val ham = (0 to 3).map(i =>
+      bit_count(col(s"a.w$i").bitwiseXOR(col(s"b.w$i")))).reduce(_ + _)
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        ham.cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Video near-dup pairing over MULTI-FRAME signatures (r15 — the video
     * leg of the dedup family, composing the image dHash kernel with the
     * AVI frame walk): input is one row per (doc_id, frame_ix) with that

@@ -251,7 +251,9 @@ object PipelineQueries {
     * -> 4x4 cell sums -> 64 comparison bits -> (lo, hi) u32 halves) up to
     * a `hashes(doc_id, lo, hi)` CTE — shared by the image near-dup pair
     * query and its canonicalization composition. */
-  private def dhashHashesSql: String =
+  /** The synth-corpus pixel replay (raw spatial-hash byte + the variant
+    * cell edit) — shared by the 64-bit and 128-bit dHash oracle chains. */
+  private def dhashPxSql: String =
     """raw AS (
       |  SELECT doc_id, x.x AS x, y.y AS y,
       |    ((xor(xor((doc_id // 3) * 73856093, x.x * 19349663),
@@ -265,7 +267,10 @@ object PipelineQueries {
       |    CASE WHEN doc_id % 3 > 0 AND x // 4 = doc_id % 3
       |              AND y // 4 = doc_id % 3
       |         THEN (base + 8) % 256 ELSE base END AS lum
-      |  FROM raw),
+      |  FROM raw)""".stripMargin
+
+  private def dhashHashesSql: String =
+    s"""$dhashPxSql,
       |cells AS (
       |  SELECT doc_id, x // 4 AS cx, y // 4 AS cy, 3 * sum(lum) AS s
       |  FROM px GROUP BY 1, 2, 3),
@@ -2660,6 +2665,55 @@ object PipelineQueries {
         |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
         |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY da, db""".stripMargin),
+
+    // The WIDE-signature scale path of image near-dedup (r15): the 64-bit
+    // leg's exact-<=3 banding needs 16-bit bands, whose value space
+    // birthday-collides into Theta(n^2/2^16) spurious candidates past
+    // ~10^6 images (the failure mode the video x64 rung measured). The
+    // 128-bit dHash (9x16 pooled grid, PerceptualHash.dhash128) keeps the
+    // same decode and integer pooling but bands as 4x32 bits —
+    // pigeonhole-exact for Hamming <= 3 with a 2^32 collision space,
+    // candidate-proportional to ~10^9 images. Same synth corpus; the
+    // oracle re-pools the identical pixel replay on the finer grid
+    // (cells 4x2: x//4, y//2) and packs 4 words. In-group pairs sit <=4
+    // bits (one group in ~300 lands at 4 and correctly drops at the <=3
+    // threshold — both engines agree), cross-group >=49.
+    "q_mm_dedup_image_wide" -> Q(
+      (s, d) => {
+        import graft.functions.{GraftFunctions => GFF}
+        GFF.register(s)
+        val sigs = spreadDocIds(s, d)
+          .select(col("doc_id"),
+            GFF.dhash128(GFF.synthPatternPng(col("doc_id"))).as("dh"))
+          .where(size(col("dh")) === 4)
+          .select(col("doc_id") +:
+            (0 to 3).map(i => element_at(col("dh"), i + 1).as(s"w$i")): _*)
+        Dedup.hamming128Pairs(sigs).orderBy("da", "db")
+      },
+      s"""WITH $dhashPxSql,
+        |cells AS (
+        |  SELECT doc_id, x // 4 AS cx, y // 2 AS cy, 3 * sum(lum) AS s
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy, a.cx,
+        |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cy < 4 THEN bit::BIGINT << (cy * 8 + cx)::INT ELSE 0 END) AS w0,
+        |    sum(CASE WHEN cy BETWEEN 4 AND 7 THEN bit::BIGINT << ((cy - 4) * 8 + cx)::INT ELSE 0 END) AS w1,
+        |    sum(CASE WHEN cy BETWEEN 8 AND 11 THEN bit::BIGINT << ((cy - 8) * 8 + cx)::INT ELSE 0 END) AS w2,
+        |    sum(CASE WHEN cy >= 12 THEN bit::BIGINT << ((cy - 12) * 8 + cx)::INT ELSE 0 END) AS w3
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+        |   + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)))::INT AS hamming
+        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+        |   + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3
         |ORDER BY da, db""".stripMargin),
 
     // The canonicalization step COMPOSED onto the image near-dup pairs

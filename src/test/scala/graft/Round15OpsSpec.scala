@@ -134,6 +134,29 @@ class Round15OpsSpec extends SparkSpec {
       s"distributed $distributed != local $merges")
   }
 
+  // ---- 128-bit dHash (wide-signature scale path) ----
+
+  test("dhash128: u32 words, in-group tight, cross-group far, declines junk") {
+    import graft.functions.PerceptualHash
+    def h128(id: Long): Array[Long] = {
+      val a = PerceptualHash.dhash128(PerceptualHash.synthPatternPng(id))
+      assert(a.numElements() == 4)
+      a.toLongArray()
+    }
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      (0 to 3).map(i => java.lang.Long.bitCount(a(i) ^ b(i))).sum
+    for (g <- 0L until 40L) {
+      val base = h128(3 * g)
+      base.foreach(w => assert(w >= 0L && w < (1L << 32), "u32 words"))
+      assert(ham(base, h128(3 * g + 1)) <= 4, s"group $g variant 1")
+      assert(ham(base, h128(3 * g + 2)) <= 4, s"group $g variant 2")
+      if (g > 0) assert(ham(base, h128(0L)) > 20, s"group $g vs group 0")
+    }
+    assert(PerceptualHash.dhash128("junk".getBytes).numElements() == 0)
+    // deterministic and independent of the 64-bit kernel's grid
+    assert(h128(7L).toSeq == h128(7L).toSeq)
+  }
+
   // ---- video near-dedup ----
 
   test("synthAviGroup: valid AVI of 4 losslessly-decodable PNG frames") {
