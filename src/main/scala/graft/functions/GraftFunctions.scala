@@ -175,6 +175,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_synth_pattern_png",
       (e: Seq[Expression]) => invokeIn(PerceptualHash.getClass, BinaryType,
         "synthPatternPng", e, Seq(LongType)), "scala_udf")
+    // Unicode NFC normalization (TextHashes.nfc — ASCII fast path)
+    reg.createOrReplaceTempFunction("graft_nfc",
+      (e: Seq[Expression]) => invoke(StringType, "nfc", e,
+        Seq(StringType)), "scala_udf")
   }
 
   // Column-API wrappers (register(spark) must have been called in the session)
@@ -225,6 +229,7 @@ object GraftFunctions {
   def dhash(c: Column): Column = call_function("graft_dhash", c)
   def dhash128(c: Column): Column = call_function("graft_dhash128", c)
   def synthPatternPng(id: Column): Column = call_function("graft_synth_pattern_png", id)
+  def nfcNorm(c: Column): Column = call_function("graft_nfc", c)
 
   /** Lowercase alphanumeric word tokens (both engines: split on
     * `[^a-z0-9]+`, drop empties). */

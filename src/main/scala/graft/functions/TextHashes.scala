@@ -574,4 +574,29 @@ object TextHashes {
       case _ => NOT_BMP
     }
   }
+
+  /** Unicode NFC normalization (canonical composition) — the hygiene pass a
+    * text pipeline runs BEFORE any hashing/dedup step, because the same
+    * visible string has multiple byte encodings (e + U+0301 vs é) and every
+    * downstream digest/shingle/minhash treats them as different documents.
+    * `java.text.Normalizer` implements the Unicode standard's NFC, the same
+    * algorithm DuckDB's `nfc_normalize` (utf8proc) implements, so the oracle
+    * can compare normalized bytes directly. Fast path: a pure-ASCII string
+    * is already NFC (scan bytes, no allocation) — the overwhelmingly common
+    * case in a web corpus, and the reason this beats normalizing
+    * unconditionally through String round-trips. */
+  def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0L
+    var ascii = true
+    while (ascii && i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
 }

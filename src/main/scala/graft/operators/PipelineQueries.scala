@@ -900,6 +900,49 @@ object PipelineQueries {
         |   '\s+', ' ', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Unicode NFC normalization — the hygiene pass that runs BEFORE every
+    // hash-based dedup step: canonically-equivalent strings (e + U+0301 vs
+    // the precomposed é) have different bytes, so without it every digest /
+    // shingle / minhash treats them as distinct documents and dedup recall
+    // silently drops. The harness corpus is ASCII, so the query plants
+    // decomposed sequences deterministically (docs whose md5-60 is even get
+    // every 'e' replaced by e + COMBINING ACUTE) and the oracle replays the
+    // same planting, then both engines normalize: the kernel is
+    // `java.text.Normalizer` NFC behind codegen (`TextHashes.nfc`, with a
+    // zero-allocation pure-ASCII fast path — the dominant web-corpus case),
+    // DuckDB's is utf8proc `nfc_normalize` — two INDEPENDENT implementations
+    // of UAX #15 whose composed bytes (and md5 digests) must agree exactly.
+    // Scale: per-row projection, zero shuffle, codegen end-to-end.
+    "q_normalize_unicode" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(md5Hash60(col("text")) % 2 === 0,
+              regexp_replace(col("text"), "e", "e\u0301"))
+              .otherwise(col("text")).as("raw"))
+          .select(col("doc_id"),
+            length(col("raw")).cast("long").as("n_raw"),
+            length(nfcNorm(col("raw"))).cast("long").as("n_nfc"),
+            (nfcNorm(col("raw")) =!= col("raw")).as("changed"),
+            md5(col("raw").cast("binary")).as("h_raw"),
+            md5(nfcNorm(col("raw")).cast("binary")).as("h_nfc"))
+          .orderBy("doc_id")
+      },
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 2 = 0
+        |         THEN regexp_replace(text, 'e', 'e' || chr(769), 'g')
+        |         ELSE text END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(raw)::BIGINT AS n_raw,
+        |  length(nfc_normalize(raw))::BIGINT AS n_nfc,
+        |  nfc_normalize(raw) <> raw AS changed,
+        |  md5(raw) AS h_raw,
+        |  md5(nfc_normalize(raw)) AS h_nfc
+        |FROM raw ORDER BY doc_id""".stripMargin),
+
     // full differential oracle: DuckDB replays the 60-bit md5-based simhash
     // (token hash = first 60 bits of md5, majority vote per bit), the
     // 4×15-bit pigeonhole blocking, and the exact Hamming verification —

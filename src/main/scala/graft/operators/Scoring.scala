@@ -268,6 +268,67 @@ object Scoring {
       .where(col("score") > 0)
   }
 
+  /** Distributed full-batch perceptron TRAINING (r15) — the from-scratch
+    * linear-classifier loop next to the inference-side
+    * `q_quality_classifier`: k rounds of
+    *
+    *   margin_i = y_i · (w·x_i);   w ← w + Σ_{margin_i ≤ 0} y_i·x_i
+    *
+    * over integer features, so every round is ONE partial-aggregated scan
+    * (reduce side = d+1 longs per partition) with the weight vector
+    * broadcast as literals — the textbook data-parallel training shape:
+    * cost per round ∝ corpus / cluster, driver state ∝ d. All arithmetic
+    * is int64 (exact, order-free, partitioning-invariant), so the DuckDB
+    * oracle replays the WHOLE loop bit-for-bit in one recursive CTE over
+    * the corpus collapsed to a feature list (the q_bpe_train discipline).
+    *
+    * Label: the established long-doc proxy (n_toks ≥ 64 — the
+    * q_calibration_ece label; the OPERATOR is the point, the label a
+    * harness stand-in). Features are CENTERED integers ([16, n_toks−64,
+    * stops−4, distinct−44]) — batch-summed updates overshoot into a
+    * 2-cycle when one raw feature's scale dominates the bias (measured:
+    * raw n_chars never converges; centered features reach zero training
+    * error in 13 rounds at 500 docs). After convergence the gradient is
+    * empty and every later round is a fixed-point row (w unchanged,
+    * n_err = 0), so a FIXED k stays oracle-replayable with no early-stop
+    * protocol. Output: the full (round, n_err, w) trajectory — n_err is
+    * measured under the PREVIOUS round's w, i.e. the count that round's
+    * update corrects. */
+  def perceptronTrain(docs: DataFrame, k: Int = 24): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stop = Seq("the", "and", "of", "a", "is")
+    val feats = docs
+      .select(tokens(col("text")).as("t"))
+      .select(
+        when(size(col("t")) >= 64, 1L).otherwise(-1L).as("y"),
+        lit(16L).as("x1"),
+        (size(col("t")).cast("long") - 64L).as("x2"),
+        (size(filter(col("t"), c => stop.map(m => c === m).reduce(_ || _)))
+          .cast("long") - 4L).as("x3"),
+        (size(array_distinct(col("t"))).cast("long") - 44L).as("x4"))
+      .persist()
+    try {
+      var w = Array(0L, 0L, 0L, 0L)
+      val hist = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+      for (r <- 1 to k) {
+        val margin = col("y") * (lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
+          lit(w(2)) * col("x3") + lit(w(3)) * col("x4"))
+        val mis = margin <= 0
+        def g(x: String) = sum(when(mis, col("y") * col(x)).otherwise(0L))
+        val row = feats
+          .agg(sum(when(mis, 1L).otherwise(0L)).as("n_err"),
+            g("x1"), g("x2"), g("x3"), g("x4"))
+          .collect()(0)
+        w = Array(w(0) + row.getLong(1), w(1) + row.getLong(2),
+          w(2) + row.getLong(3), w(3) + row.getLong(4))
+        hist += ((r.toLong, row.getLong(0), w(0), w(1), w(2), w(3)))
+      }
+      hist.result()
+        .toDF("round", "n_err", "w_bias", "w_toks", "w_stop", "w_distinct")
+    } finally { feats.unpersist(); () }
+  }
+
   val all: Map[String, Q] = Map(
 
     // -- BM25 retrieval: score every doc for the fixed 3-term query and
@@ -379,6 +440,36 @@ object Scoring {
          |  round(1.0 / (1.0 + exp(-(w_sum / n_toks))), 6) AS prob,
          |  (w_sum / n_toks > 0.0) AS keep
          |FROM f ORDER BY doc_id""".stripMargin),
+
+    // -- distributed batch-perceptron training (r15): k=24 rounds, each
+    //    ONE partial-agg scan with broadcast weights; all-int64 exact, so
+    //    the oracle replays the whole loop in one recursive CTE over the
+    //    corpus collapsed to a feature list (q_bpe_train discipline).
+    //    Converges to zero training error (round 13 at sf0.01);
+    //    post-convergence rounds are fixed-point rows by construction. --
+    "q_perceptron_train" -> Q(
+      (s, d) => perceptronTrain(Tables.documents(s, d)),
+      s"""WITH RECURSIVE f AS (
+         |  SELECT CASE WHEN len(t) >= 64 THEN 1 ELSE -1 END::BIGINT AS y,
+         |    [16::BIGINT, len(t)::BIGINT - 64,
+         |     len(list_filter(t, x -> x IN ('the','and','of','a','is')))::BIGINT - 4,
+         |     len(list_distinct(t))::BIGINT - 44] AS x
+         |  FROM (SELECT $tokSql AS t FROM documents)),
+         |c AS (SELECT list({'y': y, 'x': x}) AS fs FROM f),
+         |rec AS (
+         |  SELECT 0 AS round, [0,0,0,0]::BIGINT[] AS w, 0::BIGINT AS n_err FROM c
+         |  UNION ALL
+         |  SELECT r.round + 1,
+         |    list_transform(range(1, 5), j -> r.w[j] + list_sum(list_transform(c.fs, f ->
+         |      CASE WHEN f.y * (r.w[1]*f.x[1] + r.w[2]*f.x[2] + r.w[3]*f.x[3] + r.w[4]*f.x[4]) <= 0
+         |           THEN f.y * f.x[j] ELSE 0 END))::BIGINT),
+         |    list_sum(list_transform(c.fs, f ->
+         |      CASE WHEN f.y * (r.w[1]*f.x[1] + r.w[2]*f.x[2] + r.w[3]*f.x[3] + r.w[4]*f.x[4]) <= 0
+         |           THEN 1 ELSE 0 END))::BIGINT
+         |  FROM rec r, c WHERE r.round < 24)
+         |SELECT round::BIGINT AS round, n_err, w[1] AS w_bias, w[2] AS w_toks,
+         |  w[3] AS w_stop, w[4] AS w_distinct
+         |FROM rec WHERE round >= 1 ORDER BY round""".stripMargin),
 
     // -- classifier calibration (r14): the reliability diagram + expected
     //    calibration error of the hashed quality classifier — the eval a

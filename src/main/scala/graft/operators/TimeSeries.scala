@@ -114,6 +114,54 @@ object TimeSeries {
         (col("z.e.l") + col("z.e.b")).as("forecast"))
   }
 
+  /** Holt-Winters ADDITIVE-SEASONAL smoothing per user, period `m` (= 7:
+    * the weekly cycle of telemetry traffic) — [[holtDaily]]'s seasonal
+    * upgrade and the forecaster that survives day-of-week effects Holt
+    * mistakes for trend. α = β = γ = 0.5 (exact halvings, the established
+    * determinism discipline), seasonal state initialized at 0 so the first
+    * season degenerates to pure Holt and seasonality phases in from t > m:
+    *
+    *   SM  = s_{t−m}             (0 while t ≤ m)
+    *   l_t = ½(x_t − SM) + ½(l+b)
+    *   b_t = ½(l_t − l) + ½b
+    *   s_t = ½(x_t − l_t) + ½SM
+    *   one-step forecast = l_t + b_t + s_{t+1−m}
+    *
+    * l_t is inlined THREE times (into b_t and s_t — no intermediate
+    * binding exists in a fold lambda or a SQL recursion) and the oracle's
+    * recursive CTE carries the seasonal history as a list column indexed
+    * at `rn − m`, token-for-token this fold's `element_at(acc, t−m)`; the
+    * inlined copies compute identical doubles, so the coupled three-state
+    * recurrence stays bit-equal across engines with no rounding anywhere.
+    * Scale: one user-keyed rollup shuffle; the fold runs over the
+    * days-per-user series (the acc array IS the seasonal history), never
+    * over raw events. */
+  def holtWintersDaily(events: DataFrame, m: Int = 7): DataFrame = {
+    val obs = dailyObserved(events)
+    val sm = s"(case when size(acc) + 1 > $m then element_at(acc, size(acc) + 1 - $m).sv else 0.0D end)"
+    val lt = s"(0.5D * (x.v - $sm) + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b))"
+    obs.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("s"))
+      .withColumn("e", expr(
+        s"""aggregate(s, cast(array() as array<struct<l:double,b:double,sv:double>>), (acc, x) ->
+           |  case when size(acc) = 0
+           |       then array(named_struct('l', cast(x.v as double), 'b', 0.0D, 'sv', 0.0D))
+           |       else array_append(acc, named_struct(
+           |         'l', $lt,
+           |         'b', 0.5D * ($lt - element_at(acc, -1).l) + 0.5D * element_at(acc, -1).b,
+           |         'sv', 0.5D * (x.v - $lt) + 0.5D * $sm)) end)
+           |""".stripMargin))
+      .select(col("user_id"), col("e"),
+        posexplode(arrays_zip(col("s"), col("e"))))
+      .select(col("user_id"), Norm.dateStr(col("col.s.day")).as("day"),
+        col("col.s.v").as("v"), col("col.e.l").as("level"),
+        col("col.e.b").as("trend"), col("col.e.sv").as("seasonal"),
+        (col("col.e.l") + col("col.e.b") +
+          when(col("pos") + 1 >= m,
+            element_at(col("e"), col("pos") + lit(2) - lit(m)).getField("sv"))
+            .otherwise(lit(0.0))).as("forecast"))
+  }
+
   /** Shared oracle prefix: daily decimal-exact rollup + each observed
     * point's NEXT observed neighbor (segment form — equivalent to the
     * engine's nearest-neighbor windows because every gap is interior). */
@@ -190,6 +238,39 @@ object TimeSeries {
         |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v,
         |  l AS level, b AS trend, l + b AS forecast
+        |FROM rec ORDER BY user_id, day""".stripMargin),
+
+    // Holt-Winters additive-seasonal (r15): the day-of-week-aware
+    // forecaster. Seasonal history rides a LIST column in the oracle's
+    // recursive CTE (indexed rn−7, the fold's element_at(acc, t−7));
+    // l_t inlined three times on BOTH engines → bit-identical doubles.
+    "q_ts_holt_winters" -> Q(
+      (s, d) => holtWintersDaily(Tables.events(s, d)).orderBy("user_id", "day"),
+      """WITH RECURSIVE obs AS (
+        |  SELECT user_id, ts::DATE AS day,
+        |    sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ord AS (
+        |  SELECT user_id, day, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM obs),
+        |rec AS (
+        |  SELECT user_id, day, v, rn, v AS l, 0.0::DOUBLE AS b, 0.0::DOUBLE AS s,
+        |    [0.0::DOUBLE] AS sl
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.day, o.v, o.rn,
+        |    0.5 * (o.v - (CASE WHEN o.rn > 7 THEN r.sl[o.rn - 7] ELSE 0.0 END)) + 0.5 * (r.l + r.b),
+        |    0.5 * ((0.5 * (o.v - (CASE WHEN o.rn > 7 THEN r.sl[o.rn - 7] ELSE 0.0 END)) + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+        |    0.5 * (o.v - (0.5 * (o.v - (CASE WHEN o.rn > 7 THEN r.sl[o.rn - 7] ELSE 0.0 END)) + 0.5 * (r.l + r.b)))
+        |      + 0.5 * (CASE WHEN o.rn > 7 THEN r.sl[o.rn - 7] ELSE 0.0 END),
+        |    list_append(r.sl,
+        |      0.5 * (o.v - (0.5 * (o.v - (CASE WHEN o.rn > 7 THEN r.sl[o.rn - 7] ELSE 0.0 END)) + 0.5 * (r.l + r.b)))
+        |      + 0.5 * (CASE WHEN o.rn > 7 THEN r.sl[o.rn - 7] ELSE 0.0 END))
+        |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v, l AS level, b AS trend,
+        |  s AS seasonal,
+        |  l + b + (CASE WHEN rn >= 7 THEN sl[rn - 6] ELSE 0.0 END) AS forecast
         |FROM rec ORDER BY user_id, day""".stripMargin),
 
     "q_ts_ewma" -> Q(

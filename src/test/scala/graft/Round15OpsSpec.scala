@@ -222,4 +222,122 @@ class Round15OpsSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"prefix sum must not serialize onto one partition:\n$p")
   }
+
+  // ---- Unicode NFC normalization ----
+
+  test("nfc kernel: composes canonical sequences, identity (same instance) " +
+      "on pure ASCII, agrees with java.text.Normalizer on mixed input") {
+    import graft.functions.TextHashes
+    import org.apache.spark.unsafe.types.UTF8String
+    val deco = UTF8String.fromString("café résumé")
+    assert(TextHashes.nfc(deco).toString == "café résumé")
+    val ascii = UTF8String.fromString("plain ascii text 123")
+    assert(TextHashes.nfc(ascii) eq ascii, "ASCII fast path must not allocate")
+    // already-composed non-ASCII is NFC-stable
+    val comp = UTF8String.fromString("café")
+    assert(TextHashes.nfc(comp).toString == "café")
+    // differential vs the JDK normalizer on a combining-heavy string
+    val s = "Ǻ ȩ́ ḍ̇ x"
+    assert(TextHashes.nfc(UTF8String.fromString(s)).toString ==
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  test("q_normalize_unicode: changed rows shrink (composition), unchanged " +
+      "rows keep identical hashes") {
+    GraftFunctions.register(spark)
+    val rows = graft.operators.PipelineQueries.all("q_normalize_unicode")
+      .fn(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nRaw, nNfc, changed) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      if (changed) assert(nNfc < nRaw, s"composition must shorten: $r")
+      else {
+        assert(nNfc == nRaw)
+        assert(r.getString(4) == r.getString(5), "unchanged => same digest")
+      }
+    }
+    assert(rows.exists(_.getBoolean(3)), "planting must produce changed rows")
+    assert(rows.exists(!_.getBoolean(3)), "odd-hash docs stay unchanged")
+  }
+
+  // ---- Holt-Winters additive-seasonal smoothing ----
+
+  test("holtWintersDaily: bit-equal to a local three-state reference fold; " +
+      "warmup prefix (t <= m) degenerates to pure Holt") {
+    import graft.operators.TimeSeries
+    val events = Tables.events(spark, sf0)
+    val hw = TimeSeries.holtWintersDaily(events).orderBy("user_id", "day").collect()
+    val holt = TimeSeries.holtDaily(events).orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // local reference per user
+    val byUser = hw.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getString(1))
+      var l = 0.0; var b = 0.0
+      val sl = scala.collection.mutable.ArrayBuffer.empty[Double]
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val t = i + 1; val x = r.getDouble(2)
+        if (t == 1) { l = x; b = 0.0; sl += 0.0 }
+        else {
+          val sm = if (t > 7) sl(t - 7 - 1) else 0.0
+          val lt = 0.5 * (x - sm) + 0.5 * (l + b)
+          val bt = 0.5 * (lt - l) + 0.5 * b
+          val st = 0.5 * (x - lt) + 0.5 * sm
+          sl += st; l = lt; b = bt
+        }
+        val f = l + b + (if (t >= 7) sl(t + 1 - 7 - 1) else 0.0)
+        assert(r.getDouble(3) == l && r.getDouble(4) == b &&
+          r.getDouble(5) == sl(t - 1) && r.getDouble(6) == f,
+          s"row $r != reference ($l, $b, ${sl(t - 1)}, $f)")
+        // seasonal state is silent through the warmup => pure Holt
+        if (t <= 7) {
+          val (hl, hb) = holt((r.getLong(0), r.getString(1)))
+          assert(r.getDouble(3) == hl && r.getDouble(4) == hb,
+            "warmup level/trend must equal plain Holt")
+        }
+      }
+    }
+  }
+
+  // ---- distributed batch-perceptron training ----
+
+  test("perceptronTrain: equals a local reference loop, is partitioning-" +
+      "invariant, converges and then holds the fixed point") {
+    import graft.operators.Scoring
+    val docs = Tables.documents(spark, sf0)
+    val got = Scoring.perceptronTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    // local reference over the same features
+    val stop = Set("the", "and", "of", "a", "is")
+    val feats = docs.select(col("text")).collect().map { r =>
+      val t = r.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val y = if (t.length >= 64) 1L else -1L
+      (y, Array(16L, t.length.toLong - 64L,
+        t.count(stop).toLong - 4L, t.distinct.length.toLong - 44L))
+    }
+    var w = Array(0L, 0L, 0L, 0L)
+    val ref = (1 to 24).map { r =>
+      val g = Array(0L, 0L, 0L, 0L); var nErr = 0L
+      feats.foreach { case (y, x) =>
+        if (y * w.zip(x).map { case (a, c) => a * c }.sum <= 0) {
+          nErr += 1; (0 until 4).foreach(j => g(j) += y * x(j))
+        }
+      }
+      w = w.zip(g).map { case (a, c) => a + c }
+      (r.toLong, nErr, w.toSeq)
+    }
+    assert(got.toSeq == ref, "distributed loop must replay the reference")
+    // converged at sf0.001 and the gradient-free tail is a fixed point
+    assert(got.last._2 == 0L, "training error must reach zero")
+    val conv = got.indexWhere(_._2 == 0L)
+    got.drop(conv).foreach { case (_, e, wv) =>
+      assert(e == 0L && wv == got(conv)._3, "post-convergence rows fixed")
+    }
+    // partitioning invariance: int64 sums are order-free
+    val re = Scoring.perceptronTrain(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(re.toSeq == got.toSeq)
+  }
 }
