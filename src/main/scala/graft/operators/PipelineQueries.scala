@@ -1187,6 +1187,54 @@ object PipelineQueries {
          |              JOIN embeddings eb ON eb.vec_id = c.vb)
          |WHERE cos >= 0.4 ORDER BY va, vb""".stripMargin),
 
+    // k-NN GRAPH (r15): every vector's top-5 neighbors — the SemDeDup /
+    // mutual-kNN / diversity-sampling precursor where Q = the corpus (so
+    // no broadcast query set exists). LSH sign-bucket candidates at no
+    // cosine floor, exact cosine once per undirected pair, both directed
+    // orientations from ONE pass, per-source top-k window. The oracle
+    // replays the identical md5-derived planes + adaptive width, then the
+    // same symmetrize + rank — the LSH approximation itself is checked.
+    "q_knn_graph" -> Q(
+      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", 5)
+        .orderBy("src", "rank"),
+      s"""WITH bw AS (
+         |  SELECT greatest(8, least(28,
+         |    length(bin(greatest(count(*), 2) - 1)) + 1)) AS bits
+         |  FROM embeddings),
+         |planes AS (
+         |  SELECT t.t, j.j, i.i,
+         |    CASE WHEN (('0x' || substr(md5(t.t::VARCHAR || '_' || j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::BIGINT & 1) = 1
+         |         THEN 1.0 ELSE -1.0 END AS s
+         |  FROM (SELECT unnest(range(0, 8)) AS t) t
+         |  CROSS JOIN (SELECT unnest(range(0, (SELECT bits FROM bw))) AS j) j
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+         |dots AS (
+         |  SELECT e.vec_id, p.t, p.j, sum(p.s * e.embedding[p.i + 1]) AS dot
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY 1, 2, 3),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT c.va, c.vb, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.va
+         |              JOIN embeddings eb ON eb.vec_id = c.vb),
+         |sym AS (
+         |  SELECT va AS src, vb AS dst, cos FROM scored
+         |  UNION ALL
+         |  SELECT vb AS src, va AS dst, cos FROM scored),
+         |rk AS (
+         |  SELECT src, dst, cos,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM sym)
+         |SELECT src, dst, cos, rank::BIGINT AS rank
+         |FROM rk WHERE rank <= 5 ORDER BY src, rank""".stripMargin),
+
     // RECALL-CONTRACT variant: both dials derived — bits from the corpus
     // count (adaptiveBits, as q_ann_lsh), tables from the recall target
     // via the analytic model the round-9 ladder probe measured

@@ -266,4 +266,38 @@ object Similarity {
       .select(col("va"), col("vb"), cosineSim(col("va_v"), col("vb_v")).as("cos"))
       .where(col("cos") >= tau)
   }
+
+  /** k-NN GRAPH construction: every vector's top-`k` LSH-candidate
+    * neighbors by exact cosine — the precursor artifact of SemDeDup-style
+    * semantic clustering, mutual-kNN dedup and graph-based diversity
+    * sampling, where EVERY corpus vector is simultaneously a query.
+    *
+    * Unlike the query-set ANN rows ([[bruteTopK]] broadcasts |Q| vectors —
+    * impossible when Q = the corpus), the graph reuses the all-pairs LSH
+    * machinery: candidates come from [[lshCosinePairsAuto]]'s sign-bucket
+    * collisions at tau = −1 (no cosine floor — the graph keeps weak
+    * neighbors too, candidate volume stays O(n·tables) by bucket-width
+    * construction), each undirected candidate pair is exploded into BOTH
+    * directed orientations IN ONE PASS (the scored cosine is computed once
+    * and reused — also what makes the value orientation-stable), and a
+    * per-source window keeps the top k by (cos DESC, dst). Shuffles move
+    * (src, dst, cos) triples only — never embeddings; per-node candidate
+    * counts are bounded by the adaptive bucket sizing, so the window
+    * partition never degenerates. Recall contract = the LSH table: a true
+    * neighbor never sharing a bucket is absent by construction — the
+    * oracle replays the identical md5-derived planes, so the approximation
+    * itself is the cross-checked artifact. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      tables: Int = 8): DataFrame = {
+    val pairs = lshCosinePairsAuto(emb, idCol, vecCol, tau = -1.0, tables)
+    val sym = pairs
+      .select(explode(array(
+        struct(col("va").as("src"), col("vb").as("dst")),
+        struct(col("vb").as("src"), col("va").as("dst")))).as("e"), col("cos"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("cos"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    sym.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("src"), col("dst"), col("cos"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -299,6 +299,54 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- k-NN graph over embeddings ----
+
+  test("knnGraph: ranks contiguous and cosine-ordered per node, k bounded, " +
+      "edge values exact and orientation-symmetric") {
+    import graft.operators.Similarity
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf0)
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", 5)
+      .orderBy("src", "rank").collect()
+    assert(g.nonEmpty)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosRef(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bySrc = g.groupBy(_.getLong(0))
+    bySrc.foreach { case (src, rows) =>
+      val ranks = rows.map(_.getLong(3)).sorted
+      assert(ranks.length <= 5 && ranks.sameElements(1L to ranks.length),
+        s"node $src ranks not contiguous: ${ranks.toSeq}")
+      val ordered = rows.sortBy(_.getLong(3))
+      ordered.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getDouble(2) > lo.getDouble(2) ||
+            (hi.getDouble(2) == lo.getDouble(2) && hi.getLong(1) < lo.getLong(1)),
+            s"node $src not (cos DESC, dst ASC) ordered")
+        case _ =>
+      }
+      ordered.foreach { r =>
+        assert(r.getDouble(2) == cosRef(vecs(src), vecs(r.getLong(1))),
+          s"edge $src->${r.getLong(1)} cosine not exact")
+      }
+    }
+    // orientation symmetry: where both directed edges survive the top-k,
+    // they carry the SAME scored value (computed once per undirected pair)
+    val edgeCos = g.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    edgeCos.foreach { case ((a, b), c) =>
+      edgeCos.get((b, a)).foreach(rc => assert(rc == c, s"asymmetric $a<->$b"))
+    }
+  }
+
   // ---- distributed batch-perceptron training ----
 
   test("perceptronTrain: equals a local reference loop, is partitioning-" +
