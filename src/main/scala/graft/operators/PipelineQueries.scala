@@ -21,6 +21,49 @@ object PipelineQueries {
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*x)))
        |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*x)))))""".stripMargin
 
+  /** Shared oracle CTE stack replaying [[Similarity.knnGraph]] (k = 5,
+    * 8 tables, adaptive width): md5-derived hyperplanes, sign buckets,
+    * candidate collisions, exact cosine per undirected pair, both directed
+    * orientations, per-source rank. Non-recursive — composable under a
+    * `WITH RECURSIVE` header (q_knn_clusters appends a transitive
+    * closure). Final relation: `rk(src, dst, cos, rank)`. */
+  private def knnCtes: String =
+    s"""bw AS (
+       |  SELECT greatest(8, least(28,
+       |    length(bin(greatest(count(*), 2) - 1)) + 1)) AS bits
+       |  FROM embeddings),
+       |planes AS (
+       |  SELECT t.t, j.j, i.i,
+       |    CASE WHEN (('0x' || substr(md5(t.t::VARCHAR || '_' || j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::BIGINT & 1) = 1
+       |         THEN 1.0 ELSE -1.0 END AS s
+       |  FROM (SELECT unnest(range(0, 8)) AS t) t
+       |  CROSS JOIN (SELECT unnest(range(0, (SELECT bits FROM bw))) AS j) j
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+       |dots AS (
+       |  SELECT e.vec_id, p.t, p.j, sum(p.s * e.embedding[p.i + 1]) AS dot
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY 1, 2, 3),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT c.va, c.vb, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.va
+       |              JOIN embeddings eb ON eb.vec_id = c.vb),
+       |ksym AS (
+       |  SELECT va AS src, vb AS dst, cos FROM scored
+       |  UNION ALL
+       |  SELECT vb AS src, va AS dst, cos FROM scored),
+       |rk AS (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+       |  FROM ksym)""".stripMargin
+
   /** doc_ids spread across every core BEFORE a synthetic payload is
     * attached. The harness documents table is one small parquet file =
     * ONE input partition, so a payload synthesized in the same projection
@@ -1197,43 +1240,48 @@ object PipelineQueries {
     "q_knn_graph" -> Q(
       (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", 5)
         .orderBy("src", "rank"),
-      s"""WITH bw AS (
-         |  SELECT greatest(8, least(28,
-         |    length(bin(greatest(count(*), 2) - 1)) + 1)) AS bits
-         |  FROM embeddings),
-         |planes AS (
-         |  SELECT t.t, j.j, i.i,
-         |    CASE WHEN (('0x' || substr(md5(t.t::VARCHAR || '_' || j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::BIGINT & 1) = 1
-         |         THEN 1.0 ELSE -1.0 END AS s
-         |  FROM (SELECT unnest(range(0, 8)) AS t) t
-         |  CROSS JOIN (SELECT unnest(range(0, (SELECT bits FROM bw))) AS j) j
-         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
-         |dots AS (
-         |  SELECT e.vec_id, p.t, p.j, sum(p.s * e.embedding[p.i + 1]) AS dot
-         |  FROM embeddings e CROSS JOIN planes p
-         |  GROUP BY 1, 2, 3),
-         |buckets AS (
-         |  SELECT vec_id, t,
-         |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
-         |  FROM dots GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-         |  FROM buckets a JOIN buckets b
-         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |scored AS (
-         |  SELECT c.va, c.vb, ${cosSql("ea.embedding", "eb.embedding")} AS cos
-         |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.va
-         |              JOIN embeddings eb ON eb.vec_id = c.vb),
-         |sym AS (
-         |  SELECT va AS src, vb AS dst, cos FROM scored
-         |  UNION ALL
-         |  SELECT vb AS src, va AS dst, cos FROM scored),
-         |rk AS (
-         |  SELECT src, dst, cos,
-         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
-         |  FROM sym)
+      s"""WITH $knnCtes
          |SELECT src, dst, cos, rank::BIGINT AS rank
          |FROM rk WHERE rank <= 5 ORDER BY src, rank""".stripMargin),
+
+    // mutual-kNN SEMANTIC CLUSTERS (r15): the SemDeDup-style composition —
+    // an undirected edge survives only when BOTH endpoints rank each other
+    // in their top-5 (mutuality prunes hub edges, the standard kNN-graph
+    // denoiser) and the exact cosine clears 0.3; connected components over
+    // the surviving edges are the semantic groups. The oracle replays the
+    // whole stack: kNN CTEs -> pair-count mutuality -> recursive-CTE
+    // transitive closure (the q_dedup_clusters discipline). Scale: the
+    // mutuality check is ONE unordered-pair aggregate over the graph
+    // (count = 2 <=> mutual), components run on edges ∝ cluster density,
+    // never on the corpus.
+    "q_knn_clusters" -> Q(
+      (s, d) => {
+        val g = Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", 5)
+        val mutual = g
+          .select(least(col("src"), col("dst")).as("da"),
+            greatest(col("src"), col("dst")).as("db"), col("cos"))
+          .groupBy("da", "db")
+          .agg(count(lit(1)).as("n"), min("cos").as("cos"))
+          .where(col("n") === 2 && col("cos") >= 0.3)
+          .select(col("da"), col("db"))
+        Dedup.dupClusters(mutual)
+          .withColumnRenamed("doc_id", "vec_id").orderBy("vec_id")
+      },
+      s"""WITH RECURSIVE $knnCtes,
+         |knn AS (SELECT src, dst, cos FROM rk WHERE rank <= 5),
+         |und AS (
+         |  SELECT least(src, dst) AS da, greatest(src, dst) AS db,
+         |    count(*) AS n, min(cos) AS cos
+         |  FROM knn GROUP BY 1, 2),
+         |mut AS (SELECT da, db FROM und WHERE n = 2 AND cos >= 0.3),
+         |msym AS (SELECT da AS a, db AS b FROM mut
+         |         UNION SELECT db AS a, da AS b FROM mut),
+         |reach AS (
+         |  SELECT a AS src, b AS dst FROM msym
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN msym e ON r.dst = e.a)
+         |SELECT src AS vec_id, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin),
 
     // RECALL-CONTRACT variant: both dials derived — bits from the corpus
     // count (adaptiveBits, as q_ann_lsh), tables from the recall target

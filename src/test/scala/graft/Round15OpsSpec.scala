@@ -347,6 +347,36 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_knn_clusters: labels are exactly the connected components of the " +
+      "mutual cos>=0.3 edge set, label = min member") {
+    import graft.operators.Similarity
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf0)
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // reference mutual edges + union-find on the driver
+    val directed = g.map { case (s, d2, _) => (s, d2) }.toSet
+    val edges = g.collect { case (s, d2, c)
+      if s < d2 && c >= 0.3 && directed((d2, s)) => (s, d2) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+      .groupBy(_._2).flatMap { case (_, m) =>
+        val lbl = m.keys.min; m.keys.map(_ -> lbl)
+      }
+    val got = graft.operators.PipelineQueries.all("q_knn_clusters")
+      .fn(spark, sf0).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"components differ: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty, "sf0.001 must produce at least one mutual cluster")
+  }
+
   // ---- distributed batch-perceptron training ----
 
   test("perceptronTrain: equals a local reference loop, is partitioning-" +
