@@ -931,6 +931,44 @@ object RelationalQueries {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
 
+    // -- FULL OUTER join with genuine null-extension on BOTH sides (r15):
+    //    per-(user, day) purchase rollup vs click rollup — unlike
+    //    customer⋈orders (referential integrity leaves the right side
+    //    total), the two event slices each have days the other lacks, so
+    //    both null-extension paths execute. Coalesced keys, side marker,
+    //    zero-defaulted counts; both inputs partial-aggregate BEFORE the
+    //    join, so the full-outer shuffles rollup rows, never raw events. --
+    "q_join_full" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def daily(t: String, n: String) = ev.where(col("event_type") === t)
+          .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as(n))
+        daily("purchase", "n_pur")
+          .join(daily("click", "n_clk"), Seq("user_id", "day"), "full_outer")
+          .select(col("user_id"), Norm.dateStr(col("day")).as("day"),
+            coalesce(col("n_pur"), lit(0L)).as("n_pur"),
+            coalesce(col("n_clk"), lit(0L)).as("n_clk"),
+            when(col("n_pur").isNotNull && col("n_clk").isNotNull, "both")
+              .when(col("n_pur").isNotNull, "pur_only")
+              .otherwise("clk_only").as("side"))
+          .orderBy("user_id", "day")
+      },
+      """WITH p AS (
+        |  SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS n_pur
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS n_clk
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT coalesce(p.user_id, c.user_id) AS user_id,
+        |  strftime(coalesce(p.day, c.day), '%Y-%m-%d') AS day,
+        |  coalesce(n_pur, 0) AS n_pur, coalesce(n_clk, 0) AS n_clk,
+        |  CASE WHEN p.user_id IS NOT NULL AND c.user_id IS NOT NULL THEN 'both'
+        |       WHEN p.user_id IS NOT NULL THEN 'pur_only'
+        |       ELSE 'clk_only' END AS side
+        |FROM p FULL JOIN c ON p.user_id = c.user_id AND p.day = c.day
+        |ORDER BY user_id, day""".stripMargin),
+
     // -- top-k: global sort + limit (Spark TakeOrderedAndProject) --
     "q_topk" -> Q(
       (s, d) => Tables.orders(s, d)

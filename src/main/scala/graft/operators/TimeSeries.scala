@@ -273,6 +273,54 @@ object TimeSeries {
         |  l + b + (CASE WHEN rn >= 7 THEN sl[rn - 6] ELSE 0.0 END) AS forecast
         |FROM rec ORDER BY user_id, day""".stripMargin),
 
+    // Theil-Sen robust trend per user (r15): the median of all pairwise
+    // slopes of the daily series — the resistant alternative to the OLS
+    // slope (q_linreg), with a 29% breakdown point vs OLS's zero: one
+    // outlier day moves OLS arbitrarily but shifts a slope MEDIAN by at
+    // most one rank. Exactness: each slope is ONE IEEE division of
+    // exact operands (decimal-exact daily mean deltas / integer day
+    // gaps), the median is an ELEMENT PICK (lower median, index
+    // (n+1) div 2 on the ascending sort — never an average of two
+    // slopes), so both engines select the identical double. Scale: ONE
+    // user-keyed rollup shuffle; the O(days²) pair enumeration runs
+    // inside the per-user fold on the |days| rollup (~435 pairs at 30
+    // days), never on raw events — the quadratic is in the bounded
+    // series length, not the corpus.
+    "q_theil_sen" -> Q(
+      (s, d) => {
+        val obs = dailyObserved(Tables.events(s, d))
+        obs.groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("s"))
+          .where(size(col("s")) >= 2)
+          .withColumn("slopes", expr(
+            """sort_array(flatten(transform(sequence(1, size(s) - 1), j ->
+              |  transform(sequence(0, j - 1), i ->
+              |    (element_at(s, j + 1).v - element_at(s, i + 1).v)
+              |      / cast(datediff(element_at(s, j + 1).day, element_at(s, i + 1).day) as double)))))
+              |""".stripMargin))
+          .select(col("user_id"),
+            size(col("s")).cast("long").as("n_days"),
+            size(col("slopes")).cast("long").as("n_pairs"),
+            element_at(col("slopes"),
+              ((size(col("slopes")) + 1) / 2).cast("int")).as("slope"))
+          .orderBy("user_id")
+      },
+      """WITH obs AS (
+        |  SELECT user_id, ts::DATE AS day,
+        |    sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.user_id, (b.v - a.v) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM obs a JOIN obs b ON a.user_id = b.user_id AND a.day < b.day),
+        |nd AS (SELECT user_id, count(*)::BIGINT AS n_days FROM obs GROUP BY 1),
+        |agg AS (
+        |  SELECT user_id, list_sort(list(slope)) AS sl, count(*)::BIGINT AS n_pairs
+        |  FROM pairs GROUP BY 1)
+        |SELECT a.user_id, nd.n_days, a.n_pairs,
+        |  sl[CAST((a.n_pairs + 1) // 2 AS INTEGER)] AS slope
+        |FROM agg a JOIN nd ON a.user_id = nd.user_id
+        |ORDER BY a.user_id""".stripMargin),
+
     "q_ts_ewma" -> Q(
       (s, d) => ewmaDaily(Tables.events(s, d)).orderBy("user_id", "day"),
       """WITH RECURSIVE obs AS (

@@ -377,6 +377,66 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.nonEmpty, "sf0.001 must produce at least one mutual cluster")
   }
 
+  // ---- full-outer join with both-side null extension ----
+
+  test("q_join_full: every side marker occurs, zero-defaults agree with " +
+      "the marker, and counts match a local recomputation") {
+    val rows = graft.operators.RelationalQueries.all("q_join_full")
+      .fn(spark, sf0).collect()
+    val sides = rows.map(_.getString(4)).toSet
+    assert(sides == Set("both", "pur_only", "clk_only"),
+      s"full outer must exercise both null paths: $sides")
+    rows.foreach { r =>
+      val (p, c, side) = (r.getLong(2), r.getLong(3), r.getString(4))
+      side match {
+        case "both"     => assert(p > 0 && c > 0)
+        case "pur_only" => assert(p > 0 && c == 0)
+        case "clk_only" => assert(p == 0 && c > 0)
+      }
+    }
+    // local recomputation from raw events
+    val ev = Tables.events(spark, sf0)
+      .select(col("user_id"), col("ts").cast("date").cast("string").as("day"),
+        col("event_type")).collect()
+    def roll(t: String) = ev.filter(_.getString(2) == t)
+      .groupBy(r => (r.getLong(0), r.getString(1))).view.mapValues(_.length.toLong).toMap
+    val (pur, clk) = (roll("purchase"), roll("click"))
+    val want = (pur.keySet ++ clk.keySet).map { k =>
+      k -> (pur.getOrElse(k, 0L), clk.getOrElse(k, 0L))
+    }.toMap
+    val got = rows.map(r => (r.getLong(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+  }
+
+  // ---- Theil-Sen robust trend ----
+
+  test("q_theil_sen: slope is the exact lower-median pairwise slope " +
+      "(local replay), pair count is n_days choose 2") {
+    import graft.operators.TimeSeries
+    val obs = TimeSeries.dailyObserved(Tables.events(spark, sf0))
+      .collect().groupBy(_.getLong(0))
+    val got = graft.operators.TimeSeries.all("q_theil_sen")
+      .fn(spark, sf0).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val series = obs(r.getLong(0))
+        .map(x => (x.getDate(1).toString, x.getDouble(2))).sortBy(_._1)
+      val days = series.map { case (dstr, v) =>
+        (java.time.LocalDate.parse(dstr).toEpochDay, v)
+      }
+      val slopes = (for {
+        j <- days.indices; i <- 0 until j
+      } yield (days(j)._2 - days(i)._2) / (days(j)._1 - days(i)._1).toDouble)
+        .sorted
+      assert(r.getLong(1) == days.length.toLong)
+      assert(r.getLong(2) == slopes.length.toLong &&
+        slopes.length == days.length * (days.length - 1) / 2)
+      assert(r.getDouble(3) == slopes((slopes.length + 1) / 2 - 1),
+        s"user ${r.getLong(0)}: slope must be the exact lower median")
+    }
+  }
+
   // ---- distributed batch-perceptron training ----
 
   test("perceptronTrain: equals a local reference loop, is partitioning-" +
