@@ -116,6 +116,51 @@ object Dedup {
       .where(col("jac") >= tau)
   }
 
+  /** Directed near-dup CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ tau —
+    * the asymmetric complement of Jaccard resemblance. A short document
+    * quoted wholesale inside a long one has containment ≈ 1 but Jaccard
+    * ≈ |A|/|B| (arbitrarily small), so [[ngramJaccardPairsFrom]] misses
+    * exactly the quote-inclusion duplicates a web corpus is full of; this
+    * operator is the detector for them.
+    *
+    * Prefix filtering adapts to the asymmetry (PPJoin Lemma 1, containment
+    * form): |A∩B| ≥ ⌈tau·|A|⌉ means at most |A| − ⌈tau·|A|⌉ of A's
+    * shingles miss B, so under any shared total order A's first
+    * |A| − ⌈tau·|A|⌉ + 1 shingles must intersect B — the CONTAINED side
+    * indexes only its prefix, but the container side must index ALL its
+    * shingles (no size bound exists on B). Candidates are therefore
+    * prefix × full-postings joins, still concentrated on rare shingles by
+    * the df-ascending prefix order; exact intersection verification makes
+    * recall AND precision exact, which is what the all-pairs SQL oracle
+    * checks. Output: directed `(da, db, inter, na, cont)` — da contained
+    * in db. */
+  def containmentPairsFrom(sets: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("ss")).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .where(col("rk") <= col("n") - ceil(col("n") * lit(tau)) + 1)
+      .select(col("doc_id"), col("h"))
+    val postings = sh.select(col("doc_id"), col("h")).repartition(col("h"))
+    val cand = prefix.repartition(col("h")).as("a")
+      .join(postings.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id"), col("ss").as("ssa"), col("n").as("na")),
+        col("da") === col("doc_id")).drop("doc_id")
+      .join(sets.select(col("doc_id"), col("ss").as("ssb")),
+        col("db") === col("doc_id")).drop("doc_id")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("ssa"), col("ssb"))).cast("long").as("inter"),
+        col("na").cast("long").as("na"))
+      .withColumn("cont", col("inter").cast("double") / col("na"))
+      .where(col("cont") >= tau)
+  }
+
   /** MinHash+LSH near-dup pairs, exact-verified: shingle → 128-hash MinHash
     * signature → 32 band buckets → bucket-join candidates → exact Jaccard
     * filter. Output: (da, db, jac), same contract as [[ngramJaccardPairs]].

@@ -632,6 +632,33 @@ object PipelineQueries {
       (s, d) => minhashPairs08(s, d).orderBy("da", "db"),
       jaccardSql(0.8)),
 
+    // directed CONTAINMENT dedup (r15): |A∩B|/|A| >= 0.9 — the asymmetric
+    // complement of Jaccard that catches quote-inclusion (small doc inside
+    // big one: containment ~1, Jaccard ~|A|/|B| -> q_dedup_ngram misses
+    // it by construction). Contained side indexes its rarest-first prefix,
+    // container side indexes ALL postings (no size bound exists on B);
+    // exact verification makes recall/precision exact — checked by the
+    // all-pairs oracle. Shares the session's one tokenize->shingle scan.
+    "q_dedup_containment" -> Q(
+      (s, d) => Dedup.containmentPairsFrom(sets3(s, d), 0.9)
+        .orderBy("da", "db"),
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks)),
+        |cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, inter, ca.n AS na, CAST(inter AS DOUBLE) / ca.n AS cont
+        |FROM pairs JOIN cnt ca ON da = ca.doc_id
+        |WHERE CAST(inter AS DOUBLE) / ca.n >= 0.9
+        |ORDER BY da, db""".stripMargin),
+
     // incremental cross-corpus near-dedup (see [[Dedup.minhashPairsAcross]]):
     // every 10th doc plays the incoming batch, the rest the standing
     // corpus; banded-LSH candidates are batch × corpus ONLY (the corpus
@@ -925,6 +952,63 @@ object PipelineQueries {
         |    FROM documents)
         |  GROUP BY term ORDER BY df DESC, term LIMIT 20)
         |ORDER BY term""".stripMargin),
+
+    // Heaps'-law VOCABULARY GROWTH curve (r15): cumulative distinct-token
+    // count vs cumulative token count in doc_id (reading) order — the
+    // corpus statistic vocabulary sizing and tokenizer design read off
+    // (V(N) ≈ K·N^β; sublinear growth is what makes a fixed vocab viable).
+    // A token's first-occurrence doc is ONE min-aggregate (never a scan
+    // ordering dependency), per-doc new-token counts roll up from it, and
+    // the doc-order cumulatives use the q_pack_sequences two-phase prefix
+    // sum — doc_id block-ranged into 32 partitions, per-range window
+    // cumsums in parallel, 32 (tokens, vocab) range totals collected and
+    // broadcast back as offsets — so NO single-partition window exists at
+    // any corpus size (the driver holds 32 rows, not |docs|).
+    "q_vocab_growth" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val tot = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+        val newc = toks.groupBy("tok").agg(min("doc_id").as("fd"))
+          .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("n_new"))
+        val j = tot.join(newc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_toks"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+        val parts = 32
+        val mx = j.agg(max("doc_id")).collect()(0).getLong(0)
+        val block = math.max(1L, (mx + parts) / parts)
+        val withPid = j.withColumn("pid", expr(s"doc_id div $block").cast("int"))
+        val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        val totals = withPid.groupBy(col("pid"))
+          .agg(sum(col("n_toks")).as("tt"), sum(col("n_new")).as("tv"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val pids = (0 to parts).toSeq
+        val offT = pids.scanLeft(0L)((a, p) => a + totals.get(p).map(_._1).getOrElse(0L))
+        val offV = pids.scanLeft(0L)((a, p) => a + totals.get(p).map(_._2).getOrElse(0L))
+        val offsDf = s.createDataFrame(
+          pids.map(p => (p, offT(p), offV(p)))).toDF("pid", "ot", "ov")
+        withPid
+          .withColumn("ct", sum(col("n_toks")).over(w))
+          .withColumn("cv", sum(col("n_new")).over(w))
+          .join(broadcast(offsDf), "pid")
+          .select(col("doc_id"), col("n_toks"), col("n_new"),
+            (col("ot") + col("ct")).as("cum_tokens"),
+            (col("ov") + col("cv")).as("cum_vocab"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_toks FROM toks GROUP BY 1),
+         |firsts AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY 1),
+         |newc AS (SELECT fd AS doc_id, count(*)::BIGINT AS n_new FROM firsts GROUP BY 1),
+         |j AS (
+         |  SELECT t.doc_id, t.n_toks, coalesce(n.n_new, 0) AS n_new
+         |  FROM tot t LEFT JOIN newc n ON t.doc_id = n.doc_id)
+         |SELECT doc_id, n_toks, n_new,
+         |  sum(n_toks) OVER (ORDER BY doc_id)::BIGINT AS cum_tokens,
+         |  sum(n_new) OVER (ORDER BY doc_id)::BIGINT AS cum_vocab
+         |FROM j ORDER BY doc_id""".stripMargin),
 
     // PII-style scrubbing: digits masked, emails-ish collapsed, ws normalized
     "q_scrub" -> Q(

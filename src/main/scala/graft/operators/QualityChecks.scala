@@ -445,6 +445,62 @@ object QualityChecks {
     //    IEEE, both engines — and |mv − med| and 3·mad stay exact; the
     //    strict > flag can never flip on a ulp. Output: outlier days
     //    only. --
+    // -- 10% TRIMMED MEAN per user (r15): the third member of the robust
+    //    location family (2σ gate → MAD → trimmed mean): drop the k =
+    //    n div 10 smallest and largest daily totals by (cents, day) rank
+    //    and average the rest — resistant to k outliers per tail, unlike
+    //    the plain mean one bad day moves arbitrarily. Exactness: daily
+    //    totals are int64 CENTS (decimal-exact sums ×100), the trim is an
+    //    integer rank gate on a TOTAL order (ties broken by day), kept
+    //    sums/counts are exact int64, and each mean is ONE IEEE division
+    //    of exact operands — bit parity with no rounding. Scale: one
+    //    user-keyed rollup, rank window + final agg both on the |user·days|
+    //    rollup, raw events never shuffle twice. --
+    "q_trimmed_mean" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"),
+            col("value").cast(DecimalType(18, 2)).as("v"))
+          .groupBy(col("user_id"), col("day"))
+          .agg((sum(col("v")) * 100).cast("long").as("mv"))
+        val wr = Window.partitionBy(col("user_id")).orderBy(col("mv"), col("day"))
+        val wu = Window.partitionBy(col("user_id"))
+        val kept = col("rn") > col("k") && col("rn") <= col("nd") - col("k")
+        daily
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .withColumn("nd", count(lit(1)).over(wu))
+          .withColumn("k", expr("nd div 10"))
+          .groupBy(col("user_id"))
+          .agg(max(col("nd")).as("n_days"), max(col("k")).as("n_trim"),
+            sum(col("mv")).as("sum_all"),
+            sum(when(kept, col("mv")).otherwise(0L)).as("sum_kept"),
+            sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+          .select(col("user_id"), col("n_days"), col("n_trim"), col("n_kept"),
+            (col("sum_kept").cast("double") / col("n_kept")).as("trimmed_mean_cents"),
+            (col("sum_all").cast("double") / col("n_days")).as("mean_cents"))
+          .orderBy("user_id")
+      },
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS mv
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, mv,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY mv, day) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS nd
+        |  FROM daily),
+        |a AS (
+        |  SELECT user_id,
+        |    max(nd)::BIGINT AS n_days, max(nd // 10)::BIGINT AS n_trim,
+        |    sum(mv)::BIGINT AS sum_all,
+        |    sum(CASE WHEN rn > nd // 10 AND rn <= nd - nd // 10 THEN mv ELSE 0 END)::BIGINT AS sum_kept,
+        |    sum(CASE WHEN rn > nd // 10 AND rn <= nd - nd // 10 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |  FROM r GROUP BY 1)
+        |SELECT user_id, n_days, n_trim, n_kept,
+        |  CAST(sum_kept AS DOUBLE) / n_kept AS trimmed_mean_cents,
+        |  CAST(sum_all AS DOUBLE) / n_days AS mean_cents
+        |FROM a ORDER BY user_id""".stripMargin),
+
     "q_mad_outliers" -> Q(
       (s, d) => {
         val daily = Tables.events(s, d)

@@ -281,28 +281,35 @@ object TimeSeries {
     // exact operands (decimal-exact daily mean deltas / integer day
     // gaps), the median is an ELEMENT PICK (lower median, index
     // (n+1) div 2 on the ascending sort — never an average of two
-    // slopes), so both engines select the identical double. Scale: ONE
-    // user-keyed rollup shuffle; the O(days²) pair enumeration runs
-    // inside the per-user fold on the |days| rollup (~435 pairs at 30
-    // days), never on raw events — the quadratic is in the bounded
-    // series length, not the corpus.
+    // slopes), so both engines select the identical double. Scale: the
+    // O(days²) pair enumeration is a user-keyed self-join of the DAILY
+    // ROLLUP (~435 pairs at 30 days/user), never of raw events — the
+    // quadratic is in the bounded series length, not the corpus, and
+    // every exchange carries narrow (user, slope) rows.
     "q_theil_sen" -> Q(
       (s, d) => {
+        // pair enumeration as a user-keyed SELF-JOIN (codegen'd), not a
+        // nested fold lambda: the O(days²)-per-user slope computation is
+        // the hot loop, and interpreted higher-order functions cost ~10×
+        // codegen (the q_entropy lesson, re-measured on the x16 rung:
+        // 19 s fold vs join). Both exchanges carry narrow rows — the
+        // rollup into the join, (user, slope) pairs out — and the
+        // per-user sort runs on the bounded slope list.
         val obs = dailyObserved(Tables.events(s, d))
-        obs.groupBy(col("user_id"))
-          .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("s"))
-          .where(size(col("s")) >= 2)
-          .withColumn("slopes", expr(
-            """sort_array(flatten(transform(sequence(1, size(s) - 1), j ->
-              |  transform(sequence(0, j - 1), i ->
-              |    (element_at(s, j + 1).v - element_at(s, i + 1).v)
-              |      / cast(datediff(element_at(s, j + 1).day, element_at(s, i + 1).day) as double)))))
-              |""".stripMargin))
-          .select(col("user_id"),
-            size(col("s")).cast("long").as("n_days"),
-            size(col("slopes")).cast("long").as("n_pairs"),
-            element_at(col("slopes"),
-              ((size(col("slopes")) + 1) / 2).cast("int")).as("slope"))
+        val nd = obs.groupBy(col("user_id")).agg(count(lit(1)).as("n_days"))
+        obs.as("a")
+          .join(obs.as("b"),
+            col("a.user_id") === col("b.user_id") && col("a.day") < col("b.day"))
+          .select(col("a.user_id").as("user_id"),
+            ((col("b.v") - col("a.v")) /
+              datediff(col("b.day"), col("a.day")).cast("double")).as("slope"))
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(col("slope"))).as("sl"),
+            count(lit(1)).as("n_pairs"))
+          .join(nd, "user_id")
+          .select(col("user_id"), col("n_days"), col("n_pairs"),
+            element_at(col("sl"),
+              ((col("n_pairs") + 1) / 2).cast("int")).as("slope"))
           .orderBy("user_id")
       },
       """WITH obs AS (

@@ -277,6 +277,76 @@ object EventStreams {
       .orderBy("day")
   }
 
+  /** At-ingest twin of the batch Holt forecaster (`q_ts_holt`): per-user
+    * level+trend maintained as events stream in. State per user is the
+    * day→(cents, count) rollup (O(days-per-user), never O(events)): each
+    * batch merges its arrivals into the rollup, re-derives every daily
+    * mean EXACTLY as the batch side does — the decimal daily sum lives as
+    * int64 cents, `cents.toDouble / 100.0` is the correctly-rounded double
+    * of the same rational as Spark's Decimal→double cast, then ONE
+    * division by the count reproduces [[graft.core.Norm.davg]] bit-for-bit
+    * — and replays the coupled α = β = ½ recurrence over the sorted days,
+    * re-emitting the full series with a version counter. Highest version
+    * per (user, day) ≡ the batch answer under ANY micro-batch split (the
+    * [[streamingCusum]] convergence contract, per user instead of global).
+    * A production deployment freezes days behind the watermark (their l/b
+    * prefix is immutable) and carries only the running pair; the full
+    * replay here is what makes the batch-oracle equality checkable. */
+  def streamingHolt(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    readStream(spark, sfDir, glob, maxFilesPerTrigger)
+      .select(col("user_id"),
+        expr("ts_ns div 86400000000000").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[Long, (Long, Long)]),
+        (Long, String, Double, Double, Double, Double, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val (ver0, m0) = state.getOption.getOrElse((0L, Map.empty[Long, (Long, Long)]))
+          val m = scala.collection.mutable.Map.empty[Long, (Long, Long)] ++= m0
+          it.foreach { case (_, day, cents) =>
+            val (c0, n0) = m.getOrElse(day, (0L, 0L))
+            m.update(day, (c0 + cents, n0 + 1L))
+          }
+          val ver = ver0 + 1
+          state.update((ver, m.toMap))
+          val days = m.keys.toVector.sorted
+          var l = 0.0
+          var b = 0.0
+          days.zipWithIndex.map { case (d, i) =>
+            val (c, n) = m(d)
+            val v = (c.toDouble / 100.0) / n
+            if (i == 0) { l = v; b = 0.0 }
+            else {
+              val lt = 0.5 * v + 0.5 * (l + b)
+              b = 0.5 * (lt - l) + 0.5 * b
+              l = lt
+            }
+            (uid, java.time.LocalDate.ofEpochDay(d).toString, v, l, b, l + b, ver)
+          }.iterator
+      }
+      .toDF("user_id", "day", "v", "level", "trend", "forecast", "ver")
+  }
+
+  /** Drive [[streamingHolt]] to completion; highest version per
+    * (user, day) = the converged judgment, equal to batch `q_ts_holt`. */
+  def streamingHoltFinal(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snaps = runUpdatesToBatch(spark,
+      streamingHolt(spark, sfDir, glob, maxFilesPerTrigger))
+    val w = Window.partitionBy(col("user_id"), col("day")).orderBy(col("ver").desc)
+    snaps.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("user_id", "day", "v", "level", "trend", "forecast")
+      .orderBy("user_id", "day")
+  }
+
   /** At-ingest twin of the batch time-window event dedup
     * (`q_event_dedup_window`): per (user, event_type), an event is kept
     * iff it is the first in event time or arrives more than `gapUs`

@@ -85,6 +85,16 @@ object StreamingQueries {
       (s, d) => EventStreams.streamingCusumFinal(s, d),
       graft.operators.QualityChecks.all("q_cusum").oracle.get),
 
+    // streaming Holt forecaster (r15): per-user level+trend maintained at
+    // ingest — state is the day->(cents, count) rollup per user, each
+    // batch re-derives the decimal-exact daily means and replays the
+    // coupled recurrence with versioned re-emission (highest version per
+    // (user, day) = batch answer under any split); the BATCH q_ts_holt
+    // oracle is reused verbatim
+    "q_stream_holt" -> Q(
+      (s, d) => EventStreams.streamingHoltFinal(s, d),
+      graft.operators.TimeSeries.all("q_ts_holt").oracle.get),
+
     // streaming PCA statistics: the CovAggregator buffer maintained at
     // ingest — exact int64 monoid merges per micro-batch converge
     // BIT-IDENTICALLY to the monolithic covariance under any arrival

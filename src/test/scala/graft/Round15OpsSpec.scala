@@ -377,6 +377,80 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.nonEmpty, "sf0.001 must produce at least one mutual cluster")
   }
 
+  // ---- directed containment dedup ----
+
+  test("containmentPairsFrom: catches the quote-inclusion pair Jaccard " +
+      "misses, and only in the contained->container direction") {
+    import graft.operators.Dedup
+    val sqlc = spark
+    import sqlc.implicits._
+    GraftFunctions.register(spark)
+    val long = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val short = (1 to 40).map(i => s"tok$i").mkString(" ")   // prefix quote
+    val other = (1000 to 1200).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val sets = Dedup.shingleSigSets(docs, "doc_id", "text", 3)
+    try {
+      val cont = Dedup.containmentPairsFrom(sets, 0.9).collect()
+      assert(cont.exists(r => r.getLong(0) == 2L && r.getLong(1) == 1L &&
+        r.getDouble(4) == 1.0), s"quote inclusion must surface: ${cont.toSeq}")
+      assert(!cont.exists(_.getLong(0) == 1L),
+        "the container is NOT contained in the quote")
+      assert(!cont.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+      // the symmetric operator misses the same pair by construction
+      assert(Dedup.ngramJaccardPairsFrom(sets, 0.8).collect().isEmpty)
+    } finally { sets.unpersist(); () }
+  }
+
+  test("q_dedup_containment: every directed pair is exact (local replay)") {
+    GraftFunctions.register(spark)
+    val rows = graft.operators.PipelineQueries.all("q_dedup_containment")
+      .fn(spark, sf0).collect()
+    // local shingle sets
+    val sh = Tables.documents(spark, sf0).select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val t = r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        r.getLong(0) -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+    val want = (for {
+      (da, sa) <- sh.toSeq; (db, sb) <- sh.toSeq
+      if da != db && sa.nonEmpty
+      inter = (sa & sb).size
+      if inter.toDouble / sa.size >= 0.9
+    } yield (da, db) -> (inter.toLong, sa.size.toLong)).toMap
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
+  // ---- trimmed mean ----
+
+  test("q_trimmed_mean: matches a local exact replay; trimming is " +
+      "resistant where the plain mean is not") {
+    val daily = Tables.events(spark, sf0)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+      .groupBy(col("user_id"), col("day"))
+      .agg((sum(col("v")) * 100).cast("long").as("mv"))
+      .collect().groupBy(_.getLong(0))
+    val got = graft.operators.QualityChecks.all("q_trimmed_mean")
+      .fn(spark, sf0).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val xs = daily(r.getLong(0)).map(x => (x.getLong(2), x.getLong(1)))
+        .sortBy(identity)
+      val n = xs.length; val k = n / 10
+      val kept = xs.slice(k, n - k).map(_._1)
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == k.toLong &&
+        r.getLong(3) == kept.length.toLong)
+      assert(r.getDouble(4) == kept.sum.toDouble / kept.length)
+      assert(r.getDouble(5) == xs.map(_._1).sum.toDouble / n)
+      // resistance: the trimmed mean never reaches past the kept extremes
+      assert(r.getDouble(4) >= kept.min.toDouble &&
+        r.getDouble(4) <= kept.max.toDouble)
+    }
+  }
+
   // ---- full-outer join with both-side null extension ----
 
   test("q_join_full: every side marker occurs, zero-defaults agree with " +

@@ -137,6 +137,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming Holt: multi-batch arrival converges to the batch answer") {
+    // Per-user coupled level+trend: a day's l/b depend on every earlier
+    // day of that user AND on its daily MEAN (which later arrivals can
+    // still move), so early emissions are wrong twice over — the
+    // versioned per-user re-emission must converge bit-for-bit to
+    // q_ts_holt once all 8 time-ordered batches land.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sholt_").toString
+    Tables.events(spark, sf0).drop("ts_ns")
+      .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val streamed = EventStreams
+      .streamingHoltFinal(spark, dir, "part-*.parquet", Some(1))
+      .collect().map(_.toSeq)
+    val batch = graft.operators.TimeSeries.all("q_ts_holt")
+      .fn(spark, sf0).collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming PCA statistics: multi-batch arrival is bit-identical to batch") {
     // Integer-monoid state: not "converges", IS the same bits under any
     // split — the strongest convergence contract in the streaming family.
