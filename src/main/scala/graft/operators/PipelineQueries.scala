@@ -1328,6 +1328,23 @@ object PipelineQueries {
          |SELECT src, dst, cos, rank::BIGINT AS rank
          |FROM rk WHERE rank <= 5 ORDER BY src, rank""".stripMargin),
 
+    // INCREMENTAL kNN-graph maintenance (r15): every 10th vector plays the
+    // nightly delta (the q_dedup_cross convention); the standing
+    // corpus-only graph merges with delta-touching LSH candidates ONLY
+    // (cost ∝ |delta|·tables + collisions, never corpus²) and the merge is
+    // EXACT — corpus×corpus candidates are identical in both passes under
+    // the pinned full-count bucket width, so the oracle is the FULL-graph
+    // recompute verbatim: the incremental algebra itself is what the
+    // cross-check certifies (q_ivm_agg/q_ivm_join extended to a
+    // similarity index).
+    "q_ivm_knn" -> Q(
+      (s, d) => Similarity.knnGraphIncremental(Tables.embeddings(s, d),
+          "vec_id", "embedding", 5, col("vec_id") % 10 === 0)
+        .orderBy("src", "rank"),
+      s"""WITH $knnCtes
+         |SELECT src, dst, cos, rank::BIGINT AS rank
+         |FROM rk WHERE rank <= 5 ORDER BY src, rank""".stripMargin),
+
     // mutual-kNN SEMANTIC CLUSTERS (r15): the SemDeDup-style composition —
     // an undirected edge survives only when BOTH endpoints rank each other
     // in their top-5 (mutuality prunes hub edges, the standard kNN-graph

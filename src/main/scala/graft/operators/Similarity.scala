@@ -238,6 +238,16 @@ object Similarity {
       .select("qid", "vid", "cos")
   }
 
+  /** Sign-bit bucket rows `(vec_id, tbl, bucket)` for `(vec_id, v)`
+    * input: bit j of table t's bucket = sign(dot(v, plane(t, j))), planes
+    * md5-derived (oracle-replayable). Shared by the all-pairs LSH, the
+    * kNN graph and its incremental maintenance. */
+  private def signBuckets(e: DataFrame, bits: Int, tables: Int): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(tables - 1)),
+        t => call_function("graft_hyperplane_bucket_md5", col("v"), t, lit(bits)))))
+      .toDF("vec_id", "tbl", "bucket")
+
   def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       tau: Double, bits: Int = 12, tables: Int = 8): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
@@ -248,10 +258,7 @@ object Similarity {
     // (id, tbl, bucket) / (va, vb) — at 100 TB the full embedding payload
     // through those two shuffles would dominate the job's bytes (each
     // candidate pair appears once per colliding table before the dedup).
-    val bucketed = e.select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(tables - 1)),
-        t => call_function("graft_hyperplane_bucket_md5", col("v"), t, lit(bits)))))
-      .toDF("vec_id", "tbl", "bucket")
+    val bucketed = signBuckets(e, bits, tables)
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -288,8 +295,14 @@ object Similarity {
     * oracle replays the identical md5-derived planes, so the approximation
     * itself is the cross-checked artifact. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      tables: Int = 8): DataFrame = {
-    val pairs = lshCosinePairsAuto(emb, idCol, vecCol, tau = -1.0, tables)
+      tables: Int = 8): DataFrame =
+    topKDirected(
+      lshCosinePairsAuto(emb, idCol, vecCol, tau = -1.0, tables), k)
+
+  /** Both directed orientations of undirected scored pairs `(va, vb,
+    * cos)` in ONE pass, then the per-source top-k window. Shared by
+    * [[knnGraph]] and [[knnGraphIncremental]]. */
+  private def topKDirected(pairs: DataFrame, k: Int): DataFrame = {
     val sym = pairs
       .select(explode(array(
         struct(col("va").as("src"), col("vb").as("dst")),
@@ -297,6 +310,67 @@ object Similarity {
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("cos"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     sym.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("src"), col("dst"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** INCREMENTAL k-NN graph maintenance: merge a `deltaPred` batch of new
+    * vectors into the standing graph without recomputing corpus×corpus —
+    * the nightly-ingest shape for every kNN-graph consumer (SemDeDup,
+    * mutual-kNN dedup, diversity sampling). Per batch:
+    *
+    *   1. the standing graph G₀ = top-k over corpus×corpus LSH candidates
+    *      (the artifact a deployment already has on disk);
+    *   2. delta-touching candidates ONLY: delta rows bucket-join the FULL
+    *      table — cost ∝ |delta|·tables + its collisions, never corpus²;
+    *   3. merged per-source top-k over G₀'s edges ∪ the new directed
+    *      pairs.
+    *
+    * The merge is EXACT, not approximate: a full-recompute neighbor of a
+    * corpus node is either a delta node (step 2 generates it) or a corpus
+    * node — and corpus×corpus candidates are IDENTICAL in both passes
+    * (planes depend only on (table, bit, dim); the bucket width is pinned
+    * from the FULL corpus count so both passes hash alike), so any
+    * corpus neighbor ranking in the full top-k already ranks in G₀'s
+    * top-k. Hence the registered oracle is the FULL-GRAPH recompute
+    * (q_knn_graph's SQL verbatim) — the incremental algebra itself is the
+    * cross-checked artifact, the `q_ivm_agg`/`q_ivm_join` discipline
+    * extended to a similarity index. */
+  def knnGraphIncremental(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, deltaPred: Column, tables: Int = 8): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val n = emb.select(col(idCol)).count()
+    val bits = adaptiveBits(n)
+    val all = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      deltaPred.as("is_delta"))
+    val corpus = all.where(!col("is_delta")).select(col("vec_id"), col("v"))
+    val g0 = topKDirected(
+      lshCosinePairs(corpus, "vec_id", "v", tau = -1.0, bits, tables), k)
+      .select(col("src"), col("dst"), col("cos"))
+    val bAll = signBuckets(all.select(col("vec_id"), col("v")), bits, tables)
+    val bDelta = signBuckets(
+      all.where(col("is_delta")).select(col("vec_id"), col("v")), bits, tables)
+    val candNew = bDelta.as("a")
+      .join(bAll.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("va"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vb"))
+      .distinct()
+    val e = all.select(col("vec_id"), col("v"))
+    val scoredNew = candNew
+      .join(e.select(col("vec_id").as("va"), col("v").as("va_v")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("v").as("vb_v")), "vb")
+      .select(col("va"), col("vb"),
+        GraftFunctions.cosineSim(col("va_v"), col("vb_v")).as("cos"))
+    val newDirected = scoredNew
+      .select(explode(array(
+        struct(col("va").as("src"), col("vb").as("dst")),
+        struct(col("vb").as("src"), col("va").as("dst")))).as("e2"), col("cos"))
+      .select(col("e2.src").as("src"), col("e2.dst").as("dst"), col("cos"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    g0.unionAll(newDirected)
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("src"), col("dst"), col("cos"), col("rank").cast("long").as("rank"))
   }

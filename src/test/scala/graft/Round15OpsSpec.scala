@@ -377,6 +377,25 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.nonEmpty, "sf0.001 must produce at least one mutual cluster")
   }
 
+  // ---- incremental kNN-graph maintenance ----
+
+  test("knnGraphIncremental: delta merge equals the full recompute " +
+      "bit-for-bit; both delta and corpus sources survive") {
+    import graft.operators.Similarity
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf0)
+    val incr = Similarity.knnGraphIncremental(
+        emb, "vec_id", "embedding", 5, col("vec_id") % 10 === 0)
+      .orderBy("src", "rank").collect().map(_.toSeq)
+    val full = Similarity.knnGraph(emb, "vec_id", "embedding", 5)
+      .orderBy("src", "rank").collect().map(_.toSeq)
+    assert(incr.length == full.length)
+    assert(incr.toSeq == full.toSeq,
+      "incremental merge must equal the full-graph recompute exactly")
+    val srcs = incr.map(_.head.asInstanceOf[Long]).toSet
+    assert(srcs.exists(_ % 10 == 0) && srcs.exists(_ % 10 != 0))
+  }
+
   // ---- directed containment dedup ----
 
   test("containmentPairsFrom: catches the quote-inclusion pair Jaccard " +
