@@ -43,6 +43,50 @@ object EventLifecycle {
 
   val all: Map[String, Q] = Map(
 
+    // -- EXACT grouped telemetry percentiles (r15): the p50/p90/p99 table
+    //    every ops dashboard runs, by nearest-rank ELEMENT PICK — never an
+    //    interpolated average, so the reported value is an actual observed
+    //    int64-cents observation and bit parity is an integer compare.
+    //    Index = ceil(q·n) via pure integer arithmetic ((n·num + den−1)
+    //    div den) in BOTH engines. Scale: ONE event_type-keyed shuffle for
+    //    the rank window (the group count broadcast back over it); no
+    //    collect_list, no per-group arrays — rank-and-filter keeps the
+    //    group's rows distributed, unlike a sort_array pick whose group
+    //    payload grows with the corpus. --
+    "q_latency_percentiles" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+          col("event_id"))
+        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+        def idx(num: Int, den: Int) = expr(s"(n * $num + $den - 1) div $den")
+        ev.withColumn("rn", row_number().over(w).cast("long"))
+          .join(broadcast(n), "event_type")
+          .where(col("rn") === idx(1, 2) || col("rn") === idx(9, 10) ||
+            col("rn") === idx(99, 100))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            max(when(col("rn") === idx(1, 2), col("cents"))).as("p50_cents"),
+            max(when(col("rn") === idx(9, 10), col("cents"))).as("p90_cents"),
+            max(when(col("rn") === idx(99, 100), col("cents"))).as("p99_cents"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n FROM ev GROUP BY 1),
+        |r AS (
+        |  SELECT ev.event_type, cents, n.n,
+        |    row_number() OVER (PARTITION BY ev.event_type ORDER BY cents, event_id) AS rn
+        |  FROM ev JOIN n USING (event_type))
+        |SELECT event_type, max(n) AS n,
+        |  max(CASE WHEN rn = (n * 1 + 1) // 2 THEN cents END) AS p50_cents,
+        |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END) AS p90_cents,
+        |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_cents
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin),
+
     // -- A/B experiment readout (r14): deterministic hash-bucket variant
     //    assignment (md5-60("ab_" + user_id) % 2 — exactly how production
     //    bucketing works, reproducible across runs/engines), per-variant

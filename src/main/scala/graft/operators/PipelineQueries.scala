@@ -1256,6 +1256,77 @@ object PipelineQueries {
          |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg10
          |FROM m CROSS JOIN idcg ORDER BY qid""".stripMargin),
 
+    // -- rank-biased overlap (r15): RBO@10, p = 0.9 — the top-weighted
+    //    rank-agreement metric between the exact and the IVF rankings,
+    //    completing the retrieval-eval suite (recall counts membership,
+    //    nDCG weights graded relevance, RBO compares the ORDERINGS
+    //    themselves, discounting depth geometrically). Truncated prefix
+    //    form: (1−p)·Σ_{d=1..10} p^{d−1}·|A_d ∩ B_d|/d — a lower bound of
+    //    the full RBO, labeled as such. Float parity: each depth term is
+    //    rounded to 9 dp and summed as DECIMAL(28,9) (order-free exact,
+    //    the q_retrieval_eval discipline); overlap@d derives from matched
+    //    items' max(rank_A, rank_B) ≤ d — integers end to end. Scale:
+    //    both rankings are bounded top-k windows; the eval joins move
+    //    ≤ |Q|·k² tiny rows. --
+    "q_retrieval_rbo" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val dec28 = DecimalType(28, 9)
+        val e = Tables.embeddings(s, d)
+        val q = e.where(col("vec_id") < 10)
+        def ranked(df: DataFrame, rc: String) = df.withColumn(rc,
+          row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+        val exact = ranked(Similarity.bruteTopK(e, q, "vec_id", "embedding", 10), "er")
+          .select(col("qid"), col("vid"), col("er"))
+        val approx = ranked(Similarity.ivfTopK(e, q, "vec_id", "embedding", "label", 10), "ar")
+          .select(col("qid").as("aqid"), col("vid").as("avid"), col("ar"))
+        val matched = exact.join(approx,
+            col("qid") === col("aqid") && col("vid") === col("avid"))
+          .select(col("qid"), greatest(col("er"), col("ar")).as("m"))
+        val grid = q.select(col("vec_id").as("qid"))
+          .crossJoin(broadcast(s.range(1, 11).select(col("id").as("d"))))
+        val od = grid.join(matched, Seq("qid"), "left_outer")
+          .groupBy(col("qid"), col("d"))
+          .agg(sum(when(col("m") <= col("d"), 1L).otherwise(0L)).as("ov"))
+        val term = round(
+          pow(lit(0.9), (col("d") - 1).cast("double")) *
+            (col("ov").cast("double") / col("d").cast("double")), 9).cast(dec28)
+        od.groupBy(col("qid"))
+          .agg(max(when(col("d") === 10, col("ov"))).as("overlap10"),
+            sum(term).as("ts"))
+          .select(col("qid"), col("overlap10"),
+            round(lit(0.1) * col("ts").cast("double"), 6).as("rbo10"))
+          .orderBy("qid")
+      },
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+         |           FROM embeddings WHERE vec_id < 10),
+         |ex AS (SELECT qid, vid, rn AS er FROM (
+         |    SELECT q.qid, e.vec_id AS vid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+         |  WHERE rn <= 10),
+         |ap AS (SELECT qid, vid, rn AS ar FROM (
+         |    SELECT q.qid, e.vec_id AS vid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM q JOIN embeddings e ON e.vec_id <> q.qid AND e.label = q.ql)
+         |  WHERE rn <= 10),
+         |mt AS (SELECT ex.qid, greatest(er, ar) AS m
+         |       FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vid = ex.vid),
+         |dd AS (SELECT unnest(range(1, 11)) AS d),
+         |od AS (SELECT qq.qid, dd.d,
+         |    sum(CASE WHEN mt.m <= dd.d THEN 1 ELSE 0 END)::BIGINT AS ov
+         |  FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10) qq
+         |  CROSS JOIN dd LEFT JOIN mt ON mt.qid = qq.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid, max(CASE WHEN d = 10 THEN ov END) AS overlap10,
+         |  round(0.1 * CAST(sum(CAST(round(power(0.9, CAST(d - 1 AS DOUBLE))
+         |    * (CAST(ov AS DOUBLE) / CAST(d AS DOUBLE)), 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE), 6) AS rbo10
+         |FROM od GROUP BY qid ORDER BY qid""".stripMargin),
+
     "q_ann_ivf" -> Q(
       (s, d) => {
         val e = Tables.embeddings(s, d)

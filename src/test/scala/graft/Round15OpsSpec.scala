@@ -377,6 +377,66 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.nonEmpty, "sf0.001 must produce at least one mutual cluster")
   }
 
+  // ---- exact grouped percentiles ----
+
+  test("q_latency_percentiles: nearest-rank element picks match a local " +
+      "replay and are observed, ordered values") {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, sf0)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        col("event_id"))
+      .collect().groupBy(_.getString(0))
+    val got = graft.operators.EventLifecycle.all("q_latency_percentiles")
+      .fn(spark, sf0).collect()
+    assert(got.length == ev.size)
+    got.foreach { r =>
+      val xs = ev(r.getString(0)).map(x => (x.getLong(1), x.getLong(2)))
+        .sortBy(identity).map(_._1)
+      val n = xs.length
+      def pick(num: Int, den: Int) = xs(((n.toLong * num + den - 1) / den).toInt - 1)
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(2) == pick(1, 2) && r.getLong(3) == pick(9, 10) &&
+        r.getLong(4) == pick(99, 100))
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+      assert(xs.contains(r.getLong(2)) && xs.contains(r.getLong(4)),
+        "percentiles must be observed values, not interpolations")
+    }
+  }
+
+  // ---- rank-biased overlap ----
+
+  test("q_retrieval_rbo: equals a local replay of the truncated RBO " +
+      "formula over the two rankings; bounded by [0, 1 - p^10]") {
+    import graft.operators.Similarity
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf0)
+    val q = e.where(col("vec_id") < 10)
+    def rankOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(
+          _.sortBy(t => (-t._3, t._2)).map(_._2).toSeq).toMap
+    val ex = rankOf(Similarity.bruteTopK(e, q, "vec_id", "embedding", 10))
+    val ap = rankOf(Similarity.ivfTopK(e, q, "vec_id", "embedding", "label", 10))
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val got = graft.operators.PipelineQueries.all("q_retrieval_rbo")
+      .fn(spark, sf0).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val (qid, ov10, rbo) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (a, b) = (ex.getOrElse(qid, Nil), ap.getOrElse(qid, Nil))
+      val ts = (1 to 10).map { d2 =>
+        val ov = a.take(d2).toSet.intersect(b.take(d2).toSet).size
+        r9(math.pow(0.9, (d2 - 1).toDouble) * (ov.toDouble / d2.toDouble))
+      }.sum
+      assert(ov10 == a.toSet.intersect(b.toSet).size.toLong)
+      val want = BigDecimal(0.1 * ts.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rbo == want, s"qid $qid: rbo $rbo != replay $want")
+      assert(rbo >= 0.0 && rbo <= 1.0 - math.pow(0.9, 10) + 1e-9)
+    }
+  }
+
   // ---- incremental kNN-graph maintenance ----
 
   test("knnGraphIncremental: delta merge equals the full recompute " +
