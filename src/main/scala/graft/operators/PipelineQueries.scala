@@ -384,6 +384,21 @@ object PipelineQueries {
        |c1 AS (SELECT cid, list(c ORDER BY i) AS cv FROM u1 GROUP BY 1),
        |${step(2, "c1")}""".stripMargin
   }
+  /** Shared oracle for both cluster-canonicalization rows (driver
+    * union-find and forced-distributed min-label propagation): recursive
+    * transitive closure over the exact verified pairs, label = min member. */
+  private def clustersOracleSql: String =
+    s"""WITH RECURSIVE pairs AS (${jaccardSql(0.8).replace("ORDER BY da, db", "")}),
+       |sym AS (SELECT da AS a, db AS b FROM pairs
+       |        UNION SELECT db AS a, da AS b FROM pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM sym
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+       |)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   private def hitsSql(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
@@ -697,16 +712,19 @@ object PipelineQueries {
     // the LSH pairs, whose recall is ~1 only probabilistically)
     "q_dedup_clusters" -> Q(
       (s, d) => Dedup.dupClusters(exactPairs08(s, d)).orderBy("doc_id"),
-      s"""WITH RECURSIVE pairs AS (${jaccardSql(0.8).replace("ORDER BY da, db", "")}),
-         |sym AS (SELECT da AS a, db AS b FROM pairs
-         |        UNION SELECT db AS a, da AS b FROM pairs),
-         |reach AS (
-         |  SELECT a AS src, b AS dst FROM sym
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
-         |)
-         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+      clustersOracleSql),
+
+    // the DISTRIBUTED components path as its own oracle row (r15): the
+    // same semantics forced through the iterative min-label propagation
+    // loop (smallGraphMaxEdges = 0 disables the driver union-find gate) —
+    // the shape that runs when a 100 TB corpus's duplicate-edge set
+    // exceeds broadcast class. Until now this path was spec-exercised but
+    // never DuckDB-cross-checked in the driver gate; identical oracle to
+    // q_dedup_clusters certifies path equivalence every round.
+    "q_dedup_clusters_dist" -> Q(
+      (s, d) => Dedup.dupClusters(exactPairs08(s, d), smallGraphMaxEdges = 0L)
+        .orderBy("doc_id"),
+      clustersOracleSql),
 
     // canonical-selection dedup: keep the HIGHEST-QUALITY member of every
     // near-dup cluster (not merely the lowest id) — cluster labels from CC
