@@ -1274,6 +1274,42 @@ object PipelineQueries {
          |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg10
          |FROM m CROSS JOIN idcg ORDER BY qid""".stripMargin),
 
+    // -- hard-negative mining (r15): for each query, the top-5 most
+    //    similar DIFFERENT-label vectors — the contrastive-training data
+    //    op (a retrieval/embedding model trains on (query, positive,
+    //    hard-negative) triples, and the hard negatives — near misses,
+    //    not random draws — are what move the decision boundary). Same
+    //    broadcast-queries + per-query bounded-window shape as bruteTopK
+    //    with the label-inequality predicate pushed into the join; at
+    //    cluster scale the map-side bounded-heap variant (TopKAggregator,
+    //    q_ann_topk_agg) swaps in unchanged. --
+    "q_mine_hard_negatives" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("ql"))
+        val scored = e.join(broadcast(q),
+            col("vec_id") =!= col("qid") && col("label") =!= col("ql"))
+          .select(col("qid"), col("vec_id").as("vid"),
+            cosineSim(col("qv"), col("embedding")).as("cos"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("vid"), col("cos"), col("rank"))
+          .orderBy("qid", "rank")
+      },
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+         |           FROM embeddings WHERE vec_id < 10)
+         |SELECT qid, vid, cos, rn AS rank FROM (
+         |  SELECT q.qid, e.vec_id AS vid, ${cosSql("q.qe", "e.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.qid AND e.label <> q.ql)
+         |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin),
+
     // -- rank-biased overlap (r15): RBO@10, p = 0.9 — the top-weighted
     //    rank-agreement metric between the exact and the IVF rankings,
     //    completing the retrieval-eval suite (recall counts membership,

@@ -437,6 +437,43 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- hard-negative mining ----
+
+  test("q_mine_hard_negatives: every negative has a different label, is " +
+      "the exact cosine top-5 of its label-complement, and is harder " +
+      "than a random negative") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf0).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val labels = emb.map(e => e._1 -> e._3).toMap
+    val vecs = emb.map(e => e._1 -> e._2).toMap
+    def cosRef(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = graft.operators.PipelineQueries.all("q_mine_hard_negatives")
+      .fn(spark, sf0).collect()
+    assert(got.length == 50)
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      rows.foreach(r => assert(labels(r.getLong(1)) != labels(qid)))
+      // exact top-5 of the label complement, ties by vid
+      val want = emb.filter(e => e._1 != qid && e._3 != labels(qid))
+        .map(e => (cosRef(vecs(qid), e._2), e._1))
+        .sortBy(t => (-t._1, t._2)).take(5)
+      val gotSorted = rows.sortBy(_.getLong(3)).map(r => (r.getDouble(2), r.getLong(1)))
+      assert(gotSorted.toSeq == want.toSeq, s"qid $qid top-5 mismatch")
+      // "hard": the rank-1 negative beats the label-complement median cosine
+      val all = emb.filter(e => e._1 != qid && e._3 != labels(qid))
+        .map(e => cosRef(vecs(qid), e._2)).sorted
+      assert(gotSorted.head._1 > all(all.length / 2))
+    }
+  }
+
   // ---- incremental kNN-graph maintenance ----
 
   test("knnGraphIncremental: delta merge equals the full recompute " +
