@@ -277,6 +277,71 @@ object EventStreams {
       .orderBy("day")
   }
 
+  /** At-ingest twin of the batch histogram-exact percentiles
+    * (`q_latency_percentiles`): per event_type, the (cents → count)
+    * HISTOGRAM rides the state store — the same bounded-by-value-domain
+    * artifact the batch operator's cumulative window runs over, and a
+    * commutative MONOID (count maps merge by addition), so the converged
+    * answer is bit-identical to batch under ANY arrival split. Each batch
+    * folds its arrivals into the histogram and re-emits the nearest-rank
+    * picks (ceil(q·n) by the same pure-integer arithmetic) with a version
+    * counter; highest version per type ≡ the batch row. State is O(value
+    * domain) per type — never O(events) — which is what makes an exact
+    * streaming percentile possible at all. */
+  def streamingPercentiles(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    readStream(spark, sfDir, glob, maxFilesPerTrigger)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[Long, Long]),
+        (String, Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (typ, it, state) =>
+          val (ver0, m0) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          val m = scala.collection.mutable.Map.empty[Long, Long] ++= m0
+          it.foreach { case (_, cents) =>
+            m.update(cents, m.getOrElse(cents, 0L) + 1L)
+          }
+          val ver = ver0 + 1
+          state.update((ver, m.toMap))
+          val ks = m.keys.toVector.sorted
+          val n = m.values.sum
+          def pick(num: Long, den: Long): Long = {
+            val target = (n * num + den - 1) / den
+            var cum = 0L
+            var i = 0
+            while (i < ks.length) {
+              cum += m(ks(i))
+              if (cum >= target) return ks(i)
+              i += 1
+            }
+            ks.last
+          }
+          Iterator.single((typ, n, pick(1, 2), pick(9, 10), pick(99, 100), ver))
+      }
+      .toDF("event_type", "n", "p50_cents", "p90_cents", "p99_cents", "ver")
+  }
+
+  /** Drive [[streamingPercentiles]] to completion; highest version per
+    * event_type = the converged judgment, equal to batch
+    * `q_latency_percentiles`. */
+  def streamingPercentilesFinal(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snaps = runUpdatesToBatch(spark,
+      streamingPercentiles(spark, sfDir, glob, maxFilesPerTrigger))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ver").desc)
+    snaps.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("event_type", "n", "p50_cents", "p90_cents", "p99_cents")
+      .orderBy("event_type")
+  }
+
   /** At-ingest twin of the batch Holt forecaster (`q_ts_holt`): per-user
     * level+trend maintained as events stream in. State per user is the
     * day→(cents, count) rollup (O(days-per-user), never O(events)): each

@@ -85,6 +85,15 @@ object StreamingQueries {
       (s, d) => EventStreams.streamingCusumFinal(s, d),
       graft.operators.QualityChecks.all("q_cusum").oracle.get),
 
+    // streaming exact percentiles (r15): the (cents -> count) histogram —
+    // bounded by the value domain, a commutative monoid — rides the state
+    // store per event_type; nearest-rank picks re-emitted per batch with
+    // versions, highest version = the batch answer bit-for-bit under any
+    // split; the BATCH q_latency_percentiles oracle is reused verbatim
+    "q_stream_percentiles" -> Q(
+      (s, d) => EventStreams.streamingPercentilesFinal(s, d),
+      graft.operators.EventLifecycle.all("q_latency_percentiles").oracle.get),
+
     // streaming Holt forecaster (r15): per-user level+trend maintained at
     // ingest — state is the day->(cents, count) rollup per user, each
     // batch re-derives the decimal-exact daily means and replays the

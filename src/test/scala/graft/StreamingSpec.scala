@@ -137,6 +137,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming percentiles: multi-batch arrival is bit-identical to batch") {
+    // Histogram state is a commutative monoid: not "converges", IS the
+    // same counts — and hence the same nearest-rank picks — under any
+    // arrival split.
+    val dir = java.nio.file.Files.createTempDirectory("graft_spct_").toString
+    Tables.events(spark, sf0).drop("ts_ns")
+      .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val streamed = EventStreams
+      .streamingPercentilesFinal(spark, dir, "part-*.parquet", Some(1))
+      .collect().map(_.toSeq)
+    val batch = graft.operators.EventLifecycle.all("q_latency_percentiles")
+      .fn(spark, sf0).collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming Holt: multi-batch arrival converges to the batch answer") {
     // Per-user coupled level+trend: a day's l/b depend on every earlier
     // day of that user AND on its daily MEAN (which later arrivals can
