@@ -159,6 +159,81 @@ object DataSelection {
 
   val all: Map[String, Q] = Map(
 
+    // -- CURRICULUM ordering (r15): the easy→hard training order — docs
+    //    staged into difficulty quartiles (token count as the proxy) and
+    //    deterministically shuffled WITHIN each stage, the standard
+    //    curriculum-learning data layout. No global sort exists anywhere:
+    //    quartile cuts come from the histogram-exact nearest-rank pick
+    //    (cumulative window over DISTINCT lengths — bounded by the length
+    //    domain, the q_latency_percentiles shape), the within-stage
+    //    shuffle key is the md5-60 rank hash (reproducible, oracle-
+    //    replayable), and the global sequence number is the
+    //    q_pack_sequences two-phase prefix sum over (stage, skey-range)
+    //    partitions — 128 bounded offsets broadcast back, so the total
+    //    order materializes with NO single-partition exchange over docs.
+    //    The oracle replays the same cuts and ONE row_number over
+    //    (stage, skey, doc_id) — certifying the distributed order equals
+    //    the global sort it avoids. --
+    "q_curriculum" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        GraftFunctions.register(s)
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_toks"),
+          md5Hash60(concat(lit("cur_"), col("doc_id").cast("string"))).as("skey"))
+        val n = t.count()
+        def target(num: Long, den: Long) = (n * num + den - 1) / den
+        val hist = t.groupBy("n_toks").agg(count(lit(1)).as("c"))
+        val wc = Window.orderBy(col("n_toks")) // over DISTINCT lengths: domain-bounded
+        val cuts = hist.withColumn("cum", sum(col("c")).over(wc))
+          .agg(min(when(col("cum") >= target(1, 4), col("n_toks"))).as("q1"),
+            min(when(col("cum") >= target(2, 4), col("n_toks"))).as("q2"),
+            min(when(col("cum") >= target(3, 4), col("n_toks"))).as("q3"))
+          .collect()(0)
+        val staged = t.withColumn("stage",
+          when(col("n_toks") <= cuts.getLong(0), 1L)
+            .when(col("n_toks") <= cuts.getLong(1), 2L)
+            .when(col("n_toks") <= cuts.getLong(2), 3L)
+            .otherwise(4L))
+        // two-phase global sequence: pid = (stage, top-5-bits-of-skey)
+        val withPid = staged
+          .withColumn("pid",
+            ((col("stage") - 1) * 32 + shiftright(col("skey"), 55)).cast("int"))
+        val totals = withPid.groupBy("pid").agg(count(lit(1)).as("tot"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val pids = 0 to 128
+        val offs = pids.scanLeft(0L)((a, p) => a + totals.getOrElse(p, 0L))
+        val offsDf = s.createDataFrame(pids.map(p => (p, offs(p))))
+          .toDF("pid", "poff")
+        val wp = Window.partitionBy(col("pid")).orderBy(col("skey"), col("doc_id"))
+        withPid
+          .withColumn("rn", row_number().over(wp))
+          .join(broadcast(offsDf), "pid")
+          .select(col("doc_id"), col("stage"), col("n_toks"),
+            (col("poff") + col("rn")).as("seq"))
+          .orderBy("doc_id")
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id, len($tokSql)::BIGINT AS n_toks,
+         |    ('0x' || substr(md5('cur_' || doc_id::VARCHAR), 1, 15))::BIGINT AS skey
+         |  FROM documents),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM t),
+         |hist AS (SELECT n_toks, count(*)::BIGINT AS c FROM t GROUP BY 1),
+         |cum AS (SELECT n_toks, sum(c) OVER (ORDER BY n_toks) AS cum FROM hist),
+         |cuts AS (SELECT
+         |    min(CASE WHEN cum >= (SELECT (n * 1 + 3) // 4 FROM nn) THEN n_toks END) AS q1,
+         |    min(CASE WHEN cum >= (SELECT (n * 2 + 3) // 4 FROM nn) THEN n_toks END) AS q2,
+         |    min(CASE WHEN cum >= (SELECT (n * 3 + 3) // 4 FROM nn) THEN n_toks END) AS q3
+         |  FROM cum),
+         |staged AS (
+         |  SELECT doc_id, n_toks, skey,
+         |    CASE WHEN n_toks <= q1 THEN 1 WHEN n_toks <= q2 THEN 2
+         |         WHEN n_toks <= q3 THEN 3 ELSE 4 END::BIGINT AS stage
+         |  FROM t CROSS JOIN cuts)
+         |SELECT doc_id, stage, n_toks,
+         |  row_number() OVER (ORDER BY stage, skey, doc_id) AS seq
+         |FROM staged ORDER BY doc_id""".stripMargin),
+
     // -- DSIR importance weights: the full differential oracle rebuilds
     //    the hashed-bigram buckets, both smoothed models and every λ from
     //    the same exact integer counts, then re-scores every raw doc.

@@ -437,6 +437,38 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- curriculum ordering ----
+
+  test("q_curriculum: seq is a contiguous permutation, stages are " +
+      "difficulty-monotone, within-stage order is the hash shuffle") {
+    GraftFunctions.register(spark)
+    val rows = graft.operators.DataSelection.all("q_curriculum")
+      .fn(spark, sf0).collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(3)).sorted.sameElements(1L to n))
+    // stage blocks are contiguous in seq and value-monotone
+    val byStage = rows.groupBy(_.getLong(1))
+    assert(byStage.keySet == Set(1L, 2L, 3L, 4L))
+    (1L to 3L).foreach { s2 =>
+      assert(byStage(s2).map(_.getLong(3)).max < byStage(s2 + 1).map(_.getLong(3)).min,
+        s"stage $s2 seqs must precede stage ${s2 + 1}")
+      assert(byStage(s2).map(_.getLong(2)).max <= byStage(s2 + 1).map(_.getLong(2)).min,
+        s"stage $s2 lengths must not exceed stage ${s2 + 1}")
+    }
+    // within-stage order = (md5-60 rank hash, doc_id)
+    def h60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"cur_$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    byStage.values.foreach { st =>
+      val bySeq = st.sortBy(_.getLong(3)).map(r => (h60(r.getLong(0)), r.getLong(0)))
+      assert(bySeq.sameElements(bySeq.sortBy(identity)),
+        "within-stage order must be the deterministic hash shuffle")
+    }
+  }
+
   // ---- hard-negative mining ----
 
   test("q_mine_hard_negatives: every negative has a different label, is " +
