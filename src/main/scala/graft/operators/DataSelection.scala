@@ -157,7 +157,80 @@ object DataSelection {
        |       FROM g JOIN lam ON g.b = lam.b
        |       WHERE g.source NOT IN ('src0','src1') GROUP BY 1)""".stripMargin
 
+  /** Greedy k-center CORESET selection (farthest-point traversal) over
+    * the integer-quantized embedding lattice — the diversity-sampling
+    * counterpart of importance resampling: pick `k` exemplars such that
+    * every vector is close to some exemplar (a 2-approximation of the
+    * optimal k-center cover, Gonzalez 1985). Deterministic: seeded at the
+    * minimum vec_id, each step broadcasts the ≤ k chosen centers, ONE
+    * partial-aggregated scan computes every vector's min squared-L2 to
+    * the chosen set (exact int64 on the [[KMeansQuant.quantize]] lattice)
+    * and a TakeOrdered(1) picks the farthest (ties by vec_id). Driver
+    * state: k (id, radius²) rows. The emitted `dmin` (the selected
+    * point's distance at selection = the cover radius² before it joined)
+    * is MONOTONE NON-INCREASING — the classic k-center certificate, and
+    * what the spec locks. At 100 TB each step is an embarrassingly
+    * parallel scan; k is small by construction. */
+  def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, scale: Int = 1000): DataFrame = {
+    val spark = emb.sparkSession
+    val q = KMeansQuant.quantize(emb, idCol, vecCol, scale).persist()
+    try {
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var centers = Seq(q.agg(min("vec_id")).collect()(0).getLong(0))
+      chosen += ((1L, centers.head, 0L))
+      for (step <- 2 to k) {
+        val cents = q.where(col("vec_id").isin(centers: _*))
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val far = q.crossJoin(broadcast(cents))
+          .select(col("vec_id"), KMeansQuant.sqDist(col("v"), col("cv")).as("d"))
+          .groupBy("vec_id").agg(min("d").as("dmin"))
+          .orderBy(col("dmin").desc, col("vec_id"))
+          .limit(1).collect()(0)
+        centers = centers :+ far.getLong(0)
+        chosen += ((step.toLong, far.getLong(0), far.getLong(1)))
+      }
+      import spark.implicits._
+      chosen.toSeq.toDF("step", "vec_id", "dmin")
+    } finally { q.unpersist(); () }
+  }
+
   val all: Map[String, Q] = Map(
+
+    // -- greedy k-center coreset (r15): 8 maximally-diverse exemplars —
+    //    the diversity-sampling complement of DSIR; exact int64 lattice
+    //    distances, deterministic seed/tie-breaks, driver holds k rows.
+    //    The oracle replays the WHOLE greedy loop in one recursive CTE
+    //    (corpus as a struct list, chosen set carried as an id list,
+    //    argmax via the lpad-sortable-key trick — the q_bpe_train
+    //    discipline). --
+    "q_sample_coreset" -> Q(
+      (s, d) => kCenterCoreset(Tables.embeddings(s, d), "vec_id", "embedding", 8)
+        .orderBy("step"),
+      """WITH RECURSIVE qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT list({'id': vec_id, 'v': v} ORDER BY vec_id) AS vs FROM qv),
+        |rec(step, ids, pick, dm) AS (
+        |  SELECT 1, [s], s, 0::BIGINT
+        |  FROM (SELECT min(vec_id) AS s FROM qv)
+        |  UNION ALL
+        |  SELECT r.step + 1,
+        |    list_append(r.ids, substr(bk, 13)::BIGINT),
+        |    substr(bk, 13)::BIGINT,
+        |    999999999999 - substr(bk, 1, 12)::BIGINT
+        |  FROM (
+        |    SELECT r.step, r.ids,
+        |      (list_sort(list_transform(c.vs, e ->
+        |        lpad((999999999999 - list_aggregate(list_transform(r.ids, cid ->
+        |          list_sum(list_transform(range(1, len(e.v) + 1), i ->
+        |            (e.v[i] - list_filter(c.vs, z -> z.id = cid)[1].v[i])
+        |            * (e.v[i] - list_filter(c.vs, z -> z.id = cid)[1].v[i])))
+        |        ), 'min'))::VARCHAR, 12, '0') || lpad(e.id::VARCHAR, 12, '0'))))[1] AS bk
+        |    FROM rec r, c WHERE r.step < 8) r)
+        |SELECT step::BIGINT AS step, pick AS vec_id, dm AS dmin
+        |FROM rec ORDER BY step""".stripMargin),
 
     // -- CURRICULUM ordering (r15): the easy→hard training order — docs
     //    staged into difficulty quartiles (token count as the proxy) and

@@ -437,6 +437,41 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- greedy k-center coreset ----
+
+  test("kCenterCoreset: equals a local greedy replay; selection radius " +
+      "is monotone non-increasing (the k-center certificate)") {
+    import graft.operators.DataSelection
+    val emb = Tables.embeddings(spark, sf0)
+    val got = DataSelection.kCenterCoreset(emb, "vec_id", "embedding", 8)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // local replay on the same lattice
+    val V = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var ids = Seq(V.keys.min)
+    val ref = scala.collection.mutable.ArrayBuffer((1L, ids.head, 0L))
+    (2 to 8).foreach { step =>
+      val (vid, dmin) = V.keys.toSeq
+        .map(v => (v, ids.map(c => d2(V(v), V(c))).min))
+        .minBy { case (v, dm) => (-dm, v) }
+      ids = ids :+ vid
+      ref += ((step.toLong, vid, dmin))
+    }
+    assert(got.toSeq == ref.toSeq, "distributed greedy must replay the reference")
+    // radius certificate
+    got.drop(1).sliding(2).foreach {
+      case Array(a, b) => assert(a._3 >= b._3, "cover radius must not increase")
+      case _ =>
+    }
+    assert(got.map(_._2).distinct.length == 8, "exemplars are distinct")
+  }
+
   // ---- curriculum ordering ----
 
   test("q_curriculum: seq is a contiguous permutation, stages are " +
