@@ -501,6 +501,65 @@ object QualityChecks {
         |  CAST(sum_all AS DOUBLE) / n_days AS mean_cents
         |FROM a ORDER BY user_id""".stripMargin),
 
+    // -- 10% WINSORIZED mean per user (r15): the clamp-the-tails twin of
+    //    q_trimmed_mean — instead of DROPPING the k = n div 10 extreme
+    //    daily totals per tail, they are REPLACED by the nearest kept
+    //    order statistics (x_(k+1) / x_(n−k)), so n stays the divisor and
+    //    the estimator keeps full sample weight while still bounding any
+    //    single day's influence. Same rank machinery (the window key is
+    //    user_id — high cardinality, no low-cardinality serialization);
+    //    mean = (Σ_kept + k·x_(k+1) + k·x_(n−k)) / n, all int64 until ONE
+    //    IEEE division. --
+    "q_winsorized_mean" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"),
+            col("value").cast(DecimalType(18, 2)).as("v"))
+          .groupBy(col("user_id"), col("day"))
+          .agg((sum(col("v")) * 100).cast("long").as("mv"))
+        val wr = Window.partitionBy(col("user_id")).orderBy(col("mv"), col("day"))
+        val wu = Window.partitionBy(col("user_id"))
+        val kept = col("rn") > col("k") && col("rn") <= col("nd") - col("k")
+        daily
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .withColumn("nd", count(lit(1)).over(wu))
+          .withColumn("k", expr("nd div 10"))
+          .groupBy(col("user_id"))
+          .agg(max(col("nd")).as("n_days"), max(col("k")).as("n_clamped"),
+            sum(when(kept, col("mv")).otherwise(0L)).as("sum_kept"),
+            max(when(col("rn") === col("k") + 1, col("mv"))).as("v_lo"),
+            max(when(col("rn") === col("nd") - col("k"), col("mv"))).as("v_hi"),
+            sum(col("mv")).as("sum_all"))
+          .select(col("user_id"), col("n_days"), col("n_clamped"),
+            col("v_lo"), col("v_hi"),
+            ((col("sum_kept") + col("n_clamped") * col("v_lo") +
+              col("n_clamped") * col("v_hi")).cast("double") / col("n_days"))
+              .as("win_mean_cents"),
+            (col("sum_all").cast("double") / col("n_days")).as("mean_cents"))
+          .orderBy("user_id")
+      },
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS mv
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, mv,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY mv, day) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS nd
+        |  FROM daily),
+        |a AS (
+        |  SELECT user_id,
+        |    max(nd)::BIGINT AS n_days, max(nd // 10)::BIGINT AS n_clamped,
+        |    sum(CASE WHEN rn > nd // 10 AND rn <= nd - nd // 10 THEN mv ELSE 0 END)::BIGINT AS sum_kept,
+        |    max(CASE WHEN rn = nd // 10 + 1 THEN mv END)::BIGINT AS v_lo,
+        |    max(CASE WHEN rn = nd - nd // 10 THEN mv END)::BIGINT AS v_hi,
+        |    sum(mv)::BIGINT AS sum_all
+        |  FROM r GROUP BY 1)
+        |SELECT user_id, n_days, n_clamped, v_lo, v_hi,
+        |  CAST(sum_kept + n_clamped * v_lo + n_clamped * v_hi AS DOUBLE) / n_days AS win_mean_cents,
+        |  CAST(sum_all AS DOUBLE) / n_days AS mean_cents
+        |FROM a ORDER BY user_id""".stripMargin),
+
     "q_mad_outliers" -> Q(
       (s, d) => {
         val daily = Tables.events(s, d)

@@ -634,6 +634,33 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_winsorized_mean: matches a local exact replay; winsorized mean " +
+      "sits between the trimmed mean's clamp bounds") {
+    val daily = Tables.events(spark, sf0)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+      .groupBy(col("user_id"), col("day"))
+      .agg((sum(col("v")) * 100).cast("long").as("mv"))
+      .collect().groupBy(_.getLong(0))
+    val got = graft.operators.QualityChecks.all("q_winsorized_mean")
+      .fn(spark, sf0).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val xs = daily(r.getLong(0)).map(x => (x.getLong(2), x.getLong(1)))
+        .sortBy(identity).map(_._1)
+      val n = xs.length; val k = n / 10
+      val kept = xs.slice(k, n - k)
+      val vLo = xs(k); val vHi = xs(n - k - 1)
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == k.toLong)
+      assert(r.getLong(3) == vLo && r.getLong(4) == vHi)
+      val want = (kept.sum + k.toLong * vLo + k.toLong * vHi).toDouble / n
+      assert(r.getDouble(5) == want, s"user ${r.getLong(0)} winsorized mismatch")
+      assert(r.getDouble(6) == xs.sum.toDouble / n)
+      // clamping keeps the estimator inside the kept-value envelope
+      assert(r.getDouble(5) >= vLo.toDouble && r.getDouble(5) <= vHi.toDouble)
+    }
+  }
+
   // ---- full-outer join with both-side null extension ----
 
   test("q_join_full: every side marker occurs, zero-defaults agree with " +
