@@ -32,6 +32,21 @@ object ParityQueries {
     frames.getOrElseUpdate(s, d)(
       LazyFrame.parquet(s, s"$d/lineitem.parquet", rowOrderKey).cached())
 
+  /** The REOPEN fixture: open orders → build the cached index → `reopen()`
+    * drops the persisted index and re-binds to the source
+    * (`src/lazy.frame.c:94-130`); later extractions rebuild from the
+    * re-opened binding. Projected to 3 columns so the extraction scan stays
+    * narrow, and memoized per (session, dir) like [[li]] — repeated bench
+    * legs must not accumulate persisted index copies (the r15 `gc_ms`
+    * regression pattern). */
+  private val reopenedFrames = new graft.core.SessionCache[LazyFrame]
+  private def ordersReopened(s: SparkSession, d: String): LazyFrame =
+    reopenedFrames.getOrElseUpdate(s, d)(
+      LazyFrame.parquet(s, s"$d/orders.parquet", Seq("o_orderkey"))
+        .select(Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        .cached()
+        .reopen())
+
   /** Shared projection: all lineitem columns, timestamp stringified. */
   private def proj(df: DataFrame, withRowId: Boolean = true): DataFrame = {
     val base = Seq(
@@ -186,6 +201,34 @@ object ParityQueries {
       (s, d) => proj(li(s, d).rowsAt(scatteredIds)).orderBy("row_id"),
       s"""$lfCte SELECT $projSql FROM lf
          | WHERE row_id IN (${scatteredIds.mkString(",")}) ORDER BY row_id""".stripMargin),
+
+    // -- LINES at which()-scale (VERDICT r15 #1): the reference's flagship
+    //    composition x[which(x[,k] OP v), ] (vignette :272-281) with a
+    //    DISTRIBUTED id set — the ids never materialize on the driver and
+    //    never ride inside the plan; they join the row index instead --
+    "lf_rows_at_big" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val f = li(s, d)
+        val ids = f.which(col("l_quantity") > 45.0).select(col("row_id")).as[Long]
+        proj(f.rowsAt(ids)).orderBy("row_id")
+      },
+      s"$lfCte SELECT $projSql FROM lf WHERE l_quantity > 45.0 ORDER BY row_id"),
+
+    // -- REOPEN (src/lazy.frame.c:94-130, R/lazy.frame.R:41-45): open →
+    //    cached index → reopen() drops it and re-binds to the source; the
+    //    extraction below rebuilds from the re-opened binding and must
+    //    match the plain-SQL answer (the pre-reopen extraction is the same
+    //    deterministic query, so one oracle pins both) --
+    "lf_reopen" -> Q(
+      (s, d) => ordersReopened(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .orderBy("row_id"),
+      """WITH lf AS (
+        |  SELECT *, row_number() OVER (ORDER BY o_orderkey) AS row_id FROM orders
+        |)
+        |SELECT o_orderkey, o_custkey, o_totalprice, row_id FROM lf
+        | WHERE o_totalprice > 400000.0 ORDER BY row_id""".stripMargin),
 
     // -- which(): indices only (Ops.lazy.frame → WHICH kernel) --
     "lf_which_gt" -> Q(

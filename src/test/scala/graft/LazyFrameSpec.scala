@@ -185,6 +185,50 @@ class LazyFrameSpec extends SparkSpec {
     assert(ids.nonEmpty && viaIds == direct)
   }
 
+  test("rowsAt(Dataset): distributed ids ≡ filter; no id literal in the plan; " +
+      "session conf untouched") {
+    import spark.implicits._
+    val confKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val before = spark.conf.get(confKey)
+    val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet",
+      graft.operators.ParityQueries.rowOrderKey)
+    val pred = col("l_quantity") >= 45.0
+    val ids = lf.which(pred).select(col("row_id")).as[Long]
+    val viaIds = lf.rowsAt(ids)
+    val direct = lf.filter(pred).select("l_orderkey", "l_linenumber").collect().toSet
+    assert(viaIds.select("l_orderkey", "l_linenumber").collect().toSet == direct)
+    // the whole point of the overload: ids must not ride inside the plan
+    val plan = viaIds.queryExecution.executedPlan.toString
+    assert(!plan.contains("INSET") && !plan.contains(" IN ("),
+      s"id list inlined into the plan:\n${plan.take(2000)}")
+    assert(spark.conf.get(confKey) == before,
+      "open+extract must not mutate the user's session conf (VERDICT r15 #4)")
+    // empty id set → empty extraction; non-positive ids rejected like the Seq overload
+    assert(lf.rowsAt(spark.emptyDataset[Long]).count() == 0)
+    intercept[IllegalArgumentException](lf.rowsAt(Seq(-3L, 4L).toDS()).collect())
+  }
+
+  test("rowsAt big-list fallback: a Seq past rowAddressMax routes through the " +
+      "distributed join — no InSet literal shipping in every task binary") {
+    import spark.implicits._
+    val key = "graft.extract.rowAddressMaxRows"
+    spark.conf.set(key, "4")
+    try {
+      val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet",
+        graft.operators.ParityQueries.rowOrderKey)
+      val ids = Seq(5L, 15L, 25L, 999L, 1000L, 4999L, 6000L, 999999999L)
+      val out = lf.rowsAt(ids) // 8 distinct > max 4 → distributed path
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("INSET") && !plan.contains(" IN ("),
+        s"big-list fallback still inlines ids:\n${plan.take(2000)}")
+      val expect = ids.filter(_ <= lf.nrow).toSet
+      assert(out.select("row_id").collect().map(_.getLong(0)).toSet == expect)
+      // the Dataset overload above the threshold returns the same rows
+      assert(lf.rowsAt(ids.toDS()).select("row_id").collect()
+        .map(_.getLong(0)).toSet == expect)
+    } finally spark.conf.unset(key)
+  }
+
   test("column projection: unknown names silently dropped; pushdown-safe") {
     val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", graft.operators.ParityQueries.rowOrderKey)
     val sel = lf.select(Seq("l_orderkey", "l_linenumber", "not_a_column"))

@@ -30,6 +30,43 @@ class PlanSpec extends SparkSpec {
       s"filter not pushed to scan:\n$plan")
   }
 
+  test("lf extraction under Spark's STRICT co-partition default: single " +
+      "equi-key, cached index side never re-exchanges") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val confKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    // Spark's default is strict; opens no longer relax it (VERDICT r15 #4 —
+    // the residual wrapper keeps the join single-equi-key instead)
+    assert(spark.conf.get(confKey) == "true", "expected Spark's strict default")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // collect() needs the real tree
+    spark.conf.set("graft.index.broadcastMaxRows", "1")   // force the SHJ path
+    try {
+      val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet",
+        ParityQueries.rowOrderKey).cached()
+      val q = lf.filter(col("l_quantity") >= 49.0)
+      val plan = q.queryExecution.executedPlan
+      val shj = plan.collect { case j: ShuffledHashJoinExec => j }
+      assert(shj.size == 1, s"expected the extraction SHJ:\n$plan")
+      assert(shj.head.leftKeys.size == 1,
+        "the packed hash must be the ONLY equi-key — extra keys re-exchange " +
+          s"the index under the strict default:\n$plan")
+      // exactly ONE exchange: the filtered scan side; the cached index
+      // streams from its build-time partitioning (collect() does not
+      // descend into the InMemoryRelation's cached build plan)
+      val ex = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.size == 1, s"expected only the scan-side exchange:\n$plan")
+      assert(plan.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
+        s"index must come from its cache:\n$plan")
+      assert(q.count() > 0)
+      lf.reopen() // release this test's persisted index from the shared session
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.unset("graft.index.broadcastMaxRows")
+    }
+  }
+
   test("lf select: projection prunes the scan to requested + order-key columns") {
     val lf = LazyFrame.parquet(spark, s"$sf0/lineitem.parquet", ParityQueries.rowOrderKey)
     val plan = formatted(lf.select(Seq("l_quantity")).filterFast(col("l_quantity") > 0))

@@ -92,23 +92,24 @@ class Round14OpsSpec extends SparkSpec {
     assert(a == b, "partial-agg split must not change any output bit")
   }
 
-  // ---- LazyFrame conf hygiene (VERDICT r13 item 9) ----
+  // ---- LazyFrame conf hygiene (VERDICT r13 item 9; r15 #4 removed the
+  // side effect entirely — the residual wrapper keeps extraction joins
+  // single-equi-key, which the strict default accepts) ----
 
-  test("LazyFrame open: the documented conf side effect holds, and " +
-      "restoring Spark's default keeps extraction correct") {
+  test("LazyFrame open: no session conf side effect; strict and relaxed " +
+      "co-partition settings extract identical rows") {
     val key = "spark.sql.requireAllClusterKeysForCoPartition"
+    val before = spark.conf.get(key)
     val lf = graft.core.LazyFrame.parquet(spark,
       s"$sf0/nation.parquet", Seq("n_nationkey"))
-    // the side effect every open method's scaladoc promises
-    assert(spark.conf.get(key) == "false")
-    val relaxed = lf.rowsAt(Seq(3L, 7L, 11L)).collect().map(_.toSeq)
+    val strict = lf.rowsAt(Seq(3L, 7L, 11L)).collect().map(_.toSeq)
+    assert(spark.conf.get(key) == before,
+      "open+extract must leave the user's session value untouched")
     try {
-      // a user who needs the stricter default can set it back: plans may
-      // re-exchange the index, results must not change
-      spark.conf.set(key, "true")
-      val strict = lf.rowsAt(Seq(3L, 7L, 11L)).collect().map(_.toSeq)
-      assert(relaxed.toSeq == strict.toSeq)
-    } finally spark.conf.set(key, "false")
+      spark.conf.set(key, "false")
+      val relaxed = lf.rowsAt(Seq(3L, 7L, 11L)).collect().map(_.toSeq)
+      assert(strict.toSeq == relaxed.toSeq)
+    } finally spark.conf.set(key, before)
   }
 
   // ---- robust (median/MAD) outlier gate ----
