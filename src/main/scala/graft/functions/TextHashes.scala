@@ -579,9 +579,15 @@ object TextHashes {
     * text pipeline runs BEFORE any hashing/dedup step, because the same
     * visible string has multiple byte encodings (e + U+0301 vs é) and every
     * downstream digest/shingle/minhash treats them as different documents.
-    * `java.text.Normalizer` implements the Unicode standard's NFC, the same
-    * algorithm DuckDB's `nfc_normalize` (utf8proc) implements, so the oracle
-    * can compare normalized bytes directly. Fast path: a pure-ASCII string
+    * `java.text.Normalizer` implements UAX #15 NFC, the same algorithm
+    * DuckDB's `nfc_normalize` (utf8proc) implements, so the oracle compares
+    * normalized bytes directly — FOR CODE POINTS BOTH ENGINES' Unicode
+    * tables cover (ADVICE r15: a JDK vs utf8proc Unicode-VERSION skew can
+    * compose differently for code points added in newer Unicode versions;
+    * the bit-parity claim is scoped to the shared version, and
+    * TextHashesSpec runs a differential corpus over combining marks from
+    * several Unicode eras to detect a skew in this toolchain). Fast path:
+    * a pure-ASCII string
     * is already NFC (scan bytes, no allocation) — the overwhelmingly common
     * case in a web corpus, and the reason this beats normalizing
     * unconditionally through String round-trips. */

@@ -170,7 +170,16 @@ object DataSelection {
     * point's distance at selection = the cover radius² before it joined)
     * is MONOTONE NON-INCREASING — the classic k-center certificate, and
     * what the spec locks. At 100 TB each step is an embarrassingly
-    * parallel scan; k is small by construction. */
+    * parallel scan; k is small by construction.
+    *
+    * `scale` bound: distances are exact while every squared-L2 on the
+    * quantized lattice fits int64 — with d dims and coordinates in
+    * [-m, m], dmin ≤ d·(2·m·scale)², so 64 dims of unit-range floats at
+    * the default scale=1000 stay below ~2.6e8, far inside the domain.
+    * The differential ORACLE key (q_sample_coreset) is lpad-19 over the
+    * int64-max complement, so it covers the FULL int64 range of dmin and
+    * vec_id (ADVICE r15: the earlier 12-digit field silently corrupted
+    * ordering past 1e12). */
   def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, scale: Int = 1000): DataFrame = {
     val spark = emb.sparkSession
@@ -217,17 +226,17 @@ object DataSelection {
         |  FROM (SELECT min(vec_id) AS s FROM qv)
         |  UNION ALL
         |  SELECT r.step + 1,
-        |    list_append(r.ids, substr(bk, 13)::BIGINT),
-        |    substr(bk, 13)::BIGINT,
-        |    999999999999 - substr(bk, 1, 12)::BIGINT
+        |    list_append(r.ids, substr(bk, 20)::BIGINT),
+        |    substr(bk, 20)::BIGINT,
+        |    9223372036854775807 - substr(bk, 1, 19)::BIGINT
         |  FROM (
         |    SELECT r.step, r.ids,
         |      (list_sort(list_transform(c.vs, e ->
-        |        lpad((999999999999 - list_aggregate(list_transform(r.ids, cid ->
+        |        lpad((9223372036854775807 - list_aggregate(list_transform(r.ids, cid ->
         |          list_sum(list_transform(range(1, len(e.v) + 1), i ->
         |            (e.v[i] - list_filter(c.vs, z -> z.id = cid)[1].v[i])
         |            * (e.v[i] - list_filter(c.vs, z -> z.id = cid)[1].v[i])))
-        |        ), 'min'))::VARCHAR, 12, '0') || lpad(e.id::VARCHAR, 12, '0'))))[1] AS bk
+        |        ), 'min'))::VARCHAR, 19, '0') || lpad(e.id::VARCHAR, 19, '0'))))[1] AS bk
         |    FROM rec r, c WHERE r.step < 8) r)
         |SELECT step::BIGINT AS step, pick AS vec_id, dm AS dmin
         |FROM rec ORDER BY step""".stripMargin),

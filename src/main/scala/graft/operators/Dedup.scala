@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large text corpora (north-star extension —
@@ -41,11 +41,23 @@ object Dedup {
     * n: int)`. Joining/intersecting on 8-byte hashes instead of shingle
     * strings shrinks shuffle volume several-fold; a 64-bit collision
     * (≈ |shingles|²/2⁶⁴) is the accepted, negligible error. */
-  private[operators] def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+  private[graft] def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .select(col("doc_id"),
         array_distinct(transform(shingles(col("t"), k), s => xxhash64(s))).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
+
+  /** The PPJoin prefix bound ⌈n·tau⌉, computed in DECIMAL arithmetic so it
+    * is exact for every decimal tau (ADVICE r15: `ceil` over the DOUBLE
+    * product can overstate by 1 when tau's binary representation exceeds
+    * the decimal — e.g. a future caller's tau whose double sits just above
+    * the rational — which SHORTENS the prefix and silently drops candidate
+    * pairs, a recall loss invisible to spot checks). `tau.toString` recovers
+    * the intended decimal (shortest round-trip repr), `n · decimal` is
+    * exact, and Spark's `ceil(decimal)` is exact — matching the SQL
+    * oracles' integer-style ceiling. */
+  private def ceilTau(n: Column, tau: Double): Column =
+    ceil(n * lit(BigDecimal(java.lang.Double.toString(tau))))
 
   /** Exact pairwise n-gram Jaccard ≥ tau via PREFIX-FILTERED inverted
     * index (AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
@@ -72,19 +84,23 @@ object Dedup {
     * df aggregation, one rank window (both shuffle narrow rows), one
     * prefix self-join, one verification join against the persisted sets.
     *
-    * Storage ownership: this convenience wrapper persists the shingle-set
-    * frame internally and never unpersists it — each call pins one
-    * (bounded, few-KB-per-doc) frame for the session lifetime. One-shot
-    * jobs don't care; long-lived sessions deduping MANY distinct corpora
-    * should call [[ngramJaccardPairsFrom]] with a frame whose persistence
-    * they manage (persist → run → unpersist), as the registered queries do
-    * via `SessionCache`. */
+    * Storage ownership (VERDICT r15 #5): this convenience wrapper owns its
+    * shingle-set persistence — persist, RUN (the bounded verified pair set
+    * is materialized eagerly via `localCheckpoint`, cutting the lineage
+    * back to the sets frame), unpersist. Nothing stays pinned in the
+    * session's cache manager after the call returns; the checkpointed pair
+    * blocks are released by the ContextCleaner when the returned frame is
+    * dropped. Long-lived sessions deduping MANY distinct corpora — or
+    * callers wanting a LAZY plan — should use [[ngramJaccardPairsFrom]]
+    * with a frame whose persistence they manage, as the registered queries
+    * do via `SessionCache`. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, tau: Double): DataFrame =
-    ngramJaccardPairsFrom(
-      shingleSets(docs, idCol, textCol, k)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      tau)
+      k: Int, tau: Double): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try ngramJaccardPairsFrom(sets, tau).localCheckpoint()
+    finally sets.unpersist()
+  }
 
   /** [[ngramJaccardPairs]] over a precomputed `(doc_id, ss, n)` shingle-set
     * frame (caller owns its persistence — the frame is read by the prefix
@@ -98,7 +114,7 @@ object Dedup {
     val prefix = sh.join(dfreq, "h")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .where(col("rk") <= col("n") - ceil(col("n") * lit(tau)) + 1)
+      .where(col("rk") <= col("n") - ceilTau(col("n"), tau) + 1)
       .select(col("doc_id"), col("h"))
       .repartition(col("h")) // one exchange, reused by both self-join sides
     val cand = prefix.as("a")
@@ -141,7 +157,7 @@ object Dedup {
     val prefix = sh.join(dfreq, "h")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .where(col("rk") <= col("n") - ceil(col("n") * lit(tau)) + 1)
+      .where(col("rk") <= col("n") - ceilTau(col("n"), tau) + 1)
       .select(col("doc_id"), col("h"))
     val postings = sh.select(col("doc_id"), col("h")).repartition(col("h"))
     val cand = prefix.repartition(col("h")).as("a")
@@ -179,7 +195,14 @@ object Dedup {
     * The registered queries route through `SessionCache`, which memoizes
     * one frame per session and evicts it on application end. */
   def shingleSigSets(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int = 128): DataFrame = {
+      k: Int, numHashes: Int = 128): DataFrame =
+    sigSetsPlan(docs, idCol, textCol, k, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The [[shingleSigSets]] plan WITHOUT the persist side effect — for
+    * callers (and specs) that need the pure plan. */
+  private[graft] def sigSetsPlan(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int = 128): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     // spread the CPU-heavy tokenize/shingle/sign work across the cluster
     // even when the source arrives in few coarse splits (one shuffle of the
@@ -192,16 +215,19 @@ object Dedup {
         minhashSig(col("sharr"), numHashes).as("sig"),
         array_distinct(transform(col("sharr"), s => xxhash64(s))).as("ss"))
       .select(col("doc_id"), col("sig"), col("ss"), size(col("ss")).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Convenience wrapper; same storage-ownership caveat as
-    * [[ngramJaccardPairs]] — the [[shingleSigSets]] frame it builds stays
-    * persisted for the session. Long-lived multi-corpus sessions should
-    * manage the frame themselves via [[minhashPairsFrom]]. */
+  /** Convenience wrapper; same storage ownership as [[ngramJaccardPairs]]:
+    * persist the [[shingleSigSets]] frame, materialize the bounded verified
+    * pair set eagerly, unpersist — nothing stays in the session's cache
+    * manager. Callers wanting a lazy plan or cross-flavor scan sharing use
+    * [[minhashPairsFrom]] and manage the frame themselves. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, tau: Double, numHashes: Int = 128, bands: Int = 32): DataFrame =
-    minhashPairsFrom(shingleSigSets(docs, idCol, textCol, k, numHashes), tau, bands)
+      k: Int, tau: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val sets = shingleSigSets(docs, idCol, textCol, k, numHashes)
+    try minhashPairsFrom(sets, tau, bands).localCheckpoint()
+    finally sets.unpersist()
+  }
 
   /** [[minhashPairs]] over a precomputed [[shingleSigSets]] frame. */
   def minhashPairsFrom(sets: DataFrame, tau: Double, bands: Int = 32): DataFrame = {

@@ -21,6 +21,29 @@ object PipelineQueries {
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*x)))
        |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*x)))))""".stripMargin
 
+  /** The q_nfc_versions probe corpus: (probe_id, codepoint sequence) —
+    * combining-mark shapes exercising distinct UAX #15 behaviors (see the
+    * registry row's comment). Both engines build the SAME raw strings from
+    * these codepoints; BMP-only so Spark's and DuckDB's length() count
+    * identically. */
+  private val nfcProbe: Seq[(Long, Seq[Int])] = Seq(
+    1L -> Seq('e'.toInt, 0x0301),          // 1.1-era composition → é
+    2L -> Seq('e'.toInt, 0x0323, 0x0301),  // ccc 220/230 reorder + compose
+    3L -> Seq(0x0915, 0x093C),             // composition EXCLUSION (→ not U+0958)
+    4L -> Seq(0x212B),                     // singleton: Angstrom → Å
+    5L -> Seq(0x1100, 0x1161, 0x11A8),     // Hangul jamo → algorithmic syllable
+    6L -> Seq('A'.toInt, 0x030A),          // A + ring → Å (same target as 4)
+    7L -> Seq(0x03B1, 0x0345, 0x0301),     // Greek ypogegrammeni ordering
+    8L -> Seq('a'.toInt, 0x1DF8, 0x0301),  // Unicode-10 mark + ccc ordering
+    9L -> Seq(0x017F, 0x0307),             // long s + dot: excluded from composition
+    10L -> Seq('x'.toInt, 0x0344))         // the MARK decomposes (→ 0308 0301)
+
+  /** The same corpus as DuckDB VALUES rows built from chr() codepoints. */
+  private def nfcProbeSqlValues: String =
+    nfcProbe.map { case (id, cps) =>
+      s"($id, ${cps.map(c => s"chr($c)").mkString(" || ")})"
+    }.mkString(", ")
+
   /** Shared oracle CTE stack replaying [[Similarity.knnGraph]] (k = 5,
     * 8 tables, adaptive width): md5-derived hyperplanes, sign buckets,
     * candidate collisions, exact cosine per undirected pair, both directed
@@ -1087,6 +1110,41 @@ object PipelineQueries {
         |  md5(raw) AS h_raw,
         |  md5(nfc_normalize(raw)) AS h_nfc
         |FROM raw ORDER BY doc_id""".stripMargin),
+
+    // NFC Unicode-VERSION skew probe (ADVICE r15): q_normalize_unicode only
+    // plants U+0301, so a JDK-vs-utf8proc Unicode-table divergence on other
+    // code points would never reach the oracle. This row normalizes a
+    // curated corpus of combining-mark shapes spanning several Unicode
+    // behaviors — 1.1-era composition (e+U+0301), canonical REORDERING
+    // (ccc 220 before 230), composition EXCLUSION (U+0915+U+093C must stay
+    // decomposed; U+017F+U+0307), a singleton (U+212B → U+00C5), Hangul
+    // jamo algorithmic composition, Greek ypogegrammeni ordering, a mark
+    // that itself decomposes (U+0344 → U+0308 U+0301), and a modern-era
+    // mark (U+1DF8, Unicode 10) interacting with ccc ordering — built from
+    // the SAME codepoint literals on both engines, then composed
+    // independently by java.text.Normalizer vs utf8proc. Any table skew
+    // between the two toolchains' Unicode versions turns a row red.
+    "q_nfc_versions" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        import s.implicits._
+        nfcProbe.map { case (id, cps) =>
+          (id, new String(cps.toArray, 0, cps.length))
+        }.toDF("probe_id", "raw")
+          .select(col("probe_id"),
+            length(col("raw")).cast("long").as("n_raw"),
+            length(nfcNorm(col("raw"))).cast("long").as("n_nfc"),
+            (nfcNorm(col("raw")) =!= col("raw")).as("changed"),
+            md5(nfcNorm(col("raw")).cast("binary")).as("h_nfc"))
+          .orderBy("probe_id")
+      },
+      s"""WITH raw AS (SELECT * FROM (VALUES $nfcProbeSqlValues) AS t(probe_id, raw))
+         |SELECT probe_id::BIGINT AS probe_id,
+         |  length(raw)::BIGINT AS n_raw,
+         |  length(nfc_normalize(raw))::BIGINT AS n_nfc,
+         |  nfc_normalize(raw) <> raw AS changed,
+         |  md5(nfc_normalize(raw)) AS h_nfc
+         |FROM raw ORDER BY probe_id""".stripMargin),
 
     // full differential oracle: DuckDB replays the 60-bit md5-based simhash
     // (token hash = first 60 bits of md5, majority vote per bit), the

@@ -278,9 +278,13 @@ object Scoring {
     * (reduce side = d+1 longs per partition) with the weight vector
     * broadcast as literals — the textbook data-parallel training shape:
     * cost per round ∝ corpus / cluster, driver state ∝ d. All arithmetic
-    * is int64 (exact, order-free, partitioning-invariant), so the DuckDB
-    * oracle replays the WHOLE loop bit-for-bit in one recursive CTE over
-    * the corpus collapsed to a feature list (the q_bpe_train discipline).
+    * is int64 — exact, order-free, partitioning-invariant WITHIN the
+    * headroom a per-round guard enforces (ADVICE r15: weights grow with
+    * corpus-sized gradient sums, so the loop fails fast the moment a
+    * margin product, gradient sum, or weight update could leave int64,
+    * instead of silently wrapping) — so the DuckDB oracle replays the
+    * WHOLE loop bit-for-bit in one recursive CTE over the corpus collapsed
+    * to a feature list (the q_bpe_train discipline).
     *
     * Label: the established long-doc proxy (n_toks ≥ 64 — the
     * q_calibration_ece label; the OPERATOR is the point, the label a
@@ -309,7 +313,32 @@ object Scoring {
         (size(array_distinct(col("t"))).cast("long") - 44L).as("x4"))
       .persist()
     try {
+      // ADVICE r15: the int64-exactness claim needs a checked BOUND, not
+      // faith — w grows by corpus-sized gradient sums each round, so at
+      // extreme corpus sizes a margin product w·x could overflow silently
+      // BEFORE the documented convergence fixed point. One agg captures n
+      // and per-feature max|x|; every round then fails fast (BigInt check,
+      // exact) if the NEXT round's margin Σ|w_i|·max|x_i|, a gradient sum
+      // n·max|x_i|, or an update |w_i|+n·max|x_i| could leave int64. In the
+      // convergent regime the guard never fires (weights stop moving); it
+      // converts the silent-wrong-answer failure mode into a loud one.
+      val b = feats.agg(count(lit(1)),
+        max(abs(col("x1"))), max(abs(col("x2"))),
+        max(abs(col("x3"))), max(abs(col("x4")))).collect()(0)
+      val n = b.getLong(0)
+      val maxAbs = Array(b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4))
+      def guard(w: Array[Long], round: Int): Unit = {
+        val lmax = BigInt(Long.MaxValue)
+        val margin = w.zip(maxAbs).map { case (wi, mi) => BigInt(wi).abs * mi }.sum
+        val worst = w.zip(maxAbs).map { case (wi, mi) =>
+          (BigInt(wi).abs + BigInt(n) * mi).max(BigInt(n) * mi) }.max
+        require(margin <= lmax && worst <= lmax,
+          s"perceptronTrain: int64 headroom exhausted at round $round " +
+            s"(corpus n=$n, max|x|=${maxAbs.mkString(",")}, w=${w.mkString(",")}) — " +
+            "rescale/center features or reduce rounds")
+      }
       var w = Array(0L, 0L, 0L, 0L)
+      guard(w, 0)
       val hist = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
       for (r <- 1 to k) {
         val margin = col("y") * (lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
@@ -322,6 +351,7 @@ object Scoring {
           .collect()(0)
         w = Array(w(0) + row.getLong(1), w(1) + row.getLong(2),
           w(2) + row.getLong(3), w(3) + row.getLong(4))
+        guard(w, r)
         hist += ((r.toLong, row.getLong(0), w(0), w(1), w(2), w(3)))
       }
       hist.result()

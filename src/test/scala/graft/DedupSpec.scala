@@ -28,6 +28,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("one-shot pair wrappers own their persistence: nothing left in the " +
+      "cache manager after the call (VERDICT r15 #5)") {
+    val corpus = Seq(
+      (1L, "aaa bbb ccc ddd eee fff"), (2L, "aaa bbb ccc ddd eee ffg"),
+      (3L, "zzz yyy xxx www vvv uuu")).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+    val lsh = Dedup.minhashPairs(corpus, "doc_id", "text", 3, 0.5)
+    assert(exact.count() >= 1 && lsh.count() >= 1)
+    // the internal frames the wrappers persisted must be GONE: looking up
+    // an identical plan in the cache manager finds nothing
+    val cm = spark.sharedState.cacheManager
+    def cached(df: org.apache.spark.sql.DataFrame) =
+      cm.lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+    assert(cached(Dedup.shingleSets(corpus, "doc_id", "text", 3)).isEmpty,
+      "ngramJaccardPairs left its shingle-set frame persisted")
+    assert(cached(Dedup.sigSetsPlan(corpus, "doc_id", "text", 3)).isEmpty,
+      "minhashPairs left its signature frame persisted")
+  }
+
   test("simhash finds planted exact and near-identical documents") {
     // exact copies → Hamming 0, must always pair with their source
     val copies = docs.limit(5)
