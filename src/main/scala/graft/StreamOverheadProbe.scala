@@ -20,7 +20,65 @@ import org.apache.spark.sql.streaming.Trigger
   * Usage: `runMain graft.StreamOverheadProbe [sfDir] [k ...]`
   */
 object StreamOverheadProbe {
+
+  /** Per-query floor/payload decomposition (VERDICT r15 #7): run each
+    * streaming registry query against (a) the real sf dir and (b) a dir of
+    * EMPTY same-schema tables. The empty-input wall time IS the query's
+    * fixed floor — query start/stop, source listing, offset/commit log
+    * writes, state-store instance load+commit across partitions — and
+    * `full − floor` is the data-proportional payload. The floor amortizes
+    * at scale (it is per-QUERY-RUN, not per-row; a production stream pays
+    * it once per micro-batch over arbitrarily many rows), so a bench row
+    * dominated by floor is measuring Spark's streaming machinery, not this
+    * engine's operators. Results → SCALE.md streaming ledger.
+    *
+    * Usage: `runMain graft.StreamOverheadProbe decompose [sfDir] [q ...]`
+    */
+  private def decompose(spark: SparkSession, sfDir: String,
+      names: Seq[String]): Unit = {
+    val defaults = Seq("q_stream_tumbling", "q_stream_join",
+      "q_stream_join_outer", "q_stream_stateful", "q_stream_dedup_wm",
+      "q_stream_anomaly", "q_stream_enrich", "q_stream_merge")
+    val qs = (if (names.nonEmpty) names else defaults)
+      .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    // empty same-schema twins of every table the streaming rows read
+    val floorDir = java.nio.file.Files.createTempDirectory("graft_floor_").toString
+    Seq("events", "customer", "documents").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$floorDir/$t.parquet")
+    }
+    def timeIt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = qs.map { case (name, fn) =>
+      val floor = (1 to 3).map(_ => timeIt(fn, floorDir)).min
+      val full = (1 to 3).map(_ => timeIt(fn, sfDir)).min
+      System.err.println(f"[probe] $name%-22s floor=$floor%6.2f s  full=$full%6.2f s  payload=${full - floor}%6.2f s")
+      f""""$name":{"floor":$floor%.2f,"full":$full%.2f,"payload":${full - floor}%.2f}"""
+    }
+    println(s"""{"metric":"stream_floor_payload_sec","queries":{${rows.mkString(",")}},"stream_parts":${spark.conf.get("graft.streaming.shufflePartitions", "unset")},"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    val mode = args.headOption
+    if (mode.contains("decompose")) {
+      val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("graft.streaming.shufflePartitions",
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      decompose(spark, sfDir, args.drop(2).toSeq)
+      spark.stop()
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ks: Seq[Int] = {
       val t = args.drop(1).map(_.toInt).toSeq

@@ -772,7 +772,7 @@ object EventStreams {
     withStatePartitions(spark) {
       val q = joined.writeStream
         .outputMode("append").format("memory").queryName(name)
-        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .trigger(Trigger.ProcessingTime("25 milliseconds"))
         .start()
       q.processAllAvailable() // real input fully drained
       cFence.coalesce(1).write.mode("overwrite").parquet(cDir)
@@ -780,14 +780,17 @@ object EventStreams {
       q.processAllAvailable() // fence batch processed, watermark advanced
       // the null-row flush happens in the watermark-change NO-DATA batch
       // right after the fence batch; processAllAvailable does not wait
-      // for it, so poll the sink until it stops growing
+      // for it, so poll the sink until it stops growing. Tight cadence
+      // (VERDICT r15 #7): the old 3×200 ms stability window put ≥0.6 s of
+      // pure sleep on this row's floor — 50 ms polls with a 3-poll
+      // stability window keep the safety margin at a tenth of the cost.
       var last = -1L
       var stable = 0
       var tries = 0
-      while (stable < 3 && tries < 150) {
+      while (stable < 3 && tries < 600) {
         val n = spark.table(name).count()
         if (n == last) stable += 1 else { stable = 0; last = n }
-        Thread.sleep(200)
+        Thread.sleep(50)
         tries += 1
       }
       q.stop()
