@@ -242,7 +242,7 @@ object Similarity {
     * input: bit j of table t's bucket = sign(dot(v, plane(t, j))), planes
     * md5-derived (oracle-replayable). Shared by the all-pairs LSH, the
     * kNN graph and its incremental maintenance. */
-  private def signBuckets(e: DataFrame, bits: Int, tables: Int): DataFrame =
+  private[graft] def signBuckets(e: DataFrame, bits: Int, tables: Int): DataFrame =
     e.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(tables - 1)),
         t => call_function("graft_hyperplane_bucket_md5", col("v"), t, lit(bits)))))
