@@ -177,6 +177,88 @@ object Dedup {
       .where(col("cont") >= tau)
   }
 
+  /** [[corpusOverlap]]'s slot-hash modulus (2³¹ − 1, prime) and per-slot
+    * universal-hash constants aᵢ ∈ [1, p−1], bᵢ ∈ [0, p−1] — md5-derived
+    * exactly as the SQL oracle recomputes them (first 15 hex chars of the
+    * digest = the md5-60 kernel's value). */
+  private val OverlapP = 2147483647L
+  private def md560(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+  private val OverlapA: Seq[Long] =
+    (0 until 64).map(i => md560(s"sl_a_$i") % (OverlapP - 1) + 1)
+  private val OverlapB: Seq[Long] =
+    (0 until 64).map(i => md560(s"sl_b_$i") % OverlapP)
+
+  /** CORPUS-level resemblance between SOURCES (r16) — the triage step
+    * before any cross-corpus dedup: estimate the Jaccard overlap of two
+    * crawls'/dumps' shingle SETS from mergeable per-source MinHash
+    * sketches, so the expensive pairwise near-dup pass only runs on source
+    * pairs whose corpus overlap justifies it. Output per source pair
+    * (src_a < src_b): set sizes, the EXACT set Jaccard, the sketch
+    * estimate, and their absolute error.
+    *
+    * The sketch is the scale path: per source it is `positions` longs —
+    * a commutative, mergeable (element-wise min) monoid, so at 100 TB
+    * each source's signature comes from ONE scan with map-side partial
+    * mins and the overlap decision never touches pairwise data. The exact
+    * Jaccard computed alongside exists as the harness cross-check (and is
+    * itself bounded by distinct shingles, never documents²). The estimator
+    * is the classic one-permutation-per-slot bound: each of the
+    * `positions` slots agrees between two sources with probability
+    * J(A,B), so the match fraction is an unbiased estimate with stderr
+    * √(J(1−J)/positions).
+    *
+    * Slot hashes are the textbook UNIVERSAL family hᵢ(x) = (aᵢ·x + bᵢ)
+    * mod p over p = 2³¹−1, with x = md5-60(shingle) mod p and the 64
+    * (aᵢ, bᵢ) constants md5-derived — distinct per slot, so slots are
+    * (pairwise-)independent. A Kirsch-Mitzenmacher h1 + i·h2 WITHOUT the
+    * 2⁶⁴ wraparound was measured catastrophically slot-correlated here
+    * (the global-min-x element stays the min across most slots, inflating
+    * a 0.02-Jaccard pair's estimate to 0.56); the JVM's wrapping fixes
+    * K-M but DuckDB errors on int64 overflow, so the oracle could not
+    * replay it. With 31-bit operands, aᵢ·x ≤ 2⁶² — overflow-free on both
+    * engines, bit-for-bit replayable. */
+  def corpusOverlap(docs: DataFrame, srcCol: String, textCol: String,
+      k: Int = 3, positions: Int = 64): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(col(srcCol).as("src"),
+      explode(shingles(tokens(col(textCol)), k)).as("s")).distinct()
+    val aLit = typedlit(OverlapA.take(positions))
+    val bLit = typedlit(OverlapB.take(positions))
+    val hashed = sh.select(col("src"),
+      pmod(md5Hash60(col("s")), lit(OverlapP)).as("x"))
+    val sig = hashed
+      .select(col("src"), posexplode(
+        transform(sequence(lit(0), lit(positions - 1)),
+          i => pmod(element_at(aLit, i + 1) * col("x") + element_at(bLit, i + 1),
+            lit(OverlapP)))))
+      .toDF("src", "i", "hv")
+      .groupBy("src", "i").agg(min(col("hv")).as("m"))
+    val est = sig.as("a")
+      .join(sig.as("b"), col("a.i") === col("b.i") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src"), col("b.src"))
+      .agg((sum(when(col("a.m") === col("b.m"), 1L).otherwise(0L)).cast("double")
+        / positions).as("est_jaccard"))
+      .toDF("src_a", "src_b", "est_jaccard")
+    val cnt = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src"), col("y.src")).agg(count(lit(1)).as("inter"))
+      .toDF("src_a", "src_b", "inter")
+    est
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(cnt.toDF("src_a", "n_a"), "src_a")
+      .join(cnt.toDF("src_b", "n_b"), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L)))).as("exact_jaccard"),
+        col("est_jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+  }
+
   /** MinHash+LSH near-dup pairs, exact-verified: shingle → 128-hash MinHash
     * signature → 32 band buckets → bucket-join candidates → exact Jaccard
     * filter. Output: (da, db, jac), same contract as [[ngramJaccardPairs]].

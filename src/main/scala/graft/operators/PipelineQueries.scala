@@ -730,6 +730,52 @@ object PipelineQueries {
         |WHERE CAST(p.inter AS DOUBLE)/(ca.n + cb.n - p.inter) >= 0.8
         |ORDER BY dn, dc""".stripMargin),
 
+    // corpus-level overlap triage (r16, [[Dedup.corpusOverlap]]): per
+    // SOURCE pair, the exact shingle-set Jaccard next to its mergeable
+    // md5-MinHash sketch estimate — the decision artifact for which corpus
+    // pairs deserve a cross-dedup pass at all. The sketch is the 100 TB
+    // path (64 longs per source, element-wise-min mergeable, one scan);
+    // the exact side is the harness cross-check. Oracle recomputes the 64
+    // universal-hash slot constants from the same md5 formula and replays
+    // both Jaccards bit-for-bit (31-bit operands: overflow-free on both
+    // engines).
+    "q_corpus_overlap" -> Q(
+      (s, d) => Dedup.corpusOverlap(Tables.documents(s, d), "source", "text")
+        .orderBy("src_a", "src_b"),
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, $tokSql AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source AS src, s FROM (
+        |    SELECT source, unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks)),
+        |ab AS (SELECT u.i,
+        |    ('0x' || substr(md5('sl_a_' || u.i::VARCHAR), 1, 15))::BIGINT
+        |      % 2147483646 + 1 AS a,
+        |    ('0x' || substr(md5('sl_b_' || u.i::VARCHAR), 1, 15))::BIGINT
+        |      % 2147483647 AS b
+        |  FROM unnest(range(0, 64)) AS u(i)),
+        |h AS (SELECT src,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS x
+        |  FROM sh),
+        |sig AS (SELECT src, ab.i, min((ab.a * h.x + ab.b) % 2147483647) AS m
+        |  FROM h CROSS JOIN ab GROUP BY 1, 2),
+        |est AS (SELECT a.src AS src_a, b.src AS src_b,
+        |    sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)::DOUBLE / 64 AS est_jaccard
+        |  FROM sig a JOIN sig b ON a.i = b.i AND a.src < b.src GROUP BY 1, 2),
+        |cnt AS (SELECT src, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT x.src AS src_a, y.src AS src_b, count(*)::BIGINT AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.src < y.src GROUP BY 1, 2)
+        |SELECT e.src_a, e.src_b, ca.n AS n_a, cb.n AS n_b,
+        |  COALESCE(i.inter, 0)::DOUBLE / (ca.n + cb.n - COALESCE(i.inter, 0))
+        |    AS exact_jaccard,
+        |  e.est_jaccard,
+        |  abs(e.est_jaccard
+        |    - COALESCE(i.inter, 0)::DOUBLE / (ca.n + cb.n - COALESCE(i.inter, 0)))
+        |    AS abs_err
+        |FROM est e LEFT JOIN inter i USING (src_a, src_b)
+        |JOIN cnt ca ON e.src_a = ca.src JOIN cnt cb ON e.src_b = cb.src
+        |ORDER BY src_a, src_b""".stripMargin),
+
     // cluster canonicalization over the EXACT verified near-dup pairs (the
     // same pair set the recursive-CTE oracle closes over — deliberately not
     // the LSH pairs, whose recall is ~1 only probabilistically)

@@ -93,6 +93,56 @@ object Tokenize {
       .orderBy("pack_id")
   }
 
+  /** PADDING-WASTE analysis of training-batch construction (r16) — the
+    * standard efficiency question a data-pipeline answers before fixing a
+    * loader strategy: batches pad every sequence to the batch max, so
+    * compute wasted on pad tokens is `Σ(batchWidth − seqLen)`. Compares
+    * two batching strategies over the same sharded corpus:
+    *
+    *   - `shuffled`: docs in hash order (the i.i.d. default) — batch
+    *     width ≈ the longest doc in any 8, waste is high;
+    *   - `sorted`: docs length-sorted within each shard (the
+    *     bucketed-batching trick) — near-equal lengths per batch, waste
+    *     collapses.
+    *
+    * Sharding is the scale shape: docs split into `parts` shards by the
+    * top bits of a uniform md5-60 key (the [[packOffsets]] discipline —
+    * static, sample-free, bit-deterministic), batches form WITHIN shards
+    * (exactly how distributed data-loader workers batch: each worker
+    * orders only its own shard; no global sort exists anywhere). Output:
+    * one row per strategy with batch count, real vs padded token totals
+    * and the waste fraction — every quantity an exact integer until the
+    * final ratio, so the SQL oracle replays it bit-for-bit. */
+  def paddingWaste(docs: org.apache.spark.sql.DataFrame, batch: Int = 8,
+      cap: Int = 128, parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    require((parts & (parts - 1)) == 0, "parts must be a power of two")
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(docs.sparkSession)
+    val shift = 60 - Integer.numberOfTrailingZeros(parts)
+    val base = docs.select(col("doc_id"),
+      GraftFunctions.md5Hash60(
+        concat(lit("pw_"), col("doc_id").cast("string"))).as("skey"),
+      least(size(GraftFunctions.tokens(col("text"))), lit(cap))
+        .cast("long").as("n"))
+      .withColumn("pid", shiftright(col("skey"), shift).cast("int"))
+    def strategy(name: String, order: Seq[org.apache.spark.sql.Column]) = {
+      val w = Window.partitionBy(col("pid")).orderBy(order: _*)
+      base.withColumn("rn", row_number().over(w))
+        .groupBy(col("pid"), expr(s"(rn - 1) div $batch").as("bix"))
+        .agg(count(lit(1)).as("bsz"), sum(col("n")).as("real_b"),
+          max(col("n")).as("width"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("real_b")).as("real_toks"),
+          sum(col("bsz") * col("width")).as("padded_toks"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("real_toks"), col("padded_toks"),
+          ((col("padded_toks") - col("real_toks")).cast("double")
+            / col("padded_toks")).as("waste_frac"))
+    }
+    strategy("shuffled", Seq(col("skey"), col("doc_id")))
+      .unionByName(strategy("sorted", Seq(col("n"), col("doc_id"))))
+  }
+
   /** Shared oracle CTEs: `bm` (the merge table), `btoks(doc_id, lang, t)`
     * — the per-doc BPE token list. Callers prefix `WITH RECURSIVE`. */
   private val bpeCte: String =
@@ -303,6 +353,38 @@ object Tokenize {
          |SELECT (p // 512)::BIGINT AS pack_id, count(*)::BIGINT AS n_tokens,
          |  md5(string_agg(tok, ' ' ORDER BY p)) AS fp
          |FROM e GROUP BY 1 ORDER BY pack_id""".stripMargin),
+
+    // -- batching padding-waste A/B (r16, [[paddingWaste]]): shuffled vs
+    //    length-sorted batch formation within hash shards — the loader
+    //    decision every training run pays for in pad-token FLOPs. All
+    //    integer accounting; the oracle replays shards, ranks, batch
+    //    widths and totals exactly. --
+    "q_pack_padding" -> Q(
+      (s, d) => paddingWaste(Tables.documents(s, d)).orderBy("strategy"),
+      """WITH c AS (SELECT doc_id,
+        |    ('0x' || substr(md5('pw_' || doc_id::VARCHAR), 1, 15))::BIGINT AS skey,
+        |    least(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')), 128)::BIGINT AS n
+        |  FROM documents),
+        |p AS (SELECT *, (skey >> 55)::INT AS pid FROM c),
+        |s1 AS (SELECT pid, n,
+        |    row_number() OVER (PARTITION BY pid ORDER BY skey, doc_id) AS rn FROM p),
+        |b1 AS (SELECT pid, (rn - 1) // 8 AS bix, count(*) AS bsz,
+        |    sum(n) AS real_b, max(n) AS w FROM s1 GROUP BY 1, 2),
+        |t1 AS (SELECT 'shuffled' AS strategy, count(*)::BIGINT AS n_batches,
+        |    sum(real_b)::BIGINT AS real_toks, sum(bsz * w)::BIGINT AS padded_toks
+        |  FROM b1),
+        |s2 AS (SELECT pid, n,
+        |    row_number() OVER (PARTITION BY pid ORDER BY n, doc_id) AS rn FROM p),
+        |b2 AS (SELECT pid, (rn - 1) // 8 AS bix, count(*) AS bsz,
+        |    sum(n) AS real_b, max(n) AS w FROM s2 GROUP BY 1, 2),
+        |t2 AS (SELECT 'sorted' AS strategy, count(*)::BIGINT AS n_batches,
+        |    sum(real_b)::BIGINT AS real_toks, sum(bsz * w)::BIGINT AS padded_toks
+        |  FROM b2)
+        |SELECT strategy, n_batches, real_toks, padded_toks,
+        |  (padded_toks - real_toks)::DOUBLE / padded_toks AS waste_frac
+        |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+        |ORDER BY strategy""".stripMargin),
 
     // -- corpus subword vocabulary: top-30 BPE tokens by frequency (the
     //    sanity view a tokenizer change is judged by; explode + one

@@ -769,6 +769,7 @@ object EventStreams {
         col("c_ts") <= col("p_ts"),
       joinType)
     val name = s"ssjoinouter_${System.nanoTime()}"
+    recycleSink(spark, name)
     withStatePartitions(spark) {
       val q = joined.writeStream
         .outputMode("append").format("memory").queryName(name)
@@ -815,9 +816,33 @@ object EventStreams {
       .select(col("event_id"), col("c_nationkey"), col("value"))
   }
 
+  /** Previous memory-sink view per (session, name prefix), dropped when a
+    * newer run of the same query registers its sink. A `format("memory")`
+    * sink holds its full result rowset on the DRIVER behind the temp view
+    * for the session lifetime — with per-run unique names (needed: a
+    * memory sink cannot be restarted) a bench leg leaked one rowset per
+    * streaming query per run, measured as steady old-gen growth (r15's
+    * gc_ms regression). Recycling keeps at most ONE live sink per query
+    * family. */
+  private val lastSink =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Register `name` as its prefix's current sink and drop the previous
+    * run's view (the prefix is everything before the last '_' — callers
+    * name sinks `<family>_<nanoTime>`). */
+  private def recycleSink(spark: SparkSession, name: String): Unit = {
+    val cut = name.lastIndexOf('_')
+    val prefix = if (cut > 0) name.substring(0, cut) else name
+    val prev = lastSink.put((spark, prefix), name)
+    if (prev != null && prev != name)
+      try { spark.catalog.dropTempView(prev); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Run an append-mode stream (dedup, stream-stream join) to completion
     * against the finite input (memory sink, AvailableNow). */
   def runAppendToBatch(spark: SparkSession, out: DataFrame, name: String): DataFrame = {
+    recycleSink(spark, name)
     withStatePartitions(spark) {
       val q = out.writeStream
         .outputMode("append")
@@ -833,6 +858,7 @@ object EventStreams {
   /** Run a streaming aggregation to completion against the finite input and
     * return the final result (memory sink, complete mode, AvailableNow). */
   def runToBatch(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    recycleSink(spark, name)
     withStatePartitions(spark) {
       val q = agg.writeStream
         .outputMode("complete")

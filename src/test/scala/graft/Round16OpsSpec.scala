@@ -1,0 +1,80 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.{Dedup, Tokenize}
+import org.apache.spark.sql.functions._
+
+/** Operator-level behavior of the r16 additions: corpus-level overlap
+  * sketches and the batching padding-waste A/B. */
+class Round16OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpusOverlap: identical sources sketch to exactly 1, disjoint to ~0, " +
+      "estimates are errors-bounded probabilities") {
+    // planted corpus: dupA ≡ dupB (identical text sets — identical shingle
+    // sets give IDENTICAL sketches, so est must be exactly 1), disjoint
+    // vocabularies between dupA and faraway
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "dupA"),
+      (2L, "iota kappa lambda mu nu xi omicron pi", "dupA"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "dupB"),
+      (4L, "iota kappa lambda mu nu xi omicron pi", "dupB"),
+      (5L, "one two three four five six seven eight", "faraway"),
+      (6L, "nine ten eleven twelve thirteen fourteen fifteen sixteen", "faraway")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.corpusOverlap(docs, "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val (exactDup, estDup, errDup) = out(("dupA", "dupB"))
+    assert(exactDup == 1.0 && estDup == 1.0 && errDup == 0.0,
+      s"identical sources must overlap exactly: $out")
+    val (exactFar, estFar, _) = out(("dupA", "faraway"))
+    assert(exactFar == 0.0, "disjoint vocabularies share no shingles")
+    // disjoint sets can only 'match' a slot via a 60-bit hash collision
+    assert(estFar == 0.0, s"disjoint sketch estimate should be 0, got $estFar")
+    out.values.foreach { case (exact, est, err) =>
+      assert(exact >= 0 && exact <= 1 && est >= 0 && est <= 1)
+      assert(math.abs(err - math.abs(est - exact)) < 1e-15)
+    }
+  }
+
+  test("corpusOverlap on the harness corpus: estimate tracks exact within " +
+      "the 64-slot binomial error band") {
+    val out = Dedup.corpusOverlap(Tables.documents(spark, sf0), "source", "text")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getDouble(4)
+      val err = r.getDouble(6)
+      // stderr = sqrt(J(1-J)/64) ≤ 1/16; allow 5σ + one slot of quantization
+      val bound = 5.0 * math.sqrt(math.max(exact * (1 - exact), 0.25 / 64) / 64) + 1.0 / 64
+      assert(err <= bound,
+        s"${r.getString(0)}∩${r.getString(1)}: est err $err exceeds $bound (exact $exact)")
+    }
+  }
+
+  test("paddingWaste: length-sorted batching never wastes more than shuffled; " +
+      "accounting closes") {
+    val out = Tokenize.paddingWaste(Tables.documents(spark, sf0))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (bS, realS, padS, wasteS) = out("shuffled")
+    val (bT, realT, padT, wasteT) = out("sorted")
+    // the same docs in the same shards: batch counts and real totals match
+    assert(bS == bT && realS == realT)
+    assert(padS >= realS && padT >= realT)
+    // the point of the operator: sorting within shards reduces pad waste
+    assert(wasteT <= wasteS, s"sorted $wasteT must not exceed shuffled $wasteS")
+    // waste recomputes from its own columns
+    assert(wasteS == (padS - realS).toDouble / padS)
+    assert(wasteT == (padT - realT).toDouble / padT)
+  }
+
+  test("paddingWaste: a constant-length corpus wastes nothing under either strategy") {
+    val docs = (1L to 64L).map(i => (i, "a b c d e f g h")).toDF("doc_id", "text")
+    Tokenize.paddingWaste(docs).collect().foreach { r =>
+      assert(r.getLong(2) == r.getLong(3), "equal lengths → no padding")
+      assert(r.getDouble(4) == 0.0)
+    }
+  }
+}
