@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Map[String, Q] =
-    ParityQueries.all ++ RelationalQueries.all ++ AdvancedQueries.all ++
+    ParityQueries.all ++ RelationalQueries.all ++ TpchRemainder.all ++ AdvancedQueries.all ++
       PipelineQueries.all ++ Curation.all ++ EventLifecycle.all ++ Scoring.all ++ Graph.all ++ QualityChecks.all ++
       Tokenize.all ++ IncrementalQueries.all ++ DataSelection.all ++ TimeSeries.all ++
       graft.streaming.StreamingQueries.all

@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions.col
 class TpchSqlParitySpec extends SparkSpec {
 
   private val names = Seq(
-    "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13",
-    "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
-    "q_tpch_q22")
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22")
 
   private def registerViews(): Unit =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
