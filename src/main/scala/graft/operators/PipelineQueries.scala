@@ -2270,6 +2270,46 @@ object PipelineQueries {
          |FROM cb JOIN cp USING (p)
          |ORDER BY c_bigram DESC, p, w LIMIT 50""".stripMargin),
 
+    // PMI collocation mining: bigrams whose joint frequency beats the
+    // independence expectation — pmi = ln(n_xy·N / (n_x·n_y)) over the
+    // bigram stream (n_x, n_y = first-/second-position marginals), the
+    // classic multiword-expression detector ("new york", "machine
+    // learning") a tokenizer-vocabulary pass mines before merges. Three
+    // hash aggregations over the shared checkpointed pair table; reduce
+    // ∝ bigram vocabulary. The evidence gate is the INTEGER n ≥ 5 and
+    // the output is TOTALLY ordered by the words themselves, so the one
+    // rounded double (pmi, 6 dp, identical op tree both engines: double
+    // products THEN one division — int64 n_xy·N would overflow at
+    // corpus scale) never decides membership or order. --
+    "q_collocations" -> Q(
+      (s, d) => {
+        val big = bigrams(s, d)
+        val cxy = big.groupBy("p", "w").agg(count(lit(1)).as("n"))
+        val nx = big.groupBy("p").agg(count(lit(1)).as("nx"))
+        val ny = big.groupBy("w").agg(count(lit(1)).as("ny"))
+        val tot = big.agg(count(lit(1)).as("nn"))
+        cxy.where(col("n") >= 5)
+          .join(nx, "p").join(ny, "w").crossJoin(broadcast(tot))
+          .select(col("p").as("w1"), col("w").as("w2"), col("n"),
+            round(log((col("n").cast("double") * col("nn")) /
+              (col("nx").cast("double") * col("ny"))), 6).as("pmi"))
+          .orderBy("w1", "w2")
+      },
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, t[i] AS p, t[i+1] AS w
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |        FROM toks WHERE len(t) >= 2)),
+         |cxy AS (SELECT p, w, count(*)::BIGINT AS n FROM big GROUP BY 1, 2),
+         |nx AS (SELECT p, count(*)::BIGINT AS nx FROM big GROUP BY 1),
+         |ny AS (SELECT w, count(*)::BIGINT AS ny FROM big GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS nn FROM big)
+         |SELECT p AS w1, w AS w2, n,
+         |  round(ln((n::DOUBLE * nn) / (nx::DOUBLE * ny)), 6) AS pmi
+         |FROM cxy JOIN nx USING (p) JOIN ny USING (w) CROSS JOIN tot
+         |WHERE n >= 5
+         |ORDER BY w1, w2""".stripMargin),
+
     // int8 embedding quantization (per-vector symmetric scale): emit the
     // scale and the reconstruction MSE via the quantStats kernel — one
     // linear pass per row with the same IEEE op order the oracle's
