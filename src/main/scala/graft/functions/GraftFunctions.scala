@@ -179,6 +179,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_nfc",
       (e: Seq[Expression]) => invoke(StringType, "nfc", e,
         Seq(StringType)), "scala_udf")
+    // Jaro-Winkler similarity (TextHashes.jaroWinkler — exact-rational
+    // jaro term; cross-checked against DuckDB's independent implementation)
+    reg.createOrReplaceTempFunction("graft_jw",
+      (e: Seq[Expression]) => invoke(DoubleType, "jaroWinkler", e,
+        Seq(StringType, StringType)), "scala_udf")
   }
 
   // Column-API wrappers (register(spark) must have been called in the session)
@@ -230,6 +235,7 @@ object GraftFunctions {
   def dhash128(c: Column): Column = call_function("graft_dhash128", c)
   def synthPatternPng(id: Column): Column = call_function("graft_synth_pattern_png", id)
   def nfcNorm(c: Column): Column = call_function("graft_nfc", c)
+  def jaroWinkler(a: Column, b: Column): Column = call_function("graft_jw", a, b)
 
   /** Lowercase alphanumeric word tokens (both engines: split on
     * `[^a-z0-9]+`, drop empties). */

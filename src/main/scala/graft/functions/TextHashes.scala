@@ -605,4 +605,75 @@ object TextHashes {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
   }
+
+  /** Jaro-Winkler similarity — the alignment-based fuzzy-match score Spark
+    * has no built-in for (only levenshtein/soundex). Standard Winkler
+    * variant, matched to DuckDB's independent implementation so the two
+    * engines cross-check each other: match window ⌊max(|a|,|b|)/2⌋ − 1,
+    * greedy left-to-right matching, transpositions = misordered matched
+    * chars / 2, prefix boost l·0.1·(1 − jaro) for l ≤ 4 applied only when
+    * jaro exceeds the 0.7 boost threshold, either empty string → 0
+    * (probed: jaro_winkler_similarity('','') = 0, not 1).
+    *
+    * The jaro term REPLAYS DuckDB's (RapidFuzz-derived) float op order
+    * exactly — (m/|a| + m/|b| + (m−⌊t/2⌋)/m) / 3, left-associated — NOT a
+    * single exact-rational division: the boost THRESHOLD is a branch on
+    * the float value, and the harness corpus really does contain pairs
+    * whose true jaro is exactly 7/10 ("hot gizmo"/"hot widget": the
+    * correctly-rounded single division lands BELOW the 0.7 literal while
+    * DuckDB's three-division accumulation lands above, flipping the
+    * boost — caught by the oracle gate on first contact, not
+    * hypothetical). With the op order pinned, every step is an IEEE
+    * correctly-rounded +, /, * of exact integer-valued operands, so the
+    * two engines agree bit-for-bit, branch included. Transpositions use
+    * integer halving (probed: 'abcdef'/'bcadef', traw = 3 → t = 1) and
+    * the prefix boost applies at any length (probed: 'abc'/'abd').
+    * Comparison is by UTF-16 code unit (≡ codepoint on the BMP; the
+    * harness corpus is ASCII — same scope note as [[nfc]]). */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString
+    val t = b.toString
+    val la = s.length
+    val lb = t.length
+    if (la == 0 || lb == 0) return 0.0
+    val w = math.max(math.max(la, lb) / 2 - 1, 0)
+    val matchedB = new Array[Boolean](lb)
+    val matchA = new Array[Int](math.min(la, lb))
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + w)
+      var j = math.max(0, i - w)
+      var unmatched = true
+      while (j <= hi && unmatched) {
+        if (!matchedB(j) && s.charAt(i) == t.charAt(j)) {
+          matchedB(j) = true
+          matchA(m) = i
+          m += 1
+          unmatched = false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var traw = 0
+    var jj = 0
+    var k = 0
+    while (k < m) {
+      while (!matchedB(jj)) jj += 1
+      if (s.charAt(matchA(k)) != t.charAt(jj)) traw += 1
+      jj += 1
+      k += 1
+    }
+    val halfT = traw / 2
+    val jaro =
+      (m.toDouble / la + m.toDouble / lb + (m - halfT).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      val maxp = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < maxp && s.charAt(l) == t.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
 }

@@ -2831,6 +2831,40 @@ object PipelineQueries {
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |GROUP BY a.c_nationkey ORDER BY a.c_nationkey""".stripMargin),
 
+    // Jaro-Winkler fuzzy entity scoring — the alignment-based complement
+    // to q_entity_match's edit-distance leg (JW rewards shared prefixes
+    // and tolerates transpositions, the name-matching workhorse of record
+    // linkage). Runs over the DISTINCT part-name vocabulary (dimension-
+    // sized by nature — entity resolution pairs within blocks of a
+    // bounded entity table, never the corpus), first-letter blocking,
+    // scored by the graft_jw codegen kernel. This is a genuine
+    // CROSS-ENGINE differential like the levenshtein row: the oracle
+    // calls DuckDB's own independent jaro_winkler_similarity; the
+    // kernel's exact-rational jaro term and DuckDB's three-division
+    // accumulation must agree at round-6 on every pair. --
+    "q_entity_match_jw" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+        val a = names.select(col("name").as("name_a"),
+          substring(col("name"), 1, 1).as("blk"))
+        val b = names.select(col("name").as("name_b"),
+          substring(col("name"), 1, 1).as("blk"))
+        a.join(b, Seq("blk")).where(col("name_a") < col("name_b"))
+          .select(col("name_a"), col("name_b"),
+            round(GraftFunctions.jaroWinkler(col("name_a"), col("name_b")), 6)
+              .as("jw"))
+          .where(col("jw") >= 0.5)
+          .orderBy("name_a", "name_b")
+      },
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |FROM names a JOIN names b
+        |  ON substr(a.name, 1, 1) = substr(b.name, 1, 1) AND a.name < b.name
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.5
+        |ORDER BY name_a, name_b""".stripMargin),
+
     // df-bounded vocabulary pruning (the CountVectorizer min_df/max_df
     // step): term frequency + document frequency in one exploded scan
     // (tf from all tokens, df from per-doc distinct tokens), pruned to

@@ -108,4 +108,45 @@ class TextHashesSpec extends SparkSpec {
       assert(sa.zip(sb).forall { case (x, y) => y <= x })
     }
   }
+
+  test("jaroWinkler: bit-equal to DuckDB's independent implementation on probed constants") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.TextHashes.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // every expected value below is the VERBATIM output of DuckDB's
+    // jaro_winkler_similarity on the same pair (probed r16) — the kernel
+    // replays the RapidFuzz float op order, so equality is exact, not
+    // approximate
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dwayne", "duane") == 0.8400000000000001)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("crate", "trace") == 0.7333333333333334) // prefix 0: no boost
+    assert(jw("arnab", "raanb") == 0.8666666666666667)
+    assert(jw("hello world", "helo world") == 0.9787878787878788)
+    // odd raw transposition count (traw = 3): integer halving, t = 1
+    assert(jw("abcdef", "bcadef") == 0.9444444444444445)
+    // the boost-threshold boundary pair from the REAL harness corpus:
+    // true jaro is exactly 7/10; the three-division accumulation lands
+    // one ulp ABOVE the 0.7 literal, so the boost fires — the
+    // exact-rational formulation got this wrong on first contact
+    assert(jw("hot gizmo", "hot widget") == 0.8200000000000001)
+    assert(jw("abc", "abd") == 0.8222222222222222) // boost at any length
+    assert(jw("xy", "xz") == 0.6666666666666666)   // below threshold: none
+    assert(jw("ab", "ba") == 0.0)                  // window 0: no matches
+    assert(jw("aabb", "bbaa") == 0.5)
+    assert(jw("", "") == 0.0)                      // DuckDB: 0, not 1
+    assert(jw("abc", "") == 0.0)
+    assert(jw("a", "a") == 1.0)
+    assert(jw("abc", "abc") == 1.0)
+    // symmetry: the jaro sum is IEEE-commutative in its first two terms
+    // and matching/transpositions are direction-independent
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val a = (1 to rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val b = (1 to rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      assert(jw(a, b) == jw(b, a), s"asymmetric on ($a, $b)")
+      assert(jw(a, b) >= 0.0 && jw(a, b) <= 1.0)
+    }
+  }
 }
