@@ -88,6 +88,77 @@ class TpchShapeSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_items") >= 0L)
   }
 
+  private def qr(name: String): DataFrame =
+    graft.operators.TpchRemainder.all(name).fn(spark, sf0)
+
+  test("q2: correlated min is a window on the partkey shuffle, no self-join") {
+    val df = qr("q_tpch_q2")
+    val p = plan(df)
+    assert(p.contains("Window"), s"min-cost is not a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims do not broadcast:\n$p")
+    // every surviving row carries its partition's minimum cost
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val minPerPart = rows.groupBy(_.getAs[Long]("p_partkey"))
+      .view.mapValues(_.map(_.getAs[Long]("cost_cents")).min)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cost_cents") ==
+        minPerPart(r.getAs[Long]("p_partkey")))
+    }
+  }
+
+  test("q11: integer cross-multiplied threshold; survivors strictly above it") {
+    val df = qr("q_tpch_q11")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val values = rows.map(_.getAs[Long]("value_cents"))
+    // recompute the share gate from the output side: every survivor must
+    // clear 1/1200 of a total that is at least the survivors' own sum
+    assert(values.forall(v => v * 1200L > values.sum),
+      "a survivor does not clear the threshold against the survivor sum " +
+        "(total includes non-survivors, so this is the weaker bound)")
+  }
+
+  test("q12: conditional sums partition the line count exactly") {
+    val rows = qr("q_tpch_q12").collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("high_line_count") >= 0L)
+      assert(r.getAs[Long]("low_line_count") >= 0L)
+    }
+  }
+
+  test("q16: anti-join excludes negative-balance suppliers; counts bounded by supplier pool") {
+    val df = qr("q_tpch_q16")
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"complaint leg is not an anti-join:\n$p")
+    val pool = graft.core.Tables.supplier(spark, sf0)
+      .filter("s_acctbal >= 0").count()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("supplier_cnt") <= pool))
+  }
+
+  test("q20: semi-join output is a subset of the region's suppliers") {
+    val names = qr("q_tpch_q20").collect().map(_.getAs[String]("s_name")).toSet
+    val p = plan(qr("q_tpch_q20"))
+    assert(p.contains("LeftSemi"), s"supplier gate is not a semi-join:\n$p")
+    assert(names.nonEmpty)
+    assert(names.subsetOf(
+      graft.core.Tables.supplier(spark, sf0).collect()
+        .map(_.getAs[String]("s_name")).toSet))
+  }
+
+  test("q21: exists/not-exists are one semi and one anti join on the order key") {
+    val df = qr("q_tpch_q21")
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"EXISTS is not a semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS is not an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked in:\n$p")
+    val rows = df.collect()
+    assert(rows.forall(_.getAs[Long]("numwait") >= 1L))
+  }
+
   test("explode: positions are 0..dim-1 per vector, no shuffle in the plan") {
     val df = q("q_explode")
     val p = plan(df)
