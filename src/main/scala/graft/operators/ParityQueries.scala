@@ -47,6 +47,20 @@ object ParityQueries {
         .cached()
         .reopen())
 
+  /** The ORC-source fixture (`lf_orc_open`): documents materialized as an
+    * ORC table once per (session, dir) under the gitignored target/, then
+    * opened through the full LazyFrame contract (footer schema, row-id
+    * index on doc_id). Memoized like [[li]] so bench legs rebuild
+    * nothing. */
+  private val orcFrames = new graft.core.SessionCache[LazyFrame]
+  private def docsOrc(s: SparkSession, d: String): LazyFrame =
+    orcFrames.getOrElseUpdate(s, d) {
+      val dir = new java.io.File(
+        s"target/orc_docs/${math.abs(d.hashCode)}").getAbsolutePath
+      Tables.documents(s, d).write.mode("overwrite").orc(dir)
+      LazyFrame.orc(s, dir, rowOrder = Seq("doc_id")).cached()
+    }
+
   /** Shared projection: all lineitem columns, timestamp stringified. */
   private def proj(df: DataFrame, withRowId: Boolean = true): DataFrame = {
     val base = Seq(
@@ -351,6 +365,25 @@ object ParityQueries {
          |)
          |SELECT id, score, tag, row_id FROM lf WHERE id IS NOT NULL
          |ORDER BY row_id""".stripMargin),
+
+    // -- ORC open (LazyFrame.orc — footer schema, pushdown/pruning like
+    //    parquet): documents written ONCE per (session, dir) to an ORC
+    //    table under target/, re-opened through the LazyFrame contract,
+    //    filter+extract with row addressing. DuckDB has no ORC reader, so
+    //    the oracle runs the same filter over the SOURCE parquet — the
+    //    round trip (parquet → ORC → LazyFrame) must be value-lossless
+    //    for the row to hash-match. --
+    "lf_orc_open" -> Q(
+      (s, d) => docsOrc(s, d)
+        .filter(col("n_chars") > 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("row_id"))
+        .orderBy("row_id"),
+      """WITH lf AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (ORDER BY doc_id) AS row_id
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, row_id FROM lf
+        |WHERE n_chars > 500 ORDER BY row_id""".stripMargin),
 
     // -- column_attr APPLICATION (R/lazy.frame.R:167-178, man/column_attr
     //    .Rd:43-64): pinned factor levels recode out-of-level values to NA

@@ -38,7 +38,8 @@ class RegistrySpec extends AnyFunSuite {
 
   test("merged registry keeps every per-object key (no cross-object collisions)") {
     import graft.operators._
-    val maps = Seq(ParityQueries.all, RelationalQueries.all, AdvancedQueries.all,
+    val maps = Seq(ParityQueries.all, RelationalQueries.all, TpchRemainder.all,
+      AdvancedQueries.all,
       PipelineQueries.all, Curation.all, EventLifecycle.all, Scoring.all,
       Graph.all, QualityChecks.all, Tokenize.all, IncrementalQueries.all,
       DataSelection.all, TimeSeries.all,
