@@ -27,7 +27,8 @@ object Bench {
     "q_tpch_q6", "q_tpch_q19", "q_mm_audio", "q_dedup_cross",
     "q_stream_enrich", "q_bpe_pair_stats",
     "q_tpch_q7", "q_tpch_q13", "q_tpch_q17", "q_tpch_q22",
-    "q_heavy_hitters", "q_tpch_q8", "q_stream_dedup_wm")
+    "q_heavy_hitters", "q_tpch_q8", "q_stream_dedup_wm",
+    "q_tpch_q2", "q_tpch_q21", "q_collocations", "q_entity_match_jw")
 
   /** Named warm-up rows: each is the designated first consumer of a
     * session-scoped shared artifact (ParityQueries' lineitem row-id index +
