@@ -850,7 +850,67 @@ object AdvancedQueries {
         |  CASE WHEN op IN ('I','U') THEN new_c_acctbal ELSE c_acctbal END AS c_acctbal
         |FROM base FULL OUTER JOIN ch USING (c_custkey)
         |WHERE op IS NULL OR op <> 'D'
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // -- 2-D skyline / Pareto frontier (min price, max size over part):
+    //    a row survives iff nothing is (≤ price, ≥ size) with one strict.
+    //    Distributed shape: collapse to one row per distinct price (max
+    //    size per price — dominance within a price class needs only that
+    //    max), then the strict-prefix running max of size in price order
+    //    via the SAME two-phase range-split used by q_vocab_growth: 32
+    //    value-range buckets, per-bucket window prefix max + a broadcast
+    //    scan-fold of the 32 bucket maxima — NO single-partition window
+    //    at any cardinality. Survivors: size equals the price class max
+    //    AND beats every strictly-cheaper class. The oracle is a genuine
+    //    differential: DuckDB evaluates the NOT EXISTS dominance
+    //    definition directly (a different algorithm entirely), so any
+    //    error in the prefix-max decomposition turns the row red.
+    //    Prices group and compare as the RAW stored double (a cents
+    //    rescale would re-round and could merge distinct keys); the
+    //    bucket assignment below is double arithmetic but only has to be
+    //    MONOTONE in price — bucket boundaries affect balance, never the
+    //    frontier. --
+    "q_skyline" -> Q(
+      (s, d) => {
+        val p = Tables.part(s, d).select(col("p_partkey"),
+          col("p_retailprice").as("price"),
+          col("p_size").cast("long").as("sz"))
+        val g = p.groupBy(col("price")).agg(max(col("sz")).as("gmax"))
+        val parts = 32
+        val bounds = g.agg(min("price"), max("price")).collect()(0)
+        val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+        val block = math.max((mx - mn) / parts, java.lang.Double.MIN_NORMAL)
+        val withPid = g.withColumn("pid",
+          least(lit(parts - 1),
+            floor((col("price") - mn) / block)).cast("int"))
+        // bucket maxima: bounded by the bucket count, never by rows
+        val bmax = withPid.groupBy("pid").agg(max("gmax").as("bm"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val pids = (0 to parts).toSeq
+        val off = pids.scanLeft(Long.MinValue)((a, i) =>
+          math.max(a, bmax.getOrElse(i, Long.MinValue)))
+        val offsDf = broadcast(s.createDataFrame(
+          pids.map(i => (i, off(i)))).toDF("pid", "om"))
+        val w = Window.partitionBy(col("pid")).orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = withPid
+          .withColumn("im", max(col("gmax")).over(w))
+          .join(offsDf, "pid")
+          .select(col("price"), col("gmax"),
+            greatest(coalesce(col("im"), lit(Long.MinValue)), col("om"))
+              .as("mstrict"))
+        p.join(frontier, "price")
+          .where(col("sz") === col("gmax") && col("sz") > col("mstrict"))
+          .select(col("p_partkey"), col("price"), col("sz").as("size"))
+          .orderBy("price", "p_partkey")
+      },
+      """SELECT p.p_partkey, p.p_retailprice AS price,
+        |  CAST(p.p_size AS BIGINT) AS size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+        |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))
+        |ORDER BY price, p_partkey""".stripMargin)
   )
 
   /** MERGE/upsert operator: apply a change set to a base snapshot.

@@ -479,6 +479,42 @@ object EventLifecycle {
         |SELECT cohort_week, week - cohort_week AS week_offset,
         |  count(*)::BIGINT AS n_active
         |FROM weeks JOIN c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
+
+    // -- first-order Markov transition matrix over per-user event
+    //    sequences (the behavior-model fit a curation pipeline runs on
+    //    interaction logs): consecutive (type → next type) pairs via one
+    //    lead() over the user-keyed time order, counted per ordered pair,
+    //    with the row-conditional probability as count/src-total. Scale
+    //    shape: ONE user-keyed exchange feeds the window (per-user series
+    //    sort only — never a global sort), the pair counts reduce to the
+    //    type-alphabet square (bounded by |types|², not events), and the
+    //    src totals ride the same tiny frame. The probability is a single
+    //    int64/int64 double division — both engines correctly round, so
+    //    no tolerance is needed. --
+    "q_markov_transitions" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_ns"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead(col("src"), 1).over(w))
+          .where(col("dst").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+          .withColumn("src_total",
+            sum(col("n")).over(Window.partitionBy(col("src"))))
+          .select(col("src"), col("dst"), col("n"),
+            (col("n").cast("double") / col("src_total")).as("p"))
+          .orderBy("src", "dst")
+      },
+      """WITH seq AS (SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_ns(ts), event_id) AS dst
+        |  FROM events),
+        |cnt AS (SELECT src, dst, count(*)::BIGINT AS n FROM seq
+        |        WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  n::DOUBLE / sum(n) OVER (PARTITION BY src) AS p
+        |FROM cnt ORDER BY src, dst""".stripMargin)
   )
 }

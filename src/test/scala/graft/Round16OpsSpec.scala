@@ -109,6 +109,37 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_skyline: result equals the brute-force dominance definition") {
+    val sky = SparkEntry.queries("q_skyline")(spark, sf0).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val all = Tables.part(spark, sf0)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val brute = all.filter { case (_, pr, sz) =>
+      !all.exists { case (_, qr, qz) =>
+        (qr < pr && qz >= sz) || (qr <= pr && qz > sz)
+      }
+    }.toSet
+    assert(sky === brute, s"skyline mismatch: extra=${sky -- brute} missing=${brute -- sky}")
+    assert(sky.nonEmpty)
+  }
+
+  test("q_markov_transitions: rows form a stochastic matrix and transition " +
+      "mass equals events minus users") {
+    val rows = SparkEntry.queries("q_markov_transitions")(spark, sf0).collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rs) =>
+      val psum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"$src rows sum to $psum")
+      assert(rs.forall(_.getLong(2) > 0))
+    }
+    val ev = Tables.events(spark, sf0)
+    val n = ev.count()
+    val u = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === n - u,
+      "each user with k events contributes exactly k-1 transitions")
+  }
+
   test("q_entity_match_lev: block key and band hold on every emitted pair; " +
       "distance verified against a reference DP on a sample") {
     val rows = SparkEntry.queries("q_entity_match_lev")(spark, sf0).collect()
