@@ -910,7 +910,55 @@ object AdvancedQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM part q
         |  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
         |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))
-        |ORDER BY price, p_partkey""".stripMargin)
+        |ORDER BY price, p_partkey""".stripMargin),
+
+    // -- market-basket association rules (A-priori 2-itemsets): baskets =
+    //    distinct parts per order; ITEM supports first, and only items
+    //    passing the item-support floor enter pair enumeration — the
+    //    a-priori property (a frequent pair needs two frequent items)
+    //    makes the prefilter lossless while bounding the self-join's
+    //    candidate volume by frequent-item basket size², not raw basket
+    //    size². Both self-join sides are the SAME frequent-basket frame
+    //    shuffled once on the order key; pair counts reduce to the
+    //    co-occurring pair vocabulary. Confidence and lift are single
+    //    divisions of exact int64 products, so the doubles agree
+    //    bit-for-bit. --
+    "q_assoc_rules" -> Q(
+      (s, d) => {
+        val bask = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val freq = bask.groupBy("pk").agg(count(lit(1)).as("n"))
+          .where(col("n") >= 8)
+        val nb = bask.agg(countDistinct(col("ok")).as("nbask"))
+        val fb = bask.join(freq, "pk")
+        val a = fb.select(col("ok"), col("pk").as("pa"), col("n").as("n_a"))
+        val b = fb.select(col("ok"), col("pk").as("pb"), col("n").as("n_b"))
+        a.join(b, Seq("ok")).where(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb"), col("n_a"), col("n_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .where(col("n_ab") >= 2)
+          .crossJoin(broadcast(nb))
+          .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+            (col("n_ab").cast("double") / col("n_a")).as("conf"),
+            ((col("n_ab") * col("nbask")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("lift"))
+          .orderBy("pa", "pb")
+      },
+      """WITH bask AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |              FROM lineitem),
+        |freq AS (SELECT pk, count(*)::BIGINT AS n FROM bask
+        |         GROUP BY 1 HAVING count(*) >= 8),
+        |nb AS (SELECT count(DISTINCT ok)::BIGINT AS nbask FROM bask),
+        |fb AS (SELECT b.ok, b.pk, f.n FROM bask b JOIN freq f USING (pk)),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, a.n AS n_a, b.n AS n_b,
+        |    count(*)::BIGINT AS n_ab
+        |  FROM fb a JOIN fb b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+        |SELECT pa, pb, n_ab, n_a, n_b,
+        |  n_ab::DOUBLE / n_a AS conf,
+        |  (n_ab * nbask)::DOUBLE / (n_a * n_b)::DOUBLE AS lift
+        |FROM pairs CROSS JOIN nb ORDER BY pa, pb""".stripMargin)
   )
 
   /** MERGE/upsert operator: apply a change set to a base snapshot.

