@@ -502,6 +502,45 @@ object AdvancedQueries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_qty
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
 
+    // -- weighted median (50% of the WEIGHT mass, not of the rows): the
+    //    quantity-weighted median price per return flag — smallest value
+    //    whose inclusive cumulative weight reaches half the group total.
+    //    Exact everywhere: prices as value-cents, weights as int64, the
+    //    cumulative from the default RANGE frame (peers included on both
+    //    engines — ties accumulate identically), and the crossing test is
+    //    the integer `2·cum ≥ tot`. One group-keyed exchange shared by
+    //    both windows, then a min-filter aggregate — never a sort-collect. --
+    "q_weighted_median" -> Q(
+      (s, d) => {
+        val base = Tables.lineitem(s, d).select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_quantity")).cast("long").as("wt"))
+        val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.partitionBy(col("l_returnflag"))
+        base
+          .withColumn("cum", sum(col("wt")).over(cumW))
+          .withColumn("tot", sum(col("wt")).over(totW))
+          .groupBy(col("l_returnflag"))
+          .agg(min(when(col("cum") * 2 >= col("tot"), col("cents")))
+              .as("wmedian_cents"),
+            max(col("tot")).as("tot_weight"))
+          .orderBy("l_returnflag")
+      },
+      """WITH base AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS wt
+        |  FROM lineitem),
+        |w AS (SELECT l_returnflag, cents,
+        |    CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM base)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cum * 2 >= tot THEN cents END) AS wmedian_cents,
+        |  max(tot) AS tot_weight
+        |FROM w GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+
     // -- quantile binning (the ML-prep discretizer): exact quartile cut
     //    points from ONE aggregation pass, then a zero-shuffle CASE
     //    assignment + per-bin rollup. The 1-row cut frame cross-joins in
@@ -931,13 +970,18 @@ object AdvancedQueries {
         val freq = bask.groupBy("pk").agg(count(lit(1)).as("n"))
           .where(col("n") >= 8)
         val nb = bask.agg(countDistinct(col("ok")).as("nbask"))
-        val fb = bask.join(freq, "pk")
-        val a = fb.select(col("ok"), col("pk").as("pa"), col("n").as("n_a"))
-        val b = fb.select(col("ok"), col("pk").as("pb"), col("n").as("n_b"))
+        // pair rows shuffle as bare (pa, pb) — the item supports join back
+        // onto the REDUCED pair table (∝ pair vocabulary, not pair
+        // instances), halving the bytes through the big exchange
+        val fb = bask.join(freq.select("pk"), "pk")
+        val a = fb.select(col("ok"), col("pk").as("pa"))
+        val b = fb.select(col("ok"), col("pk").as("pb"))
         a.join(b, Seq("ok")).where(col("pa") < col("pb"))
-          .groupBy(col("pa"), col("pb"), col("n_a"), col("n_b"))
+          .groupBy(col("pa"), col("pb"))
           .agg(count(lit(1)).as("n_ab"))
           .where(col("n_ab") >= 2)
+          .join(broadcast(freq.select(col("pk").as("pa"), col("n").as("n_a"))), "pa")
+          .join(broadcast(freq.select(col("pk").as("pb"), col("n").as("n_b"))), "pb")
           .crossJoin(broadcast(nb))
           .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
             (col("n_ab").cast("double") / col("n_a")).as("conf"),

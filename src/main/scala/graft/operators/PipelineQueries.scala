@@ -1798,6 +1798,50 @@ object PipelineQueries {
          |SELECT cid, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
          |FROM a2 GROUP BY 1 ORDER BY cid""".stripMargin),
 
+    // Simplified (centroid-based) silhouette — the clustering-quality
+    // readout for the fitted codebook: per vector, a = squared integer
+    // distance to its own centroid (already on the cached assignment),
+    // b = min squared distance to any OTHER centroid (one n×k broadcast
+    // score, k=8 — the same shape as assignment, never pairwise points),
+    // s = (b−a)/max(a,b). a and b are exact int64, so s is one IEEE
+    // division; per-cluster means sum the 9-dp-rounded s as DECIMAL(28,9)
+    // (order-free exact) with a single double division at the end —
+    // the q_zipf float-hygiene recipe. --
+    "q_silhouette" -> Q(
+      (s, d) => {
+        val fit = kmeansFit(s, d)
+          .select(col("vec_id"), col("cid"), col("dist").as("a"))
+        val q = KMeansQuant.quantize(Tables.embeddings(s, d), "vec_id", "embedding")
+        val b = q.crossJoin(broadcast(kmeansCents(s, d)
+            .select(col("cid").as("ocid"), col("cv"))))
+          .select(col("vec_id"), col("ocid"),
+            KMeansQuant.sqDist(col("v"), col("cv")).as("od"))
+          .join(fit.select(col("vec_id"), col("cid")), "vec_id")
+          .where(col("ocid") =!= col("cid"))
+          .groupBy(col("vec_id")).agg(min(col("od")).as("b"))
+        fit.join(b, "vec_id")
+          .select(col("cid"),
+            round(when(greatest(col("a"), col("b")) === 0L, lit(0.0))
+              .otherwise((col("b") - col("a")).cast("double") /
+                greatest(col("a"), col("b"))), 9).as("sil"))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("sil").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+              .cast("double") / count(lit(1))).as("mean_sil"))
+          .orderBy("cid")
+      },
+      s"""$kmeansCtes,
+         |b AS (SELECT d2.vec_id, min(d2.dist) AS b
+         |      FROM d2 JOIN a2 USING (vec_id) WHERE d2.cid <> a2.cid
+         |      GROUP BY 1),
+         |sil AS (SELECT a2.cid,
+         |    round(CASE WHEN greatest(a2.dist, b.b) = 0 THEN 0.0
+         |      ELSE (b.b - a2.dist)::DOUBLE / greatest(a2.dist, b.b) END, 9) AS s
+         |  FROM a2 JOIN b USING (vec_id))
+         |SELECT cid, count(*)::BIGINT AS n,
+         |  CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS mean_sil
+         |FROM sil GROUP BY cid ORDER BY cid""".stripMargin),
+
     // Semantic dedup (SemDeDup-shape): cluster embeddings with the fitted
     // k-means codebook, then WITHIN each cell drop any vector that has an
     // earlier-id neighbor at cosine >= 0.8 (deterministic keeper rule, no

@@ -145,6 +145,41 @@ class Round16OpsSpec extends SparkSpec {
     assert(r0.getLong(2) === expect.toLong)
   }
 
+  test("q_silhouette: scores bounded in [-1, 1], every fitted cluster " +
+      "reports, counts partition the corpus") {
+    val rows = SparkEntry.queries("q_silhouette")(spark, sf0).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    rows.foreach { r =>
+      val s = r.getDouble(2)
+      assert(s >= -1.0 && s <= 1.0, s"mean silhouette out of range: $s")
+      assert(r.getLong(1) > 0)
+    }
+    val total = Tables.embeddings(spark, sf0).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+  }
+
+  test("q_weighted_median: crossing point is correct against a local " +
+      "recomputation of the weighted CDF") {
+    val rows = SparkEntry.queries("q_weighted_median")(spark, sf0).collect()
+    assert(rows.length === 3)
+    val data = Tables.lineitem(spark, sf0)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_quantity")).cast("long"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val (flag, med, tot) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val xs = data(flag).map(x => (x.getLong(1), x.getLong(2)))
+      assert(xs.map(_._2).sum === tot)
+      // inclusive cumulative weight by value group; median = first value
+      // whose cum reaches half the total mass
+      val byVal = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      var acc = 0L
+      val m = byVal.collectFirst { case (v, w) if { acc += w; 2 * acc >= tot } => v }
+      assert(m.contains(med), s"$flag: expected $m got $med")
+    }
+  }
+
   test("q_benford: digit masses partition the rows, observed sums to 1, " +
       "expected is the Benford law table") {
     val rows = SparkEntry.queries("q_benford")(spark, sf0).collect()
