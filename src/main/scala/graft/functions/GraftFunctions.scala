@@ -100,6 +100,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_distinct_bytes",
       (e: Seq[Expression]) => invoke(IntegerType, "distinctBytes", e,
         Seq(BinaryType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_first_digit",
+      (e: Seq[Expression]) => invoke(LongType, "firstDigit", e,
+        Seq(LongType)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fake_dim",
       (e: Seq[Expression]) => invoke(IntegerType, "fakeDim", e,
         Seq(BinaryType, IntegerType)), "scala_udf")
@@ -211,6 +214,7 @@ object GraftFunctions {
     call_function("graft_rand_project", v, lit(r))
   def cosineSimD(a: Column, b: Column): Column = call_function("graft_cosine_d", a, b)
   def byteEntropy(c: Column): Column = call_function("graft_byte_entropy", c)
+  def firstDigit(c: Column): Column = call_function("graft_first_digit", c)
   def distinctBytes(c: Column): Column = call_function("graft_distinct_bytes", c)
   def fakeDim(c: Column, idx: Int): Column = call_function("graft_fake_dim", c, lit(idx))
   def bmpField(c: Column, which: Int): Column = call_function("graft_bmp_field", c, lit(which))

@@ -506,6 +506,18 @@ object TextHashes {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** StaticInvoke kernel: first significant decimal digit of a positive
+    * int64 — a handful of integer divisions inside whole-stage codegen,
+    * no per-row string allocation, and exact at every power-of-ten
+    * boundary (float log10 is off by an ulp exactly there). Non-positive
+    * input returns 0 (callers filter it out). */
+  def firstDigit(v: Long): Long = {
+    var x = v
+    if (x <= 0L) return 0L
+    while (x >= 10L) x /= 10L
+    x
+  }
+
   // ---- byte-level multimodal features (binary payload column) ----
 
   /** Shannon entropy (bits/byte) of a byte histogram, summed over byte

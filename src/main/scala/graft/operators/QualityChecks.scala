@@ -674,14 +674,17 @@ object QualityChecks {
     //    DQ pass runs over financial-looking columns): first significant
     //    digit of each price in exact value-cents (×100 + half-away round
     //    — identical doubles→int64 in both engines), extracted by the
-    //    engine-exact int64→string cast (never float log10, whose libm
-    //    rounding could flip a power-of-ten boundary). Expected Benford
+    //    firstDigit codegen kernel (pure integer divisions — never float
+    //    log10, whose libm rounding could flip a power-of-ten boundary;
+    //    the oracle's int64→string route is a THIRD formulation that must
+    //    agree). Expected Benford
     //    mass ships as the SAME 10-dp literal table on both sides, so the
     //    only float op is one n/N division per digit. One scan + a
     //    9-group aggregate — nothing here grows past the digit alphabet. --
     "q_benford" -> Q(
       (s, d) => {
         import s.implicits._
+        GraftFunctions.register(s)
         val expected = broadcast(Seq(
           (1L, 0.3010299957), (2L, 0.1760912591), (3L, 0.1249387366),
           (4L, 0.0969100130), (5L, 0.0791812460), (6L, 0.0669467896),
@@ -690,8 +693,7 @@ object QualityChecks {
         val digits = Tables.lineitem(s, d)
           .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
           .where(col("cents") > 0)
-          .select(substring(col("cents").cast("string"), 1, 1)
-            .cast("long").as("digit"))
+          .select(GraftFunctions.firstDigit(col("cents")).as("digit"))
         val n = digits.agg(count(lit(1)).as("n_total"))
         digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
           .crossJoin(broadcast(n))

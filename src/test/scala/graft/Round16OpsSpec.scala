@@ -180,6 +180,40 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("plan locks: markov rides ONE user-keyed window exchange; " +
+      "top-frac's two windows share ONE source exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val mk = SparkEntry.queries("q_markov_transitions")(spark, sf0)
+        .queryExecution.executedPlan
+      val mkEx = mk.collect { case e: ShuffleExchangeExec => e }
+      assert(mkEx.count(_.outputPartitioning.toString.contains("user_id")) === 1,
+        s"exactly one user-keyed exchange must feed the window:\n$mk")
+      val tf = SparkEntry.queries("q_quality_top_frac")(spark, sf0)
+        .queryExecution.executedPlan
+      val tfEx = tf.collect { case e: ShuffleExchangeExec => e }
+      assert(tfEx.count(_.outputPartitioning.toString.contains("source")) === 1,
+        s"rank and count windows must share one source exchange:\n$tf")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("firstDigit kernel: agrees with the string head at every " +
+      "power-of-ten boundary and on random longs") {
+    import graft.functions.TextHashes
+    val probes = (0 to 17).flatMap { e =>
+      val p = math.pow(10, e).toLong
+      Seq(p - 1, p, p + 1)
+    } ++ Seq(1L, 9L, Long.MaxValue) ++
+      (1 to 200).map(i => math.abs(i * 0x9E3779B97F4A7C15L) % Long.MaxValue + 1)
+    probes.filter(_ > 0).foreach { v =>
+      assert(TextHashes.firstDigit(v) === v.toString.head.asDigit.toLong, s"v=$v")
+    }
+    assert(TextHashes.firstDigit(0L) === 0L)
+    assert(TextHashes.firstDigit(-5L) === 0L)
+  }
+
   test("q_benford: digit masses partition the rows, observed sums to 1, " +
       "expected is the Benford law table") {
     val rows = SparkEntry.queries("q_benford")(spark, sf0).collect()
