@@ -505,22 +505,33 @@ object AdvancedQueries {
     // -- weighted median (50% of the WEIGHT mass, not of the rows): the
     //    quantity-weighted median price per return flag — smallest value
     //    whose inclusive cumulative weight reaches half the group total.
-    //    Exact everywhere: prices as value-cents, weights as int64, the
-    //    cumulative from the default RANGE frame (peers included on both
-    //    engines — ties accumulate identically), and the crossing test is
-    //    the integer `2·cum ≥ tot`. One group-keyed exchange shared by
-    //    both windows, then a min-filter aggregate — never a sort-collect. --
+    //    Exact everywhere: prices as value-cents, weights as int64, an
+    //    inclusive cumulative (value ties accumulate together), and the
+    //    crossing test is the integer `2·cum ≥ tot`. Shape: the corpus
+    //    first COLLAPSES to per-(flag, value) weight sums — one keyed
+    //    partial-agg exchange — and only that group table (∝ distinct
+    //    values, not rows; constant under row replication) enters the
+    //    windows. The naive RANGE-frame form over raw rows partitions by
+    //    the 3 flags and single-threads 1/3 of the corpus per partition —
+    //    measured 19× on 16× data before this collapse. The oracle keeps
+    //    the RANGE form over raw rows: an independent formulation that
+    //    must agree. --
     "q_weighted_median" -> Q(
       (s, d) => {
-        val base = Tables.lineitem(s, d).select(col("l_returnflag"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents"),
-          round(col("l_quantity")).cast("long").as("wt"))
+        // floor(x+0.5) == round() for this positive integer-cents data,
+        // without Spark Round's per-row BigDecimal allocation (2 per row
+        // over the fact table was the gc term at the x64 rung)
+        val grp = Tables.lineitem(s, d).select(col("l_returnflag"),
+            (col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+            (col("l_quantity") + 0.5).cast("long").as("wt"))
+          .groupBy(col("l_returnflag"), col("cents"))
+          .agg(sum(col("wt")).as("w"))
         val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val totW = Window.partitionBy(col("l_returnflag"))
-        base
-          .withColumn("cum", sum(col("wt")).over(cumW))
-          .withColumn("tot", sum(col("wt")).over(totW))
+        grp
+          .withColumn("cum", sum(col("w")).over(cumW))
+          .withColumn("tot", sum(col("w")).over(totW))
           .groupBy(col("l_returnflag"))
           .agg(min(when(col("cum") * 2 >= col("tot"), col("cents")))
               .as("wmedian_cents"),

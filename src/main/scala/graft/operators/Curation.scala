@@ -552,6 +552,42 @@ object Curation {
          |    AS deficit_at_cap4
          |FROM joined CROSS JOIN tot ORDER BY source""".stripMargin),
 
+    // -- deterministic source interleaving (the batch-level mixture
+    //    schedule: consecutive training examples rotate across sources so
+    //    no batch is single-domain): global position = (rank within
+    //    source)·|sources| + source index — pure integer arithmetic over
+    //    ONE source-keyed rank window plus a broadcast of the ranked
+    //    source alphabet (bounded by #sources). No global sort is needed
+    //    to CONSTRUCT the order — the position column IS the order; the
+    //    final orderBy here is presentation only. --
+    "q_interleave" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val srcs = docs.select(col("source")).distinct()
+          .withColumn("six", row_number()
+            .over(Window.orderBy(col("source"))) - 1)
+        val nsrc = srcs.count()
+        val rn = row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id")))
+        docs.withColumn("rn", rn - 1)
+          .join(broadcast(srcs), "source")
+          .select((col("rn") * nsrc + col("six")).as("position"),
+            col("doc_id"), col("source"))
+          .orderBy("position")
+      },
+      """WITH srcs AS (SELECT source,
+        |    row_number() OVER (ORDER BY source) - 1 AS six
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT count(*)::BIGINT AS nsrc FROM srcs),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn
+        |  FROM documents)
+        |SELECT CAST(r.rn * n.nsrc + s.six AS BIGINT) AS position,
+        |  r.doc_id, r.source
+        |FROM r JOIN srcs s USING (source) CROSS JOIN n
+        |ORDER BY position""".stripMargin),
+
     // -- per-domain quality-fraction gate (keep each source's top quarter
     //    by length, doc_id-tiebroken): the FineWeb-style "best p% within
     //    each domain" filter. Pure window arithmetic — `4·rank ≤ count`

@@ -481,6 +481,36 @@ object EventLifecycle {
         |FROM weeks JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
 
+    // -- per-user behavior paths (sequence-pattern cohorting): each
+    //    user's event stream collapses to an initials string in the
+    //    total (ts, event_id) order — v/c/p/s/e — and conversion is a
+    //    regex containment test (view … click … purchase, in order but
+    //    not adjacent: the pattern funnels can't express without a pass
+    //    per stage). ONE user-keyed aggregation; per-group state ∝ the
+    //    user's OWN series length (a production run caps the path, same
+    //    constant-choice as session gaps). array_sort on (ts, id, char)
+    //    structs gives the engine-independent order; the regex is plain
+    //    `.`/`.*` so Java and RE2-style engines can't disagree. --
+    "q_event_paths" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("user_id"),
+          struct(col("ts_ns"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")).as("x"))
+        e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            array_join(transform(array_sort(collect_list(col("x"))),
+              x => x.getField("c")), "").as("path"))
+          .select(col("user_id"), col("n_events"), col("path"),
+            col("path").rlike("v.*c.*p").as("converted"))
+          .orderBy("user_id")
+      },
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |  string_agg(substr(event_type, 1, 1), ''
+        |    ORDER BY epoch_ns(ts), event_id) AS path,
+        |  regexp_matches(string_agg(substr(event_type, 1, 1), ''
+        |    ORDER BY epoch_ns(ts), event_id), 'v.*c.*p') AS converted
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // -- first-order Markov transition matrix over per-user event
     //    sequences (the behavior-model fit a curation pipeline runs on
     //    interaction logs): consecutive (type → next type) pairs via one

@@ -690,8 +690,10 @@ object QualityChecks {
           (4L, 0.0969100130), (5L, 0.0791812460), (6L, 0.0669467896),
           (7L, 0.0579919470), (8L, 0.0511525224), (9L, 0.0457574906))
           .toDF("digit", "expected"))
+        // floor(x+0.5) == round() for positive integer-cents data, minus
+        // Spark Round's per-row BigDecimal allocation (see q_weighted_median)
         val digits = Tables.lineitem(s, d)
-          .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .select((col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
           .where(col("cents") > 0)
           .select(GraftFunctions.firstDigit(col("cents")).as("digit"))
         val n = digits.agg(count(lit(1)).as("n_total"))

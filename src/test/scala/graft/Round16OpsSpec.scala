@@ -199,6 +199,31 @@ class Round16OpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("q_event_paths: path length equals event count, conversion flag " +
+      "recomputes from the emitted path, masses close") {
+    val rows = SparkEntry.queries("q_event_paths")(spark, sf0).collect()
+    val totalEvents = Tables.events(spark, sf0).count()
+    assert(rows.map(_.getLong(1)).sum === totalEvents)
+    rows.foreach { r =>
+      val (n, path, conv) = (r.getLong(1), r.getString(2), r.getBoolean(3))
+      assert(path.length.toLong === n)
+      assert(path.forall("vcpse".contains(_)), s"unexpected initial in $path")
+      assert(conv === "v.*c.*p".r.findFirstIn(path).isDefined)
+    }
+  }
+
+  test("q_interleave: positions unique, every leading block of |sources| " +
+      "rotates through distinct sources") {
+    val rows = SparkEntry.queries("q_interleave")(spark, sf0).collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(0)).distinct.length === n, "positions unique")
+    val nsrc = rows.map(_.getString(2)).distinct.length
+    // uniform harness sources: the first full rotation must hit nsrc
+    // distinct sources in position order
+    val firstBlock = rows.sortBy(_.getLong(0)).take(nsrc).map(_.getString(2))
+    assert(firstBlock.distinct.length === nsrc, s"block not a rotation: ${firstBlock.toSeq}")
+  }
+
   test("firstDigit kernel: agrees with the string head at every " +
       "power-of-ten boundary and on random longs") {
     import graft.functions.TextHashes
