@@ -28,7 +28,9 @@ object Bench {
     "q_stream_enrich", "q_bpe_pair_stats",
     "q_tpch_q7", "q_tpch_q13", "q_tpch_q17", "q_tpch_q22",
     "q_heavy_hitters", "q_tpch_q8", "q_stream_dedup_wm",
-    "q_tpch_q2", "q_tpch_q21", "q_collocations", "q_entity_match_jw")
+    "q_tpch_q2", "q_tpch_q21", "q_collocations", "q_entity_match_jw",
+    "q_bfs_hops", "q_skyline", "q_markov_transitions", "q_assoc_rules",
+    "q_weighted_median", "q_benford", "q_quality_top_frac", "q_interleave")
 
   /** Named warm-up rows: each is the designated first consumer of a
     * session-scoped shared artifact (ParityQueries' lineitem row-id index +
