@@ -147,12 +147,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-    // Optional state-store override for the streaming rows, e.g.
-    // SPARK_GRAFT_STATE_STORE=org.apache.spark.sql.execution.streaming
-    // .state.RocksDBStateStoreProvider — the deployment-sizing A/B
-    // (SCALE.md r13 carries the measured delta per streaming query).
-    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach(v =>
-      builder.config("spark.sql.streaming.stateStore.providerClass", v))
+    // State-store DEFAULT for the registry runs: the HDFS-backed
+    // (in-memory) provider, set explicitly (VERDICT r16 #7). Decision
+    // basis: the r13 A/B (SCALE.md) measured RocksDB within same-leg
+    // noise (±13%) on every streaming row except the churn-heaviest
+    // q_stream_join (+18%); RocksDB's value is state LARGER than heap,
+    // a regime the sf-scale bench never enters — so the bench defaults
+    // to the no-overhead store and keeps RocksDB as the deployment dial.
+    // Override for the A/B: SPARK_GRAFT_STATE_STORE=org.apache.spark.sql
+    // .execution.streaming.state.RocksDBStateStoreProvider.
+    builder.config("spark.sql.streaming.stateStore.providerClass",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_STORE",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))
     val spark = builder
       // streaming state partitions sized to the single-file harness input,
       // not the 32-way batch shuffle width (see EventStreams doc). Default 4
@@ -224,19 +230,59 @@ object Bench {
     // transient host-load spike during one pass can't masquerade as a
     // regression. SPARK_GRAFT_BENCH_RUNS overrides.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val gcPre = gcMillis
     // (name, per-run times of the runs that SUCCEEDED, count of failed runs)
-    val results: Seq[(String, Seq[Double], Int)] =
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def measureLoop(): (Seq[(String, Seq[Double], Int)], Long, Double) = {
+      val gc0 = gcMillis
+      val t0 = System.nanoTime()
+      val res = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to runs).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+          val tq = System.nanoTime()
+          try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - tq) / 1e9) }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
           }
         }
         (name, times, runs - times.size)
       }
+      (res, gcMillis - gc0, (System.nanoTime() - t0) / 1e9)
+    }
+    // Leg-health gate (VERDICT r16 #1): the r16 artifact shipped a leg
+    // whose measured loop spent 93% of wall in GC (gc_ms 310.6 s) with
+    // per-query noise up to 30× over cross-leg minima, yet stamped
+    // contended:false — the pre-run loadavg wait cannot see contention
+    // that ARRIVES mid-leg. So the leg now judges ITSELF after running:
+    // a loop whose own GC share exceeds maxGcFrac (~3% of wall — the r16
+    // healthy leg ran the full registry at 2.7%) or whose pre-loadavg
+    // exceeded maxLoadHard is POLLUTED; it is re-run (after re-waiting
+    // for quiet) up to legRetries times, the best attempt by total of
+    // per-query minima is kept, and if even the best is polluted the
+    // artifact says contended:true — an honest flag instead of a silent
+    // garbage number.
+    val maxGcFrac = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXGCFRAC", "0.03").toDouble
+    val maxLoadHard = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOADHARD", "4.0").toDouble
+    val legRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGRETRIES", "1").toInt
+    def legTotal(r: Seq[(String, Seq[Double], Int)]): Double =
+      r.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
+    def polluted(gcMs: Long, wallS: Double, loadP: Double): Boolean =
+      gcMs > maxGcFrac * wallS * 1000 || loadP > maxLoadHard
+    var attemptLoadPre = loadPre.toDouble
+    var best = measureLoop()
+    var bestLoadPre = attemptLoadPre
+    var retriesUsed = 0
+    while (polluted(best._2, best._3, bestLoadPre) && retriesUsed < legRetries) {
+      System.err.println(f"[bench] leg POLLUTED (gc_ms=${best._2}, wall=${best._3}%.1f s, " +
+        f"loadavg_pre=$bestLoadPre%.1f) — retrying (${retriesUsed + 1}/$legRetries)")
+      var w2 = 0
+      while (loadavg1.toDouble > maxLoad && w2 < maxWaits) {
+        Thread.sleep(60000); w2 += 1
+      }
+      attemptLoadPre = loadavg1.toDouble
+      val again = measureLoop()
+      if (legTotal(again._1) < legTotal(best._1)) { best = again; bestLoadPre = attemptLoadPre }
+      retriesUsed += 1
+    }
+    val (results, gcMeasuredLeg, wallMeasured) = best
+    val legPolluted = polluted(gcMeasuredLeg, wallMeasured, bestLoadPre)
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -283,8 +329,20 @@ object Bench {
     // measured tree, and the EFFECTIVE shuffle-partition setting — so a
     // cross-round delta can be attributed (host vs GC vs conf) from the
     // artifact alone.
-    val gcMeasured = gcMillis - gcPre
+    val gcMeasured = gcMeasuredLeg
     val shufflePartsEff = spark.conf.get("spark.sql.shuffle.partitions")
+    // Streaming floor/payload split (VERDICT r16 #4): each q_stream_* row's
+    // EMPTY-INPUT wall time (query start/stop, source listing, offset/commit
+    // logs, state-store load+commit — Spark-fixed machinery a continuous
+    // deployment pays once per micro-batch, not per query) was measured by
+    // StreamOverheadProbe on a quiet host at stream parts = 4 (SCALE.md r16
+    // ledger). The artifact carries that floor and min − floor per row, so
+    // totals can be read net of bench-only start/stop machinery.
+    val streamFloor: Map[String, Double] = Map(
+      "q_stream_tumbling" -> 0.98, "q_stream_join" -> 1.48,
+      "q_stream_join_outer" -> 3.68, "q_stream_stateful" -> 0.65,
+      "q_stream_dedup_wm" -> 0.48, "q_stream_anomaly" -> 0.72,
+      "q_stream_enrich" -> 0.41, "q_stream_merge" -> 0.37)
     // Cross-leg minima (r14 verdict #6): merge this leg's per-query minima
     // with the round's prior legs, emit the merged HEADLINE map plus a
     // leg-noise band (this leg's min / merged min over headline rows) so a
@@ -311,7 +369,20 @@ object Bench {
       s"\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val legNoise = s"""{"n_legs":$nLegs,"this_leg_over_min_med":${r2(noiseMed)},"this_leg_over_min_max":${r2(noiseMax)}}"""
-    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contended},"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"gc_ms":$gcMeasured,"gc_ms_total":$gcMillis,"git_sha":"$gitSha","shuffle_partitions":$shufflePartsEff,"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"queries_min_all_legs":$qsMinAll,"leg_noise":$legNoise,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+    // Final contention verdict: pre-run load OR the leg's own post-hoc
+    // health check (GC share / hard load ceiling) — either one voids the
+    // leg for cross-round comparison and the artifact must say so.
+    val contendedFinal = contended || legPolluted
+    val gcFrac = if (wallMeasured > 0) gcMeasured / (wallMeasured * 1000) else 0.0
+    val legHealth = s"""{"gc_frac":${f"$gcFrac%.4f"},"max_gc_frac":$maxGcFrac,"loadavg_pre":$bestLoadPre,"max_load_hard":$maxLoadHard,"retries_used":$retriesUsed,"polluted":$legPolluted}"""
+    val floorJson = streamFloor.toSeq.sorted.collect {
+      case (k, f) if legMin.contains(k) => s"\"" + k + "\":" + r3(f)
+    }.mkString("{", ",", "}")
+    val payloadJson = streamFloor.toSeq.sorted.collect {
+      case (k, f) if legMin.contains(k) =>
+        s"\"" + k + "\":" + r3(math.max(0.0, legMin(k) - f))
+    }.mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contendedFinal},"leg_health":$legHealth,"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"gc_ms":$gcMeasured,"gc_ms_total":$gcMillis,"git_sha":"$gitSha","shuffle_partitions":$shufflePartsEff,"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"queries_min_all_legs":$qsMinAll,"leg_noise":$legNoise,"stream_floor_s":$floorJson,"stream_payload_s":$payloadJson,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     // The summary JSON is emitted on BOTH streams, and on stderr it is the
     // LAST line AFTER the per-query rows: under sbt the stdout println can
     // flush before the buffered stderr block, and a driver that keeps only
@@ -324,7 +395,7 @@ object Bench {
     // record — total + the attribution fields only, bounded well under any
     // tail window — is emitted AFTER the full one on both streams. Whatever
     // the window size, the LAST line always parses.
-    val compact = s"""{"metric":"total_compact","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"n_failed":${results.count(_._2.isEmpty)},"gc_ms":$gcMeasured,"git_sha":"$gitSha","contended":$contended,"n_legs":$nLegs,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total_compact","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"n_failed":${results.count(_._2.isEmpty)},"gc_ms":$gcMeasured,"gc_frac":${f"$gcFrac%.4f"},"git_sha":"$gitSha","contended":$contendedFinal,"leg_retries":$retriesUsed,"n_legs":$nLegs,"sf":"$sfDir"}"""
     System.err.println(summary)
     System.err.println(compact)
     println(summary)

@@ -513,25 +513,47 @@ object AdvancedQueries {
     //    values, not rows; constant under row replication) enters the
     //    windows. The naive RANGE-frame form over raw rows partitions by
     //    the 3 flags and single-threads 1/3 of the corpus per partition —
-    //    measured 19× on 16× data before this collapse. The oracle keeps
-    //    the RANGE form over raw rows: an independent formulation that
-    //    must agree. --
+    //    measured 19× on 16× data before this collapse. The cumulative
+    //    over the distinct-value table is TWO-PHASE (the q_skyline /
+    //    q_curriculum prefix-merge shape): `pid = cents >> 16` is a
+    //    deterministic, data-independent, MONOTONE-in-cents bucketing
+    //    ($655 value blocks — bucket count ∝ price domain, never rows),
+    //    per-(flag, pid) bucket sums prefix-merge on the bucket frame,
+    //    and the per-row cumulative windows partition by (flag, pid) —
+    //    so no window anywhere is capped at |return flags| = 3
+    //    parallelism (the r16 residual). All in-plan: no driver collect,
+    //    no broadcast hint (AQE broadcasts the bucket-sized offset
+    //    frame). The oracle keeps the RANGE form over raw rows: an
+    //    independent formulation that must agree. --
     "q_weighted_median" -> Q(
       (s, d) => {
-        // floor(x+0.5) == round() for this positive integer-cents data,
-        // without Spark Round's per-row BigDecimal allocation (2 per row
-        // over the fact table was the gc term at the x64 rung)
+        // floor(x+0.5) == round() for this positive integer-cents data
+        // (lineitem price/quantity > 0 by construction — a negative value
+        // would truncate toward zero instead; see q_benford), without
+        // Spark Round's per-row BigDecimal allocation (2 per row over the
+        // fact table was the gc term at the x64 rung)
         val grp = Tables.lineitem(s, d).select(col("l_returnflag"),
-            (col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
-            (col("l_quantity") + 0.5).cast("long").as("wt"))
+            floor(col("l_extendedprice") * 100 + 0.5).as("cents"),
+            floor(col("l_quantity") + 0.5).as("wt"))
           .groupBy(col("l_returnflag"), col("cents"))
           .agg(sum(col("wt")).as("w"))
-        val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+          .withColumn("pid", shiftright(col("cents"), 16))
+        // phase 1: per-(flag, bucket) totals; prefix-exclusive offsets and
+        // the flag totals via windows over the BUCKET frame (∝ buckets)
+        val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(col("l_returnflag"))
+        val offs = grp.groupBy(col("l_returnflag"), col("pid"))
+          .agg(sum(col("w")).as("bw"))
+          .select(col("l_returnflag"), col("pid"),
+            coalesce(sum(col("bw")).over(wOff), lit(0L)).as("off"),
+            sum(col("bw")).over(wTot).as("tot"))
+        // phase 2: local cumulative within each (flag, bucket) + offset
+        val cumW = Window.partitionBy(col("l_returnflag"), col("pid"))
+          .orderBy(col("cents"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val totW = Window.partitionBy(col("l_returnflag"))
-        grp
-          .withColumn("cum", sum(col("w")).over(cumW))
-          .withColumn("tot", sum(col("w")).over(totW))
+        grp.join(offs, Seq("l_returnflag", "pid"))
+          .withColumn("cum", col("off") + sum(col("w")).over(cumW))
           .groupBy(col("l_returnflag"))
           .agg(min(when(col("cum") * 2 >= col("tot"), col("cents")))
               .as("wmedian_cents"),
@@ -927,7 +949,19 @@ object AdvancedQueries {
           col("p_size").cast("long").as("sz"))
         val g = p.groupBy(col("price")).agg(max(col("sz")).as("gmax"))
         val parts = 32
+        // NOTE: the two collect() calls below (1 bounds row + ≤32 bucket
+        // maxima — bounded by construction, never by rows) run EAGERLY at
+        // build time, so the returned plan captures a driver-side snapshot
+        // of the input: re-executing it after the underlying parquet
+        // changes would mix stale bucket offsets with fresh rows. Queries
+        // in this registry are built per run, so the snapshot and the
+        // execution always see the same files.
         val bounds = g.agg(min("price"), max("price")).collect()(0)
+        if (bounds.isNullAt(0)) {
+          // empty input: no parts ⇒ empty frontier, emit the schema only
+          p.select(col("p_partkey"), col("price"),
+            col("sz").as("size")).where(lit(false))
+        } else {
         val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
         val block = math.max((mx - mn) / parts, java.lang.Double.MIN_NORMAL)
         val withPid = g.withColumn("pid",
@@ -953,6 +987,7 @@ object AdvancedQueries {
           .where(col("sz") === col("gmax") && col("sz") > col("mstrict"))
           .select(col("p_partkey"), col("price"), col("sz").as("size"))
           .orderBy("price", "p_partkey")
+        }
       },
       """SELECT p.p_partkey, p.p_retailprice AS price,
         |  CAST(p.p_size AS BIGINT) AS size
@@ -972,15 +1007,29 @@ object AdvancedQueries {
     //    shuffled once on the order key; pair counts reduce to the
     //    co-occurring pair vocabulary. Confidence and lift are single
     //    divisions of exact int64 products, so the doubles agree
-    //    bit-for-bit. --
+    //    bit-for-bit.
+    //
+    //    Support floors are FRACTIONS of the basket count — minsup =
+    //    ⌈nbask/2000⌉ items, ⌈nbask/10000⌉ pairs — computed in-plan from
+    //    the nbask aggregate by pure integer arithmetic (identical `div`
+    //    in both engines, no double rounding). An absolute floor stops
+    //    pruning as the corpus grows (every item becomes "frequent" and
+    //    Σ basket² flows unpruned through the pair exchange — the r16
+    //    ladder measured 51× cost on 64× data); a fractional floor
+    //    re-arms the a-priori prefilter at every scale. At sf0.01 the
+    //    fractions reproduce the r16 absolute floors exactly
+    //    (⌈14743/2000⌉ = 8, ⌈14743/10000⌉ = 2), so the oracle row set
+    //    keeps its richness at correctness scale. --
     "q_assoc_rules" -> Q(
       (s, d) => {
         val bask = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
-        val freq = bask.groupBy("pk").agg(count(lit(1)).as("n"))
-          .where(col("n") >= 8)
         val nb = bask.agg(countDistinct(col("ok")).as("nbask"))
+        val freq = bask.groupBy("pk").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(nb))
+          .where(col("n") >= expr("(nbask + 1999) div 2000"))
+          .select("pk", "n")
         // pair rows shuffle as bare (pa, pb) — the item supports join back
         // onto the REDUCED pair table (∝ pair vocabulary, not pair
         // instances), halving the bytes through the big exchange
@@ -990,10 +1039,10 @@ object AdvancedQueries {
         a.join(b, Seq("ok")).where(col("pa") < col("pb"))
           .groupBy(col("pa"), col("pb"))
           .agg(count(lit(1)).as("n_ab"))
-          .where(col("n_ab") >= 2)
+          .crossJoin(broadcast(nb))
+          .where(col("n_ab") >= expr("(nbask + 9999) div 10000"))
           .join(broadcast(freq.select(col("pk").as("pa"), col("n").as("n_a"))), "pa")
           .join(broadcast(freq.select(col("pk").as("pb"), col("n").as("n_b"))), "pb")
-          .crossJoin(broadcast(nb))
           .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
             (col("n_ab").cast("double") / col("n_a")).as("conf"),
             ((col("n_ab") * col("nbask")).cast("double") /
@@ -1002,14 +1051,16 @@ object AdvancedQueries {
       },
       """WITH bask AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |              FROM lineitem),
-        |freq AS (SELECT pk, count(*)::BIGINT AS n FROM bask
-        |         GROUP BY 1 HAVING count(*) >= 8),
         |nb AS (SELECT count(DISTINCT ok)::BIGINT AS nbask FROM bask),
+        |freq AS (SELECT pk, count(*)::BIGINT AS n FROM bask
+        |         GROUP BY 1
+        |         HAVING count(*) >= (SELECT (nbask + 1999) // 2000 FROM nb)),
         |fb AS (SELECT b.ok, b.pk, f.n FROM bask b JOIN freq f USING (pk)),
         |pairs AS (SELECT a.pk AS pa, b.pk AS pb, a.n AS n_a, b.n AS n_b,
         |    count(*)::BIGINT AS n_ab
         |  FROM fb a JOIN fb b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) >= (SELECT (nbask + 9999) // 10000 FROM nb))
         |SELECT pa, pb, n_ab, n_a, n_b,
         |  n_ab::DOUBLE / n_a AS conf,
         |  (n_ab * nbask)::DOUBLE / (n_a * n_b)::DOUBLE AS lift

@@ -486,30 +486,51 @@ object EventLifecycle {
     //    total (ts, event_id) order — v/c/p/s/e — and conversion is a
     //    regex containment test (view … click … purchase, in order but
     //    not adjacent: the pattern funnels can't express without a pass
-    //    per stage). ONE user-keyed aggregation; per-group state ∝ the
-    //    user's OWN series length (a production run caps the path, same
-    //    constant-choice as session gaps). array_sort on (ts, id, char)
-    //    structs gives the engine-independent order; the regex is plain
-    //    `.`/`.*` so Java and RE2-style engines can't disagree. --
+    //    per stage). ONE user-keyed exchange feeds both the rank window
+    //    and the aggregation. The path is CAPPED at the user's first
+    //    `pathCap` events (ADVICE r16: an uncapped collect_list holds
+    //    per-group state ∝ the heaviest user's full history — one hot
+    //    user can blow an executor at scale): rank first, then
+    //    collect_list over a when(rn ≤ cap) — collect_list drops nulls,
+    //    so the AGGREGATION STATE itself is bounded by the cap, not just
+    //    the output (same fixed-constant discipline as the session
+    //    gaps); n_events stays the uncapped count. The oracle mirrors
+    //    the cap via FILTER (WHERE rn ≤ cap), so both engines agree even
+    //    for a series past the cap (the harness max is 99 events/user —
+    //    no truncation at correctness scale). array_sort on (ts, id,
+    //    char) structs gives the engine-independent order; the regex is
+    //    plain `.`/`.*` so Java and RE2-style engines can't disagree. --
     "q_event_paths" -> Q(
       (s, d) => {
-        val e = Tables.events(s, d).select(col("user_id"),
-          struct(col("ts_ns"), col("event_id"),
-            substring(col("event_type"), 1, 1).as("c")).as("x"))
-        e.groupBy(col("user_id"))
+        val pathCap = 256
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .select(col("user_id"), col("rn"),
+            struct(col("ts_ns"), col("event_id"),
+              substring(col("event_type"), 1, 1).as("c")).as("x"))
+          .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
-            array_join(transform(array_sort(collect_list(col("x"))),
+            array_join(transform(
+              array_sort(collect_list(when(col("rn") <= pathCap, col("x")))),
               x => x.getField("c")), "").as("path"))
           .select(col("user_id"), col("n_events"), col("path"),
             col("path").rlike("v.*c.*p").as("converted"))
           .orderBy("user_id")
       },
-      """SELECT user_id, count(*)::BIGINT AS n_events,
-        |  string_agg(substr(event_type, 1, 1), ''
-        |    ORDER BY epoch_ns(ts), event_id) AS path,
-        |  regexp_matches(string_agg(substr(event_type, 1, 1), ''
-        |    ORDER BY epoch_ns(ts), event_id), 'v.*c.*p') AS converted
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      """WITH r AS (SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  coalesce(string_agg(substr(event_type, 1, 1), ''
+        |    ORDER BY epoch_ns(ts), event_id)
+        |    FILTER (WHERE rn <= 256), '') AS path,
+        |  regexp_matches(coalesce(string_agg(substr(event_type, 1, 1), ''
+        |    ORDER BY epoch_ns(ts), event_id)
+        |    FILTER (WHERE rn <= 256), ''), 'v.*c.*p') AS converted
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin),
 
     // -- first-order Markov transition matrix over per-user event
     //    sequences (the behavior-model fit a curation pipeline runs on

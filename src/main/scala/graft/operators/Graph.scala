@@ -91,9 +91,11 @@ object Graph {
     *
     * Scale shape: the expensive term is the one-off edge derivation
     * (shared, checkpointed — see [[edges]]). Each round is one keyed
-    * join + one min-aggregation; on the 25-node harness graph the
-    * distance frame broadcasts, and on a billion-node graph the same
-    * plan degrades to a hash-partitioned join. A production loop would
+    * join + one min-aggregation; the frontier join carries NO broadcast
+    * hint (a hint is honored regardless of size, and the distance frame
+    * grows to the full node set) — AQE broadcasts it on the 25-node
+    * harness graph and falls back to a hash-partitioned join once the
+    * runtime size exceeds the threshold. A production loop would
     * iterate on the DELTA frontier (newly-settled nodes only) until it
     * empties — fixed unrolling here keeps the oracle expressible; the
     * full-frame min is idempotent past convergence, so both shapes
@@ -113,7 +115,7 @@ object Graph {
     var dist = ew.agg(min(col("src")).cast("long").as("node"))
       .select(col("node"), lit(0L).as("hops"))
     for (_ <- 1 to bfsIters) {
-      val expanded = ew.join(broadcast(dist), ew("src") === dist("node"))
+      val expanded = ew.join(dist, ew("src") === dist("node"))
         .select(col("dst").cast("long").as("node"),
           (col("hops") + 1L).as("hops"))
       dist = dist.union(expanded)

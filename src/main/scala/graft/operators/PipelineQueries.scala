@@ -2913,12 +2913,18 @@ object PipelineQueries {
     //    above, using Spark's codegen'd levenshtein() (identical classic
     //    unit-cost DP in both engines — integer result, no tolerance).
     //    Blocking: equi-key on the first character PLUS a length band of
-    //    ±4 — a valid filter because |len(a)−len(b)| is a lower bound on
-    //    the edit distance, so no pair under the threshold is lost. The
-    //    join stays a hash join on the block key with the band and the
+    //    ±4. Only the length band is LOSSLESS (|len(a)−len(b)| lower-
+    //    bounds the edit distance); the first-character equi-block is an
+    //    APPROXIMATE candidate scheme — a true match whose edit touches
+    //    position 0 ('apple'/'bpple', lev 1) is dropped by construction,
+    //    the standard recall-for-cost trade every ER blocking key makes.
+    //    The oracle mirrors the same block, so the differential certifies
+    //    the blocked computation, not full-recall matching. The join
+    //    stays a hash join on the block key with the band and the
     //    distance as residual predicates. At 100 TB blocking would move
-    //    to (length-bucket × prefix-gram) keys — same candidate-pruning
-    //    idea the PPJoin dedup family already implements. --
+    //    to (length-bucket × prefix-gram) keys — multi-key blocking that
+    //    recovers first-position edits, the same candidate-pruning idea
+    //    the PPJoin dedup family already implements. --
     "q_entity_match_lev" -> Q(
       (s, d) => {
         val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()

@@ -691,9 +691,15 @@ object QualityChecks {
           (7L, 0.0579919470), (8L, 0.0511525224), (9L, 0.0457574906))
           .toDF("digit", "expected"))
         // floor(x+0.5) == round() for positive integer-cents data, minus
-        // Spark Round's per-row BigDecimal allocation (see q_weighted_median)
+        // Spark Round's per-row BigDecimal allocation (see
+        // q_weighted_median). Spelled as an explicit floor() — the
+        // previous double→long CAST truncates toward zero, which only
+        // coincides with floor for x ≥ 0; floor keeps the intent if a
+        // schema ever carries negative amounts (they'd still diverge
+        // from the oracle's half-away-from-zero round(), but the > 0
+        // gate below excludes them from this digit audit entirely).
         val digits = Tables.lineitem(s, d)
-          .select((col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+          .select(floor(col("l_extendedprice") * 100 + 0.5).as("cents"))
           .where(col("cents") > 0)
           .select(GraftFunctions.firstDigit(col("cents")).as("digit"))
         val n = digits.agg(count(lit(1)).as("n_total"))

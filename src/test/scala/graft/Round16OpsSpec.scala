@@ -128,14 +128,20 @@ class Round16OpsSpec extends SparkSpec {
       "exactly, and a sampled pair's support matches brute basket overlap") {
     val rows = SparkEntry.queries("q_assoc_rules")(spark, sf0).collect()
     assert(rows.nonEmpty)
-    val baskets = Tables.lineitem(spark, sf0)
+    val baskRows = Tables.lineitem(spark, sf0)
       .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
-      .groupBy(_.getLong(1)).map { case (pk, rs) =>
+    val baskets = baskRows.groupBy(_.getLong(1)).map { case (pk, rs) =>
         pk -> rs.map(_.getLong(0)).toSet }
+    // fractional a-priori floors (r17): minsup = ⌈nbask/2000⌉ items,
+    // ⌈nbask/10000⌉ pairs — recomputed here from the data, same integer
+    // arithmetic as the query
+    val nbask = baskRows.map(_.getLong(0)).distinct.length.toLong
+    val minsup = (nbask + 1999) / 2000
+    val pairFloor = (nbask + 9999) / 10000
     rows.foreach { r =>
       val (pa, pb, nab, na, nb) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-      assert(pa < pb && nab >= 2 && na >= 8 && nb >= 8)
+      assert(pa < pb && nab >= pairFloor && na >= minsup && nb >= minsup)
       assert(nab <= math.min(na, nb))
       assert(r.getDouble(5) === nab.toDouble / na)
     }
@@ -206,7 +212,9 @@ class Round16OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === totalEvents)
     rows.foreach { r =>
       val (n, path, conv) = (r.getLong(1), r.getString(2), r.getBoolean(3))
-      assert(path.length.toLong === n)
+      // r17: the path is capped at the user's first 256 events (the
+      // aggregation-state bound); n_events stays the uncapped count
+      assert(path.length.toLong === math.min(n, 256L))
       assert(path.forall("vcpse".contains(_)), s"unexpected initial in $path")
       assert(conv === "v.*c.*p".r.findFirstIn(path).isDefined)
     }
