@@ -260,7 +260,12 @@ object Bench {
     // garbage number.
     val maxGcFrac = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXGCFRAC", "0.03").toDouble
     val maxLoadHard = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOADHARD", "4.0").toDouble
-    val legRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGRETRIES", "1").toInt
+    // retry only on FULL-registry legs: arg-restricted runs (tuning loop,
+    // ladder rungs) read per-row numbers and a heavy rung's own GC is
+    // workload, not host contention — they still get the honest
+    // leg_health record, just no automatic re-run
+    val legRetries = if (args.nonEmpty) 0
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGRETRIES", "1").toInt
     def legTotal(r: Seq[(String, Seq[Double], Int)]): Double =
       r.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
     def polluted(gcMs: Long, wallS: Double, loadP: Double): Boolean =
