@@ -30,7 +30,8 @@ object Bench {
     "q_heavy_hitters", "q_tpch_q8", "q_stream_dedup_wm",
     "q_tpch_q2", "q_tpch_q21", "q_collocations", "q_entity_match_jw",
     "q_bfs_hops", "q_skyline", "q_markov_transitions", "q_assoc_rules",
-    "q_weighted_median", "q_benford", "q_quality_top_frac", "q_interleave")
+    "q_weighted_median", "q_benford", "q_quality_top_frac", "q_interleave",
+    "q_assoc_topk")
 
   /** Named warm-up rows: each is the designated first consumer of a
     * session-scoped shared artifact (ParityQueries' lineitem row-id index +
@@ -64,6 +65,21 @@ object Bench {
   private def loadavg1: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
     catch { case _: Throwable => "-1" }
+
+  /** (total, steal) jiffies from /proc/stat line 1. Hypervisor STEAL is
+    * the contention loadavg cannot see: a VM neighbor taking 4% of cycles
+    * shows loadavg 0.5 on an idle-looking host while every sub-second
+    * query pays disproportionately (a stolen 100 ms burst on a 300 ms row
+    * is +33%). Sampled around the measured loop so the artifact carries
+    * the steal share of the leg (r17: direct sampling measured 4.25%
+    * steal under load on a loadavg-0.5 "quiet" host — part of the
+    * environment term that inflated r16/r17 trivial-row minima vs r15). */
+  private def stealSample: (Long, Long) =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      (parts.sum, if (parts.length > 7) parts(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
 
   /** Cumulative stop-the-world GC milliseconds for this JVM. Sampled before
     * and after the measured loop so the artifact carries `gc_ms` — r11's
@@ -231,8 +247,9 @@ object Bench {
     // regression. SPARK_GRAFT_BENCH_RUNS overrides.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // (name, per-run times of the runs that SUCCEEDED, count of failed runs)
-    def measureLoop(): (Seq[(String, Seq[Double], Int)], Long, Double) = {
+    def measureLoop(): (Seq[(String, Seq[Double], Int)], Long, Double, Double) = {
       val gc0 = gcMillis
+      val (jt0, js0) = stealSample
       val t0 = System.nanoTime()
       val res = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to runs).flatMap { _ =>
@@ -244,7 +261,10 @@ object Bench {
         }
         (name, times, runs - times.size)
       }
-      (res, gcMillis - gc0, (System.nanoTime() - t0) / 1e9)
+      val (jt1, js1) = stealSample
+      val stealFrac =
+        if (jt1 > jt0) (js1 - js0).toDouble / (jt1 - jt0) else 0.0
+      (res, gcMillis - gc0, (System.nanoTime() - t0) / 1e9, stealFrac)
     }
     // Leg-health gate (VERDICT r16 #1): the r16 artifact shipped a leg
     // whose measured loop spent 93% of wall in GC (gc_ms 310.6 s) with
@@ -260,6 +280,7 @@ object Bench {
     // garbage number.
     val maxGcFrac = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXGCFRAC", "0.03").toDouble
     val maxLoadHard = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOADHARD", "4.0").toDouble
+    val maxStealFrac = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXSTEAL", "0.05").toDouble
     // retry only on FULL-registry legs: arg-restricted runs (tuning loop,
     // ladder rungs) read per-row numbers and a heavy rung's own GC is
     // workload, not host contention — they still get the honest
@@ -268,26 +289,39 @@ object Bench {
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGRETRIES", "1").toInt
     def legTotal(r: Seq[(String, Seq[Double], Int)]): Double =
       r.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
-    def polluted(gcMs: Long, wallS: Double, loadP: Double): Boolean =
-      gcMs > maxGcFrac * wallS * 1000 || loadP > maxLoadHard
+    def polluted(gcMs: Long, wallS: Double, loadP: Double, steal: Double): Boolean =
+      gcMs > maxGcFrac * wallS * 1000 || loadP > maxLoadHard ||
+        steal > maxStealFrac
     var attemptLoadPre = loadPre.toDouble
     var best = measureLoop()
     var bestLoadPre = attemptLoadPre
     var retriesUsed = 0
-    while (polluted(best._2, best._3, bestLoadPre) && retriesUsed < legRetries) {
+    def isPolluted(a: (Seq[(String, Seq[Double], Int)], Long, Double, Double),
+        lp: Double): Boolean = polluted(a._2, a._3, lp, a._4)
+    while (isPolluted(best, bestLoadPre) && retriesUsed < legRetries) {
       System.err.println(f"[bench] leg POLLUTED (gc_ms=${best._2}, wall=${best._3}%.1f s, " +
-        f"loadavg_pre=$bestLoadPre%.1f) — retrying (${retriesUsed + 1}/$legRetries)")
+        f"loadavg_pre=$bestLoadPre%.1f, steal=${best._4 * 100}%.1f%%) — retrying (${retriesUsed + 1}/$legRetries)")
       var w2 = 0
       while (loadavg1.toDouble > maxLoad && w2 < maxWaits) {
         Thread.sleep(60000); w2 += 1
       }
       attemptLoadPre = loadavg1.toDouble
       val again = measureLoop()
-      if (legTotal(again._1) < legTotal(best._1)) { best = again; bestLoadPre = attemptLoadPre }
+      // a HEALTHY loop beats a polluted one even at a higher total (r17
+      // leg 3: the gc-polluted first loop posted lower per-query minima
+      // than its clean retry and best-by-total re-selected it, voiding
+      // the leg the retry had just rescued); among loops of equal health
+      // the lower minima-total wins
+      val bestBad = isPolluted(best, bestLoadPre)
+      val againBad = isPolluted(again, attemptLoadPre)
+      if ((bestBad && !againBad) ||
+          (bestBad == againBad && legTotal(again._1) < legTotal(best._1))) {
+        best = again; bestLoadPre = attemptLoadPre
+      }
       retriesUsed += 1
     }
-    val (results, gcMeasuredLeg, wallMeasured) = best
-    val legPolluted = polluted(gcMeasuredLeg, wallMeasured, bestLoadPre)
+    val (results, gcMeasuredLeg, wallMeasured, stealFracLeg) = best
+    val legPolluted = isPolluted(best, bestLoadPre)
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -379,7 +413,7 @@ object Bench {
     // leg for cross-round comparison and the artifact must say so.
     val contendedFinal = contended || legPolluted
     val gcFrac = if (wallMeasured > 0) gcMeasured / (wallMeasured * 1000) else 0.0
-    val legHealth = s"""{"gc_frac":${f"$gcFrac%.4f"},"max_gc_frac":$maxGcFrac,"loadavg_pre":$bestLoadPre,"max_load_hard":$maxLoadHard,"retries_used":$retriesUsed,"polluted":$legPolluted}"""
+    val legHealth = s"""{"gc_frac":${f"$gcFrac%.4f"},"max_gc_frac":$maxGcFrac,"loadavg_pre":$bestLoadPre,"max_load_hard":$maxLoadHard,"steal_frac":${f"$stealFracLeg%.4f"},"max_steal_frac":$maxStealFrac,"retries_used":$retriesUsed,"polluted":$legPolluted}"""
     val floorJson = streamFloor.toSeq.sorted.collect {
       case (k, f) if legMin.contains(k) => s"\"" + k + "\":" + r3(f)
     }.mkString("{", ",", "}")
@@ -400,7 +434,7 @@ object Bench {
     // record — total + the attribution fields only, bounded well under any
     // tail window — is emitted AFTER the full one on both streams. Whatever
     // the window size, the LAST line always parses.
-    val compact = s"""{"metric":"total_compact","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"n_failed":${results.count(_._2.isEmpty)},"gc_ms":$gcMeasured,"gc_frac":${f"$gcFrac%.4f"},"git_sha":"$gitSha","contended":$contendedFinal,"leg_retries":$retriesUsed,"n_legs":$nLegs,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total_compact","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"n_failed":${results.count(_._2.isEmpty)},"gc_ms":$gcMeasured,"gc_frac":${f"$gcFrac%.4f"},"steal_frac":${f"$stealFracLeg%.4f"},"git_sha":"$gitSha","contended":$contendedFinal,"leg_retries":$retriesUsed,"n_legs":$nLegs,"sf":"$sfDir"}"""
     System.err.println(summary)
     System.err.println(compact)
     println(summary)

@@ -1064,7 +1064,54 @@ object AdvancedQueries {
         |SELECT pa, pb, n_ab, n_a, n_b,
         |  n_ab::DOUBLE / n_a AS conf,
         |  (n_ab * nbask)::DOUBLE / (n_a * n_b)::DOUBLE AS lift
-        |FROM pairs CROSS JOIN nb ORDER BY pa, pb""".stripMargin)
+        |FROM pairs CROSS JOIN nb ORDER BY pa, pb""".stripMargin),
+
+    // -- top-k co-occurrence rules: pair mining restricted to the k
+    //    HIGHEST-SUPPORT items (k = 1000) — the distribution-proof
+    //    complement of q_assoc_rules' fractional floor. On a uniform
+    //    catalog a support FRACTION legitimately empties the frequent set
+    //    (nothing reaches 0.05 % support — see SCALE.md r17), while
+    //    top-k keeps the enumeration stage active and BOUNDED at every
+    //    scale by construction: candidates are pairs of a fixed-k item
+    //    set, so the pair exchange is capped regardless of catalog or
+    //    corpus growth. The top-k itself is a deterministic total order
+    //    (support DESC, then key — ties can't flap between engines) and
+    //    executes as TakeOrdered (distributed partial top-k heaps — no
+    //    single-partition sort, no vocabulary collect); the k-row item
+    //    frame then broadcast-joins into the basket stream. --
+    "q_assoc_topk" -> Q(
+      (s, d) => {
+        val k = 1000
+        val bask = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val topk = bask.groupBy("pk").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pk")).limit(k)
+        val fb = bask.join(broadcast(topk.select("pk")), "pk")
+        val a = fb.select(col("ok"), col("pk").as("pa"))
+        val b = fb.select(col("ok"), col("pk").as("pb"))
+        a.join(b, Seq("ok")).where(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .where(col("n_ab") >= 2)
+          .join(broadcast(topk.select(col("pk").as("pa"), col("n").as("n_a"))), "pa")
+          .join(broadcast(topk.select(col("pk").as("pb"), col("n").as("n_b"))), "pb")
+          .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+            (col("n_ab").cast("double") / col("n_a")).as("conf"))
+          .orderBy("pa", "pb")
+      },
+      """WITH bask AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |              FROM lineitem),
+        |sup AS (SELECT pk, count(*)::BIGINT AS n FROM bask GROUP BY 1),
+        |topk AS (SELECT pk, n FROM sup ORDER BY n DESC, pk LIMIT 1000),
+        |fb AS (SELECT b.ok, b.pk FROM bask b JOIN topk USING (pk)),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS n_ab
+        |  FROM fb a JOIN fb b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, n_ab, t1.n AS n_a, t2.n AS n_b,
+        |  n_ab::DOUBLE / t1.n AS conf
+        |FROM pairs JOIN topk t1 ON t1.pk = pa JOIN topk t2 ON t2.pk = pb
+        |ORDER BY pa, pb""".stripMargin)
   )
 
   /** MERGE/upsert operator: apply a change set to a base snapshot.

@@ -82,4 +82,25 @@ class Round17OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got === pairs, s"rule sets differ: got ${got.size}, expected ${pairs.size}")
   }
+
+  test("q_assoc_topk: every emitted item is in the deterministic " +
+      "(support DESC, key) top-1000, and pair counts replay brute-force") {
+    val bask = Tables.lineitem(spark, sf0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val topk = bask.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (pk, n) => (-n, pk) }.take(1000).toMap
+    val byOrder = bask.filter(p => topk.contains(p._2)).groupBy(_._1)
+    val expect = byOrder.values.toSeq.flatMap { rs =>
+      val pks = rs.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.length) yield (pks(i), pks(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2).toMap
+    val got = SparkEntry.queries("q_assoc_topk")(spark, sf0).collect()
+    got.foreach { r =>
+      assert(topk.contains(r.getLong(0)) && topk.contains(r.getLong(1)))
+      assert(r.getLong(3) === topk(r.getLong(0)), "n_a must be the item support")
+    }
+    assert(got.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap === expect)
+  }
 }
