@@ -45,6 +45,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // unaffected. Deliberately NOT env-overridable: every artifact (official
   // bench, ladder rung, local retake) must measure the same configuration.
   "-Xmx48g",
+  // -Xms pinned to -Xmx (r17): without it ParallelGC starts at ~2 GB and
+  // adaptively grows toward 48 GB across the FIRST full-registry bench
+  // loop — measured as 78–136 s of GC on the first loop vs 9–26 s on the
+  // retry in the same (grown, stabilized) JVM, on 4 of 6 otherwise-quiet
+  // r17 legs. Pinning the initial heap removes the growth/resizing churn
+  // so the first measured loop runs the same heap the retry does. Linux
+  // commits the pages lazily (no AlwaysPreTouch), so small runs and tests
+  // still only touch what they use.
+  "-Xms48g",
   // ParallelGC over the JDK-17 default G1 for all forked runs: SCALE.md
   // measured G1 young-gen shrinkage under 32-thread allocation bursts
   // doubling the x64 index build (18.6–195 s bimodal); ParallelGC holds a
