@@ -78,7 +78,11 @@ object Bench {
     try {
       val parts = scala.io.Source.fromFile("/proc/stat").getLines().next()
         .split("\\s+").drop(1).map(_.toLong)
-      (parts.sum, if (parts.length > 7) parts(7) else 0L)
+      // denominator = user..steal (first 8 fields) ONLY: guest/guest_nice
+      // are already folded into user/nice by the kernel, so including them
+      // double-counts guest time and deflates steal_frac — exactly on the
+      // guest-running hosts the probe exists for (ADVICE r17)
+      (parts.take(8).sum, if (parts.length > 7) parts(7) else 0L)
     } catch { case _: Throwable => (0L, 0L) }
 
   /** Cumulative stop-the-world GC milliseconds for this JVM. Sampled before
@@ -129,6 +133,29 @@ object Bench {
     val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINFILE",
       "target/bench_minima.tsv")
     if (p == "none") None else Some(java.nio.file.Paths.get(p))
+  }
+
+  /** Streaming-floor ledger written by `StreamOverheadProbe decompose`
+    * (`__parts`/`__epoch_ms` headers + `name\tfloor` rows). Lives in
+    * target/ next to the minima sidecar; SPARK_GRAFT_STREAM_FLOORS
+    * overrides the path, "none" disables. Returns (floors, parts the
+    * floors were measured at, measurement epoch ms). */
+  private def readStreamFloors(): Option[(Map[String, Double], Int, Long)] = {
+    val p0 = sys.env.getOrElse("SPARK_GRAFT_STREAM_FLOORS",
+      "target/stream_floors.tsv")
+    if (p0 == "none") return None
+    val p = java.nio.file.Paths.get(p0)
+    if (!java.nio.file.Files.exists(p)) return None
+    try {
+      import scala.jdk.CollectionConverters._
+      val kv = java.nio.file.Files.readAllLines(p).asScala
+        .map(_.split("\t")).collect { case Array(k, v) => k -> v }
+      for {
+        parts <- kv.collectFirst { case ("__parts", v) => v.toInt }
+        epoch <- kv.collectFirst { case ("__epoch_ms", v) => v.toLong }
+      } yield (kv.collect { case (k, v) if !k.startsWith("__") =>
+        k -> v.toDouble }.toMap, parts, epoch)
+    } catch { case _: Throwable => None }
   }
 
   private def readMinima(): (Map[String, Double], Int) =
@@ -310,12 +337,17 @@ object Bench {
       // a HEALTHY loop beats a polluted one even at a higher total (r17
       // leg 3: the gc-polluted first loop posted lower per-query minima
       // than its clean retry and best-by-total re-selected it, voiding
-      // the leg the retry had just rescued); among loops of equal health
-      // the lower minima-total wins
-      val bestBad = isPolluted(best, bestLoadPre)
-      val againBad = isPolluted(again, attemptLoadPre)
-      if ((bestBad && !againBad) ||
-          (bestBad == againBad && legTotal(again._1) < legTotal(best._1))) {
+      // the leg the retry had just rescued); at equal health, FEWER
+      // totally-failed queries wins before the minima total does — an
+      // attempt that dropped a query posts a strictly smaller total and
+      // would otherwise beat a complete attempt, silently losing that
+      // query's timings from the leg AND the cross-leg merge (ADVICE r17);
+      // only then does the lower minima-total decide
+      def attemptKey(a: (Seq[(String, Seq[Double], Int)], Long, Double, Double),
+          lp: Double): (Boolean, Int, Double) =
+        (isPolluted(a, lp), a._1.count(_._2.isEmpty), legTotal(a._1))
+      if (Ordering[(Boolean, Int, Double)].lt(
+          attemptKey(again, attemptLoadPre), attemptKey(best, bestLoadPre))) {
         best = again; bestLoadPre = attemptLoadPre
       }
       retriesUsed += 1
@@ -373,15 +405,26 @@ object Bench {
     // Streaming floor/payload split (VERDICT r16 #4): each q_stream_* row's
     // EMPTY-INPUT wall time (query start/stop, source listing, offset/commit
     // logs, state-store load+commit — Spark-fixed machinery a continuous
-    // deployment pays once per micro-batch, not per query) was measured by
-    // StreamOverheadProbe on a quiet host at stream parts = 4 (SCALE.md r16
-    // ledger). The artifact carries that floor and min − floor per row, so
-    // totals can be read net of bench-only start/stop machinery.
-    val streamFloor: Map[String, Double] = Map(
-      "q_stream_tumbling" -> 0.98, "q_stream_join" -> 1.48,
-      "q_stream_join_outer" -> 3.68, "q_stream_stateful" -> 0.65,
-      "q_stream_dedup_wm" -> 0.48, "q_stream_anomaly" -> 0.72,
-      "q_stream_enrich" -> 0.41, "q_stream_merge" -> 0.37)
+    // deployment pays once per micro-batch, not per query) is measured by
+    // `StreamOverheadProbe decompose`, which writes the ledger file this
+    // reads. Floors are emitted ONLY when the ledger's stream-partition
+    // setting matches this run's (the floor scales with state-store
+    // instance count, so a SPARK_GRAFT_STREAM_PARTS override would stamp
+    // stale floors and negative-clamped payloads — ADVICE r17), and the
+    // artifact carries the ledger's age so a different-day floor is
+    // visible instead of silently wrong (r17: q_stream_tumbling's merged
+    // min undercut a floor measured months of host-drift earlier).
+    val streamPartsEff = spark.conf.get("graft.streaming.shufflePartitions", "4")
+    val (streamFloor, floorMeta): (Map[String, Double], String) =
+      readStreamFloors() match {
+        case Some((floors, parts, epochMs)) if parts.toString == streamPartsEff =>
+          val ageH = (System.currentTimeMillis() - epochMs) / 3600e3
+          (floors, s"""{"parts":$parts,"age_hours":${f"$ageH%.1f"}}""")
+        case Some((_, parts, _)) =>
+          (Map.empty, s"""{"skipped":"ledger parts $parts != run parts $streamPartsEff"}""")
+        case None =>
+          (Map.empty, """{"skipped":"no floor ledger (run StreamOverheadProbe decompose)"}""")
+      }
     // Cross-leg minima (r14 verdict #6): merge this leg's per-query minima
     // with the round's prior legs, emit the merged HEADLINE map plus a
     // leg-noise band (this leg's min / merged min over headline rows) so a
@@ -411,9 +454,19 @@ object Bench {
     // Final contention verdict: pre-run load OR the leg's own post-hoc
     // health check (GC share / hard load ceiling) — either one voids the
     // leg for cross-round comparison and the artifact must say so.
-    val contendedFinal = contended || legPolluted
+    // EXCEPT the gc term on arg-restricted runs: a heavy ladder rung's GC
+    // share is workload, not host contention (the retry-gating comment
+    // above already says so), and stamping a legitimately GC-heavy rung
+    // contended:true on a quiet host corrupts the flag downstream tooling
+    // gates on (ADVICE r17). Load/steal terms still apply; leg_health
+    // keeps the full record either way.
+    val legPollutedVerdict =
+      if (args.nonEmpty)
+        bestLoadPre > maxLoadHard || stealFracLeg > maxStealFrac
+      else legPolluted
+    val contendedFinal = contended || legPollutedVerdict
     val gcFrac = if (wallMeasured > 0) gcMeasured / (wallMeasured * 1000) else 0.0
-    val legHealth = s"""{"gc_frac":${f"$gcFrac%.4f"},"max_gc_frac":$maxGcFrac,"loadavg_pre":$bestLoadPre,"max_load_hard":$maxLoadHard,"steal_frac":${f"$stealFracLeg%.4f"},"max_steal_frac":$maxStealFrac,"retries_used":$retriesUsed,"polluted":$legPolluted}"""
+    val legHealth = s"""{"gc_frac":${f"$gcFrac%.4f"},"max_gc_frac":$maxGcFrac,"loadavg_pre":$bestLoadPre,"max_load_hard":$maxLoadHard,"steal_frac":${f"$stealFracLeg%.4f"},"max_steal_frac":$maxStealFrac,"retries_used":$retriesUsed,"polluted":$legPolluted,"gc_term_in_verdict":${args.isEmpty}}"""
     val floorJson = streamFloor.toSeq.sorted.collect {
       case (k, f) if legMin.contains(k) => s"\"" + k + "\":" + r3(f)
     }.mkString("{", ",", "}")
@@ -421,7 +474,7 @@ object Bench {
       case (k, f) if legMin.contains(k) =>
         s"\"" + k + "\":" + r3(math.max(0.0, legMin(k) - f))
     }.mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contendedFinal},"leg_health":$legHealth,"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"gc_ms":$gcMeasured,"gc_ms_total":$gcMillis,"git_sha":"$gitSha","shuffle_partitions":$shufflePartsEff,"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"queries_min_all_legs":$qsMinAll,"leg_noise":$legNoise,"stream_floor_s":$floorJson,"stream_payload_s":$payloadJson,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contendedFinal},"leg_health":$legHealth,"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"gc_ms":$gcMeasured,"gc_ms_total":$gcMillis,"git_sha":"$gitSha","shuffle_partitions":$shufflePartsEff,"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"queries_min_all_legs":$qsMinAll,"leg_noise":$legNoise,"stream_floor_meta":$floorMeta,"stream_floor_s":$floorJson,"stream_payload_s":$payloadJson,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     // The summary JSON is emitted on BOTH streams, and on stderr it is the
     // LAST line AFTER the per-query rows: under sbt the stdout println can
     // flush before the buffered stderr block, and a driver that keeps only

@@ -53,13 +53,32 @@ object StreamOverheadProbe {
       fn(spark, dir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
-    val rows = qs.map { case (name, fn) =>
+    val measured = qs.map { case (name, fn) =>
       val floor = (1 to 3).map(_ => timeIt(fn, floorDir)).min
       val full = (1 to 3).map(_ => timeIt(fn, sfDir)).min
       System.err.println(f"[probe] $name%-22s floor=$floor%6.2f s  full=$full%6.2f s  payload=${full - floor}%6.2f s")
+      (name, floor, full)
+    }
+    val rows = measured.map { case (name, floor, full) =>
       f""""$name":{"floor":$floor%.2f,"full":$full%.2f,"payload":${full - floor}%.2f}"""
     }
-    println(s"""{"metric":"stream_floor_payload_sec","queries":{${rows.mkString(",")}},"stream_parts":${spark.conf.get("graft.streaming.shufflePartitions", "unset")},"sf":"$sfDir"}""")
+    val parts = spark.conf.get("graft.streaming.shufflePartitions", "unset")
+    println(s"""{"metric":"stream_floor_payload_sec","queries":{${rows.mkString(",")}},"stream_parts":$parts,"sf":"$sfDir"}""")
+    // Persist the floors as the ledger Bench reads (ADVICE r17 + VERDICT
+    // r17 #2): floors are host-day- and parts-specific, so the ledger
+    // carries both, and Bench refuses to stamp floors measured at a
+    // different stream-partition setting. Full-registry default set only —
+    // a name-restricted probe run must not shrink the ledger.
+    if (names.isEmpty) {
+      val path = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_STREAM_FLOORS", "target/stream_floors.tsv"))
+      if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)
+      val body = (Seq(s"__parts\t$parts",
+        s"__epoch_ms\t${System.currentTimeMillis()}") ++
+        measured.map { case (n, f, _) => f"$n\t$f%.3f" }).mkString("\n")
+      java.nio.file.Files.write(path, body.getBytes("UTF-8"))
+      System.err.println(s"[probe] floor ledger written: $path")
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -627,7 +627,11 @@ object Dedup {
         // node count × id magnitude nears 2^63, which real corpora reach.
         val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))
           .collect()(0).getDecimal(0)
-        converged = prevSum.exists(_.compareTo(s) == 0)
+        // sum over an EMPTY label frame is SQL null — an empty pair set is
+        // a realistic call (no near-dups found) and nothing can change on
+        // it, so null ⟹ converged; Objects.equals instead of compareTo so
+        // a stored null never NPEs (ADVICE r17)
+        converged = s == null || prevSum.exists(java.util.Objects.equals(_, s))
         prevSum = Some(s)
       } else {
         // Non-integral ids (strings, ...): Σ over the labels themselves
@@ -643,7 +647,10 @@ object Dedup {
         // join cost: one per RUN, not one per round.
         val s = next.agg(sum(xxhash64(col("lbl")).cast("decimal(38,0)")))
           .collect()(0).getDecimal(0)
-        val sumUnchanged = prevSum.exists(_.compareTo(s) == 0)
+        // null ⟸ empty frame (see integral branch): converged-eligible,
+        // not an NPE at compareTo (ADVICE r17) — the exact confirm below
+        // is trivially empty-true on empty frames
+        val sumUnchanged = s == null || prevSum.exists(java.util.Objects.equals(_, s))
         prevSum = Some(s)
         converged = sumUnchanged && next.as("n")
           .join(prev.withColumnRenamed("lbl", "prev_lbl"), "node")

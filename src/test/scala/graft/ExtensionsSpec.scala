@@ -45,6 +45,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.length == 10 && out.forall(_._2 == 1L))
   }
 
+  test("dupClusters: EMPTY pair sets converge (both id-type branches)") {
+    // an empty near-dup pair set is a realistic call (no duplicates found);
+    // the hash-sum convergence probe returns SQL null over an empty frame
+    // and the stored-null compareTo NPE'd in round 2 (ADVICE r17) — both
+    // loop branches must converge to an empty result instead
+    val emptyStr = Seq.empty[(String, String)].toDF("da", "db")
+    assert(Dedup.dupClusters(emptyStr, smallGraphMaxEdges = 0).isEmpty)
+    val emptyLong = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.dupClusters(emptyLong, smallGraphMaxEdges = 0).isEmpty)
+    assert(Dedup.dupClusters(emptyLong).isEmpty) // driver fast path too
+  }
+
   test("dupClusters: string ids take the changed-count convergence branch") {
     // non-integral ids can't use Σ-labels (ADVICE r2: sum over strings
     // crashed); chain forces several propagation rounds
