@@ -126,9 +126,19 @@ object Bench {
     }.toMap
 
   /** Round-scoped sidecar carrying the merged minima between legs
-    * (`name\tmin` lines + a `__legs\tN` counter; lives in target/, so it
-    * never outlives a clean). SPARK_GRAFT_BENCH_MINFILE overrides the
-    * path; "none" disables the merge. */
+    * (`name\tmin` lines + `__legs\tN` and `__sf\tdir` headers; lives in
+    * target/, so it never outlives a clean). SPARK_GRAFT_BENCH_MINFILE
+    * overrides the path; "none" disables the merge.
+    *
+    * The `__sf` stamp exists because the sidecar is keyed by query name
+    * only: in r15/r16 a full-registry validation run at sf0.01 (the
+    * verify-recipe bench step, which didn't set MINFILE=none) merged its
+    * ~4× faster rows into the sf0.1 ledger, and those phantom minima
+    * shipped as `queries_min_all_legs` — the entire "2–9× inflation on
+    * unchanged code" mystery of the r17 verdict was later rounds being
+    * compared against sf0.01-contaminated ledgers (r18 attribution,
+    * SCALE.md). A ledger recorded at a different sf dir is now discarded,
+    * not merged. */
   private def minimaPath: Option[java.nio.file.Path] = {
     val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINFILE",
       "target/bench_minima.tsv")
@@ -158,7 +168,7 @@ object Bench {
     } catch { case _: Throwable => None }
   }
 
-  private def readMinima(): (Map[String, Double], Int) =
+  private def readMinima(sfDir: String): (Map[String, Double], Int) =
     minimaPath match {
       case Some(p) if java.nio.file.Files.exists(p) =>
         try {
@@ -167,17 +177,26 @@ object Bench {
             .map(_.split("\t")).collect { case Array(k, v) => k -> v }
           val legs = lines.collectFirst { case ("__legs", v) => v.toInt }
             .getOrElse(0)
-          (lines.collect { case (k, v) if k != "__legs" =>
-            k -> v.toDouble }.toMap, legs)
+          // no-stamp (pre-r18) ledgers are also discarded: their legs'
+          // sf is unknowable and the r15/r16 ones were in fact mixed
+          val sfStamp = lines.collectFirst { case ("__sf", v) => v }
+          if (!sfStamp.contains(sfDir)) {
+            System.err.println(s"[bench] minima ledger $p is for sf " +
+              s"'${sfStamp.getOrElse("<unstamped>")}', this run is '$sfDir' " +
+              "— discarding it (cross-sf minima are meaningless)")
+            (Map.empty, 0)
+          } else
+            (lines.collect { case (k, v) if !k.startsWith("__") =>
+              k -> v.toDouble }.toMap, legs)
         } catch { case _: Throwable => (Map.empty, 0) }
       case _ => (Map.empty, 0)
     }
 
-  private def writeMinima(m: Map[String, Double], legs: Int): Unit =
+  private def writeMinima(m: Map[String, Double], legs: Int, sfDir: String): Unit =
     minimaPath.foreach { p =>
       try {
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-        val body = (s"__legs\t$legs" +:
+        val body = (Seq(s"__legs\t$legs", s"__sf\t$sfDir") ++
           m.toSeq.sorted.map { case (k, v) => f"$k\t$v%.4f" }).mkString("\n")
         java.nio.file.Files.write(p, body.getBytes("UTF-8"))
       } catch { case _: Throwable => () }
@@ -436,9 +455,9 @@ object Bench {
     val (minAll, nLegs, noiseMed, noiseMax) =
       if (args.nonEmpty) (legMin, 1, 1.0, 1.0)
       else {
-        val (prior, priorLegs) = readMinima()
+        val (prior, priorLegs) = readMinima(sfDir)
         val merged = mergeMinima(prior, legMin)
-        writeMinima(merged, priorLegs + 1)
+        writeMinima(merged, priorLegs + 1, sfDir)
         val ratios = legMin.collect {
           case (k, v) if headline(k) && merged.get(k).exists(_ > 0) =>
             v / merged(k)
