@@ -85,6 +85,70 @@ object Bench {
       (parts.take(8).sum, if (parts.length > 7) parts(7) else 0L)
     } catch { case _: Throwable => (0L, 0L) }
 
+  /** Fixed-work host-speed canary: SplitMix64 mixed over a constant
+    * iteration count, single-threaded and across `threads` workers. The
+    * r18 attribution showed cross-round per-row comparisons straddle an
+    * unmeasured host-speed term (frequency/placement/steal bands of
+    * 1.1-1.4×) — a workload-independent number in every artifact lets a
+    * reader normalize two rounds' rows before calling anything a
+    * regression. Returns (single_ms, multi_ms); ~0.4 s total. The loop's
+    * result is folded into the returned tuple only via a side-effect-free
+    * volatile sink so the JIT cannot elide the work. */
+  @volatile private var canarySink: Long = 0L
+  private def cpuCanary(threads: Int): (Long, Long) = {
+    def mix(iters: Long, seed: Long): Long = {
+      var x = seed; var i = 0L
+      while (i < iters) {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        x ^= z ^ (z >>> 31)
+        i += 1
+      }
+      x
+    }
+    val itersSingle = 100_000_000L
+    mix(itersSingle / 10, 1L) // JIT warm-up, unmeasured
+    val t0 = System.nanoTime()
+    canarySink ^= mix(itersSingle, 42L)
+    val single = (System.nanoTime() - t0) / 1_000_000L
+    val t1 = System.nanoTime()
+    val ts = (1 to threads).map { k =>
+      val t = new Thread(() => { canarySink ^= mix(itersSingle, k.toLong) })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    val multi = (System.nanoTime() - t1) / 1_000_000L
+    (single, multi)
+  }
+
+  /** Memory-bandwidth canary: stream-sum a 512 MB long array 4× (first
+    * pass unmeasured — faults the pages in). The cpu canary runs in
+    * registers and cannot see the term that dominates GC wall time (a
+    * ParallelGC full collection is a memory-bandwidth workload): r18
+    * measured the SAME code/heap/registry spending 10× more GC wall than
+    * r17's quiet legs while the compute canary read normal — only a
+    * bandwidth number in the artifact can attribute that class of drift.
+    * Returns MB/s over the best of 3 measured passes. */
+  private def memCanary(): Long = {
+    val words = 64 * 1024 * 1024 // 512 MB
+    val a = new Array[Long](words)
+    var i = 0
+    while (i < words) { a(i) = i.toLong; i += 1 } // fault + init, unmeasured
+    var best = Long.MaxValue
+    var pass = 0
+    while (pass < 3) {
+      val t0 = System.nanoTime()
+      var s = 0L; var j = 0
+      while (j < words) { s += a(j); j += 1 }
+      canarySink ^= s
+      best = math.min(best, System.nanoTime() - t0)
+      pass += 1
+    }
+    (words.toLong * 8 * 1000) / math.max(1L, best / 1000) / 1000 // MB/s
+  }
+
   /** Cumulative stop-the-world GC milliseconds for this JVM. Sampled before
     * and after the measured loop so the artifact carries `gc_ms` — r11's
     * unexplained uniform 2.3× vs r9 would have been attributable in minutes
@@ -285,6 +349,13 @@ object Bench {
         try { materialize(selected(n)(spark, sfDir)); (n, (System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => (n, -1.0) }
       }
+
+    // Host-speed canary (r18): fixed work, measured once per leg before
+    // the loop — see cpuCanary doc. Emitted in the summary so cross-round
+    // per-row deltas can be normalized by host speed first.
+    val (canarySingleMs, canaryMultiMs) = cpuCanary(cpus.toInt)
+    val memCanaryMBs = memCanary()
+    System.err.println(s"[bench] cpu_canary single=${canarySingleMs} ms multi(${cpus})=${canaryMultiMs} ms mem=${memCanaryMBs} MB/s")
 
     // Each query runs `runs` times (default 3); the artifact reports BOTH
     // min (comparable with earlier rounds, robust to one slow pass) and
@@ -493,7 +564,7 @@ object Bench {
       case (k, f) if legMin.contains(k) =>
         s"\"" + k + "\":" + r3(math.max(0.0, legMin(k) - f))
     }.mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contendedFinal},"leg_health":$legHealth,"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"gc_ms":$gcMeasured,"gc_ms_total":$gcMillis,"git_sha":"$gitSha","shuffle_partitions":$shufflePartsEff,"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"queries_min_all_legs":$qsMinAll,"leg_noise":$legNoise,"stream_floor_meta":$floorMeta,"stream_floor_s":$floorJson,"stream_payload_s":$payloadJson,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contendedFinal},"leg_health":$legHealth,"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"gc_ms":$gcMeasured,"gc_ms_total":$gcMillis,"git_sha":"$gitSha","shuffle_partitions":$shufflePartsEff,"cpu_canary":{"single_ms":$canarySingleMs,"multi_ms":$canaryMultiMs,"threads":$cpus,"mem_mb_s":$memCanaryMBs},"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"queries_min_all_legs":$qsMinAll,"leg_noise":$legNoise,"stream_floor_meta":$floorMeta,"stream_floor_s":$floorJson,"stream_payload_s":$payloadJson,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     // The summary JSON is emitted on BOTH streams, and on stderr it is the
     // LAST line AFTER the per-query rows: under sbt the stdout println can
     // flush before the buffered stderr block, and a driver that keeps only

@@ -73,11 +73,28 @@ object StreamOverheadProbe {
       val path = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_STREAM_FLOORS", "target/stream_floors.tsv"))
       if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)
+      // merge-min with an existing same-parts ledger: bench minima are
+      // min-merged across many legs (the best moment of the round), so a
+      // single-moment floor can sit ABOVE a multi-leg full-run min on a
+      // host with a 1.1-1.4× speed band (exactly the r17 tumbling
+      // anomaly). Min-merging the floors across probe runs makes the two
+      // sides of the floor/payload subtraction symmetric.
+      val prior: Map[String, Double] =
+        if (java.nio.file.Files.exists(path)) {
+          import scala.jdk.CollectionConverters._
+          val kv = java.nio.file.Files.readAllLines(path).asScala
+            .map(_.split("\t")).collect { case Array(k, v) => k -> v }.toMap
+          if (kv.get("__parts").contains(parts))
+            kv.collect { case (k, v) if !k.startsWith("__") => k -> v.toDouble }
+          else Map.empty
+        } else Map.empty
+      val merged = measured.map { case (n, f, _) =>
+        n -> math.min(f, prior.getOrElse(n, Double.MaxValue)) }
       val body = (Seq(s"__parts\t$parts",
         s"__epoch_ms\t${System.currentTimeMillis()}") ++
-        measured.map { case (n, f, _) => f"$n\t$f%.3f" }).mkString("\n")
+        merged.map { case (n, f) => f"$n\t$f%.3f" }).mkString("\n")
       java.nio.file.Files.write(path, body.getBytes("UTF-8"))
-      System.err.println(s"[probe] floor ledger written: $path")
+      System.err.println(s"[probe] floor ledger written: $path (merged with prior: ${prior.nonEmpty})")
     }
   }
 
