@@ -1801,25 +1801,37 @@ object PipelineQueries {
     // Simplified (centroid-based) silhouette — the clustering-quality
     // readout for the fitted codebook: per vector, a = squared integer
     // distance to its own centroid (already on the cached assignment),
-    // b = min squared distance to any OTHER centroid (one n×k broadcast
-    // score, k=8 — the same shape as assignment, never pairwise points),
-    // s = (b−a)/max(a,b). a and b are exact int64, so s is one IEEE
-    // division; per-cluster means sum the 9-dp-rounded s as DECIMAL(28,9)
-    // (order-free exact) with a single double division at the end —
-    // the q_zipf float-hygiene recipe. --
+    // b = min squared distance to any OTHER centroid, s = (b−a)/max(a,b).
+    // a and b are exact int64, so s is one IEEE division; per-cluster
+    // means sum the 9-dp-rounded s as DECIMAL(28,9) (order-free exact)
+    // with a single double division at the end — the q_zipf float-hygiene
+    // recipe.
+    //
+    // Shape (r18): b is ONE MAP over the cached assignment (which already
+    // carries the quantized vector) against the k-row codebook folded
+    // into a single broadcast array — min over the k−1 other centroids
+    // inline per row. The previous formulation expanded n×k rows through
+    // a vec_id-keyed shuffle join + groupBy(vec_id) min; at x256 those
+    // 10 M array-carrying rows were pure allocation churn (the measured
+    // 6.7–77 s GC-bimodal rung, SCALE.md r18) for an answer a per-row
+    // fold computes with no exchange at all. Only the |k|-sized final
+    // rollup shuffles. Oracle unchanged — same a, b, rounding. --
     "q_silhouette" -> Q(
       (s, d) => {
-        val fit = kmeansFit(s, d)
-          .select(col("vec_id"), col("cid"), col("dist").as("a"))
-        val q = KMeansQuant.quantize(Tables.embeddings(s, d), "vec_id", "embedding")
-        val b = q.crossJoin(broadcast(kmeansCents(s, d)
-            .select(col("cid").as("ocid"), col("cv"))))
-          .select(col("vec_id"), col("ocid"),
-            KMeansQuant.sqDist(col("v"), col("cv")).as("od"))
-          .join(fit.select(col("vec_id"), col("cid")), "vec_id")
-          .where(col("ocid") =!= col("cid"))
-          .groupBy(col("vec_id")).agg(min(col("od")).as("b"))
-        fit.join(b, "vec_id")
+        val fit = kmeansFit(s, d) // (vec_id, v, cid, dist) — checkpointed
+        val codebook = kmeansCents(s, d)
+          .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cbk"))
+        fit.crossJoin(broadcast(codebook))
+          .select(col("cid"), col("dist").as("a"),
+            aggregate(
+              filter(col("cbk"), c => c.getField("cid") =!= col("cid")),
+              lit(Long.MaxValue),
+              (acc, c) => least(acc, KMeansQuant.sqDist(col("v"), c.getField("cv"))))
+              .as("b"),
+            // a dead-cluster codebook of size 1 has no "other" centroid;
+            // the old inner join dropped such rows — keep that contract
+            size(filter(col("cbk"), c => c.getField("cid") =!= col("cid"))).as("n_others"))
+          .where(col("n_others") > 0)
           .select(col("cid"),
             round(when(greatest(col("a"), col("b")) === 0L, lit(0.0))
               .otherwise((col("b") - col("a")).cast("double") /
