@@ -35,13 +35,34 @@ object KMeansQuant {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
   /** Assign every vector to its nearest centroid: `(vec_id, v, cid, dist)`;
-    * ties on distance break by centroid id. */
+    * ties on distance break by centroid id.
+    *
+    * Shape (r18): the k-row codebook folds into ONE broadcast array
+    * column and the argmin runs inline per row — `aggregate` keeping the
+    * lexicographically-least (dist, cid) struct, the exact tie-break the
+    * previous window formulation encoded as `orderBy(dist, cid)`. The old
+    * shape expanded n×k vector-carrying rows through a vec_id-hashed
+    * exchange + row_number window; per Lloyd iteration that was the
+    * dominant allocation AND the only shuffle (SCALE.md r18 measured the
+    * same rewrite collapsing q_silhouette's x256 GC bimodality). Now an
+    * assignment pass is shuffle-free — at 100 TB each iteration reads the
+    * vectors once and exchanges nothing but the (cid, dim) update agg. */
   def assign(q: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    q.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"), sqDist(col("v"), col("cv")).as("dist"))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    val codebook = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cbk"))
+    val best = aggregate(col("cbk"),
+      struct(lit(Long.MaxValue).as("dist"), lit(Int.MaxValue).as("cid")),
+      (acc, c) => {
+        val d = sqDist(col("v"), c.getField("cv"))
+        when(d < acc.getField("dist") ||
+            (d === acc.getField("dist") && c.getField("cid") < acc.getField("cid")),
+          struct(d.as("dist"), c.getField("cid").as("cid")))
+          .otherwise(acc)
+      })
+    q.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("v"), best.as("__best"))
+      .select(col("vec_id"), col("v"),
+        col("__best.cid").as("cid"), col("__best.dist").as("dist"))
   }
 
   /** Recompute integer centroids from an assignment: per (cid, dim),
