@@ -189,11 +189,18 @@ object DataSelection {
       var centers = Seq(q.agg(min("vec_id")).collect()(0).getLong(0))
       chosen += ((1L, centers.head, 0L))
       for (step <- 2 to k) {
+        // chosen-center vectors fold into ONE broadcast array column and
+        // the min-distance runs inline per row (the r18 broadcast-codebook
+        // fold, see KMeansQuant.assign): no n×|centers| expansion, no
+        // vec_id-keyed exchange — each greedy step is a scan + a 1-row
+        // TakeOrdered. Fold order is irrelevant (min is commutative), so
+        // plain collect_list keeps the step deterministic.
         val cents = q.where(col("vec_id").isin(centers: _*))
-          .select(col("vec_id").as("cid"), col("v").as("cv"))
+          .agg(collect_list(col("v")).as("cbk"))
         val far = q.crossJoin(broadcast(cents))
-          .select(col("vec_id"), KMeansQuant.sqDist(col("v"), col("cv")).as("d"))
-          .groupBy("vec_id").agg(min("d").as("dmin"))
+          .select(col("vec_id"),
+            aggregate(col("cbk"), lit(Long.MaxValue),
+              (acc, cv) => least(acc, KMeansQuant.sqDist(col("v"), cv))).as("dmin"))
           .orderBy(col("dmin").desc, col("vec_id"))
           .limit(1).collect()(0)
         centers = centers :+ far.getLong(0)
