@@ -166,6 +166,13 @@ object GraftFunctions {
       (e: Seq[Expression]) => invokeIn(TextBpe.getClass,
         ArrayType(StringType, containsNull = false), "bpeWith", e,
         Seq(StringType, StringType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_pairs_with",
+      (e: Seq[Expression]) => invokeIn(TextBpe.getClass,
+        ArrayType(StructType(Seq(
+          StructField("pair", StringType, nullable = false),
+          StructField("cnt", LongType, nullable = false))),
+          containsNull = false), "bpePairsWith", e,
+        Seq(StringType, StringType)), "scala_udf")
     // perceptual image hash (PerceptualHash — dHash over decoded pixels)
     reg.createOrReplaceTempFunction("graft_dhash",
       (e: Seq[Expression]) => invokeIn(PerceptualHash.getClass,
@@ -235,6 +242,8 @@ object GraftFunctions {
   def bpeCount(c: Column): Column = call_function("graft_bpe_count", c)
   def bpeTokensWith(c: Column, spec: String): Column =
     call_function("graft_bpe_with", c, lit(spec))
+  def bpePairsWith(c: Column, spec: String): Column =
+    call_function("graft_bpe_pairs_with", c, lit(spec))
   def dhash(c: Column): Column = call_function("graft_dhash", c)
   def dhash128(c: Column): Column = call_function("graft_dhash128", c)
   def synthPatternPng(id: Column): Column = call_function("graft_synth_pattern_png", id)

@@ -274,6 +274,17 @@ object TextBpe {
     * char tokenization). Same min-rank encode loop as the pinned kernel;
     * the compiled table is memoized per spec per JVM. */
   def bpeWith(text: UTF8String, spec: UTF8String): ArrayData = {
+    val (t, ids, n) = encodeCore(text, spec)
+    val arr = new Array[Any](n)
+    var i = 0
+    while (i < n) { arr(i) = t.tokenU8(ids(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Shared encode loop for the runtime-spec kernels: (table, token ids,
+    * live length). */
+  private def encodeCore(text: UTF8String, spec: UTF8String)
+      : (SpecTable, Array[Int], Int) = {
     val t = specCache.computeIfAbsent(spec.toString, s => new SpecTable(s))
     val norm = normalize(text.toString)
     var n = norm.length
@@ -303,9 +314,47 @@ object TextBpe {
         continue = n > 1
       }
     }
-    val arr = new Array[Any](n)
+    (t, ids, n)
+  }
+
+  /** StaticInvoke kernel: PER-DOCUMENT adjacent-pair counts under a
+    * runtime merge table — `array<struct<pair: string, cnt: long>>`, pair
+    * rendered exactly as the explode formulation's `concat(t[i],' ',t[i+1])`.
+    * This is map-side pre-aggregation moved INTO the scan: the BPE
+    * training iteration previously exploded one row per adjacent pair
+    * (~tokens-1 UTF8String concats per doc per iteration — the dominant
+    * allocation of q_bpe_train's inner loop), where the distinct-pair
+    * vocabulary per doc is bounded by min(tokens-1, vocab²). Emitting
+    * (pair, count) per doc shrinks the exchange input to the pair
+    * vocabulary and cuts the per-iteration garbage ~10× — the same shape
+    * a distributed BPE trainer ships between workers at 100 TB. */
+  def bpePairsWith(text: UTF8String, spec: UTF8String): ArrayData = {
+    val (t, ids, n) = encodeCore(text, spec)
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val counts = new scala.collection.mutable.LongMap[Long]()
+    var i = 0
+    while (i < n - 1) {
+      val k = (ids(i) * t.vocabSize + ids(i + 1)).toLong
+      counts.update(k, counts.getOrElse(k, 0L) + 1L)
+      i += 1
+    }
+    // key-sorted emission: deterministic kernel output (the downstream
+    // agg is order-free, but stable output keeps runs byte-comparable)
+    val keys = counts.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    val arr = new Array[Any](keys.length)
     i = 0
-    while (i < n) { arr(i) = t.tokenU8(ids(i)); i += 1 }
+    while (i < keys.length) {
+      val k = keys(i)
+      val a = (k / t.vocabSize).toInt
+      val b = (k % t.vocabSize).toInt
+      val pair = UTF8String.concat(t.tokenU8(a), SpacerU8, t.tokenU8(b))
+      arr(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](pair, counts(k)))
+      i += 1
+    }
     new GenericArrayData(arr)
   }
+
+  private val SpacerU8 = UTF8String.fromString(" ")
 }

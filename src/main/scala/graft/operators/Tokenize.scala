@@ -183,13 +183,14 @@ object Tokenize {
     var done = false
     while (merges.length < k && !done) {
       val spec = merges.map { case (a, b, _) => s"$a $b" }.mkString(",")
+      // per-doc (pair, count) from the kernel (TextBpe.bpePairsWith):
+      // map-side pre-aggregation inside the scan — the exchange input is
+      // the per-doc pair VOCABULARY, not one row per adjacent pair. Same
+      // counts as the explode formulation (Σ per-doc counts ≡ corpus
+      // count); BpeSpec asserts the equivalence per random doc.
       val top = docs
-        .select(GraftFunctions.bpeTokensWith(col("text"), spec).as("t"))
-        .where(size(col("t")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
-          .as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .select(explode(GraftFunctions.bpePairsWith(col("text"), spec)).as("pc"))
+        .groupBy(col("pc.pair").as("pair")).agg(sum(col("pc.cnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(1).collect()
       if (top.isEmpty) done = true

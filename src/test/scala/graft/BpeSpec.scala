@@ -62,4 +62,31 @@ class BpeSpec extends SparkSpec {
     assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
       s"kernel projection fell out of codegen:\n$plan")
   }
+
+  test("bpePairsWith ≡ exploded adjacent pairs of bpeTokensWith (random specs)") {
+    // the pre-aggregated kernel that feeds bpeTrain's inner loop must
+    // count exactly what the explode formulation counted, pair strings
+    // rendered identically, for empty/runtime-spec tables alike
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "aethinorsdg_ 0x"
+    val texts = Seq.fill(40)(
+      Seq.fill(rnd.nextInt(80))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (spec <- Seq("", "t h", "t h,th e,e s", "a t,_ t")) {
+      val df = texts.toDF("text")
+      val viaExplode = df
+        .select(GraftFunctions.bpeTokensWith(col("text"), spec).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val viaKernel = df
+        .select(explode(GraftFunctions.bpePairsWith(col("text"), spec)).as("pc"))
+        .groupBy(col("pc.pair").as("pair")).agg(sum(col("pc.cnt")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(viaKernel == viaExplode, s"pair-count mismatch for spec '$spec'")
+    }
+  }
 }
