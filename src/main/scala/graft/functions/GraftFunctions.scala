@@ -173,6 +173,13 @@ object GraftFunctions {
           StructField("cnt", LongType, nullable = false))),
           containsNull = false), "bpePairsWith", e,
         Seq(StringType, StringType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_pairs",
+      (e: Seq[Expression]) => invokeIn(TextBpe.getClass,
+        ArrayType(StructType(Seq(
+          StructField("pair", StringType, nullable = false),
+          StructField("cnt", LongType, nullable = false))),
+          containsNull = false), "bpePairs", e,
+        Seq(StringType)), "scala_udf")
     // perceptual image hash (PerceptualHash — dHash over decoded pixels)
     reg.createOrReplaceTempFunction("graft_dhash",
       (e: Seq[Expression]) => invokeIn(PerceptualHash.getClass,
@@ -244,6 +251,7 @@ object GraftFunctions {
     call_function("graft_bpe_with", c, lit(spec))
   def bpePairsWith(c: Column, spec: String): Column =
     call_function("graft_bpe_pairs_with", c, lit(spec))
+  def bpePairs(c: Column): Column = call_function("graft_bpe_pairs", c)
   def dhash(c: Column): Column = call_function("graft_dhash", c)
   def dhash128(c: Column): Column = call_function("graft_dhash128", c)
   def synthPatternPng(id: Column): Column = call_function("graft_synth_pattern_png", id)

@@ -330,11 +330,24 @@ object TextBpe {
     * a distributed BPE trainer ships between workers at 100 TB. */
   def bpePairsWith(text: UTF8String, spec: UTF8String): ArrayData = {
     val (t, ids, n) = encodeCore(text, spec)
+    pairCounts(ids, n, t.vocabSize, t.tokenU8)
+  }
+
+  /** StaticInvoke kernel: per-document adjacent-pair counts under the
+    * PINNED merge table — the q_bpe_pair_stats corpus statistic without
+    * materializing one row per pair occurrence. */
+  def bpePairs(text: UTF8String): ArrayData = {
+    val (ids, n) = encodeIds(normalize(text.toString))
+    pairCounts(ids, n, vocabSize, tokenUtf8)
+  }
+
+  private def pairCounts(ids: Array[Int], n: Int, vocab: Int,
+      tokU8: Array[UTF8String]): ArrayData = {
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     val counts = new scala.collection.mutable.LongMap[Long]()
     var i = 0
     while (i < n - 1) {
-      val k = (ids(i) * t.vocabSize + ids(i + 1)).toLong
+      val k = (ids(i) * vocab + ids(i + 1)).toLong
       counts.update(k, counts.getOrElse(k, 0L) + 1L)
       i += 1
     }
@@ -346,9 +359,9 @@ object TextBpe {
     i = 0
     while (i < keys.length) {
       val k = keys(i)
-      val a = (k / t.vocabSize).toInt
-      val b = (k % t.vocabSize).toInt
-      val pair = UTF8String.concat(t.tokenU8(a), SpacerU8, t.tokenU8(b))
+      val a = (k / vocab).toInt
+      val b = (k % vocab).toInt
+      val pair = UTF8String.concat(tokU8(a), SpacerU8, tokU8(b))
       arr(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](pair, counts(k)))
       i += 1

@@ -413,13 +413,13 @@ object Tokenize {
     "q_bpe_pair_stats" -> Q(
       (s, d) => {
         GraftFunctions.register(s)
+        // per-doc (pair, count) pre-aggregated inside the scan kernel
+        // (TextBpe.bpePairs) — the exchange carries the per-doc pair
+        // vocabulary, not one row per pair occurrence; pair strings
+        // render exactly as the explode formulation the oracle mirrors
         Tables.documents(s, d)
-          .select(GraftFunctions.bpeTokens(col("text")).as("t"))
-          .where(size(col("t")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
-            .as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .select(explode(GraftFunctions.bpePairs(col("text"))).as("pc"))
+          .groupBy(col("pc.pair").as("pair")).agg(sum(col("pc.cnt")).as("cnt"))
           .orderBy(col("cnt").desc, col("pair"))
           .limit(20)
       },

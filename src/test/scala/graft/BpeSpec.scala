@@ -89,4 +89,26 @@ class BpeSpec extends SparkSpec {
       assert(viaKernel == viaExplode, s"pair-count mismatch for spec '$spec'")
     }
   }
+
+  test("bpePairs (pinned table) ≡ exploded adjacent pairs of bpeTokens") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val alphabet = "aethinorsdg_ 0x.QZ"
+    val texts = "the cat sat on the mat" +: Seq.fill(40)(
+      Seq.fill(rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = texts.toDF("text")
+    val viaExplode = df
+      .select(GraftFunctions.bpeTokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val viaKernel = df
+      .select(explode(GraftFunctions.bpePairs(col("text"))).as("pc"))
+      .groupBy(col("pc.pair").as("pair")).agg(sum(col("pc.cnt")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaKernel == viaExplode)
+  }
 }
