@@ -352,10 +352,11 @@ object Bench {
 
     // Host-speed canary (r18): fixed work, measured once per leg before
     // the loop — see cpuCanary doc. Emitted in the summary so cross-round
-    // per-row deltas can be normalized by host speed first.
+    // per-row deltas can be normalized by host speed first. (The MEMORY
+    // canary is re-measured per attempt inside measureLoop and feeds the
+    // pollution verdict — see minMemMBs below.)
     val (canarySingleMs, canaryMultiMs) = cpuCanary(cpus.toInt)
-    val memCanaryMBs = memCanary()
-    System.err.println(s"[bench] cpu_canary single=${canarySingleMs} ms multi(${cpus})=${canaryMultiMs} ms mem=${memCanaryMBs} MB/s")
+    System.err.println(s"[bench] cpu_canary single=${canarySingleMs} ms multi(${cpus})=${canaryMultiMs} ms")
 
     // Each query runs `runs` times (default 3); the artifact reports BOTH
     // min (comparable with earlier rounds, robust to one slow pass) and
@@ -364,7 +365,10 @@ object Bench {
     // regression. SPARK_GRAFT_BENCH_RUNS overrides.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // (name, per-run times of the runs that SUCCEEDED, count of failed runs)
-    def measureLoop(): (Seq[(String, Seq[Double], Int)], Long, Double, Double) = {
+    // Tuple tail: (gc ms, wall s, steal frac, mem-canary MB/s at attempt start)
+    def measureLoop(): (Seq[(String, Seq[Double], Int)], Long, Double, Double, Long) = {
+      val memMBs = memCanary()
+      System.err.println(s"[bench] mem_canary $memMBs MB/s")
       val gc0 = gcMillis
       val (jt0, js0) = stealSample
       val t0 = System.nanoTime()
@@ -381,7 +385,7 @@ object Bench {
       val (jt1, js1) = stealSample
       val stealFrac =
         if (jt1 > jt0) (js1 - js0).toDouble / (jt1 - jt0) else 0.0
-      (res, gcMillis - gc0, (System.nanoTime() - t0) / 1e9, stealFrac)
+      (res, gcMillis - gc0, (System.nanoTime() - t0) / 1e9, stealFrac, memMBs)
     }
     // Leg-health gate (VERDICT r16 #1): the r16 artifact shipped a leg
     // whose measured loop spent 93% of wall in GC (gc_ms 310.6 s) with
@@ -406,15 +410,24 @@ object Bench {
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGRETRIES", "1").toInt
     def legTotal(r: Seq[(String, Seq[Double], Int)]): Double =
       r.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
-    def polluted(gcMs: Long, wallS: Double, loadP: Double, steal: Double): Boolean =
+    // Memory-bandwidth floor for a believable leg (r18b): the container
+    // hit a window where single-thread memcpy read 2.2 GB/s (vs 7.9
+    // during this round's legs) and UNCHANGED 1 s queries ran 12-38 s
+    // with gc/steal/loadavg ALL green — bandwidth throttling is invisible
+    // to every scheduler-side gate, so the leg now judges it directly
+    // via the per-attempt stream-sum canary. Applies to arg-restricted
+    // runs too (host state, not workload — unlike the gcFrac term).
+    val minMemMBs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINMEM_MBS", "4000").toLong
+    def polluted(gcMs: Long, wallS: Double, loadP: Double, steal: Double,
+        memMBs: Long): Boolean =
       gcMs > maxGcFrac * wallS * 1000 || loadP > maxLoadHard ||
-        steal > maxStealFrac
+        steal > maxStealFrac || memMBs < minMemMBs
     var attemptLoadPre = loadPre.toDouble
     var best = measureLoop()
     var bestLoadPre = attemptLoadPre
     var retriesUsed = 0
-    def isPolluted(a: (Seq[(String, Seq[Double], Int)], Long, Double, Double),
-        lp: Double): Boolean = polluted(a._2, a._3, lp, a._4)
+    def isPolluted(a: (Seq[(String, Seq[Double], Int)], Long, Double, Double, Long),
+        lp: Double): Boolean = polluted(a._2, a._3, lp, a._4, a._5)
     while (isPolluted(best, bestLoadPre) && retriesUsed < legRetries) {
       System.err.println(f"[bench] leg POLLUTED (gc_ms=${best._2}, wall=${best._3}%.1f s, " +
         f"loadavg_pre=$bestLoadPre%.1f, steal=${best._4 * 100}%.1f%%) — retrying (${retriesUsed + 1}/$legRetries)")
@@ -433,7 +446,7 @@ object Bench {
       // would otherwise beat a complete attempt, silently losing that
       // query's timings from the leg AND the cross-leg merge (ADVICE r17);
       // only then does the lower minima-total decide
-      def attemptKey(a: (Seq[(String, Seq[Double], Int)], Long, Double, Double),
+      def attemptKey(a: (Seq[(String, Seq[Double], Int)], Long, Double, Double, Long),
           lp: Double): (Boolean, Int, Double) =
         (isPolluted(a, lp), a._1.count(_._2.isEmpty), legTotal(a._1))
       if (Ordering[(Boolean, Int, Double)].lt(
@@ -442,7 +455,7 @@ object Bench {
       }
       retriesUsed += 1
     }
-    val (results, gcMeasuredLeg, wallMeasured, stealFracLeg) = best
+    val (results, gcMeasuredLeg, wallMeasured, stealFracLeg, memCanaryMBs) = best
     val legPolluted = isPolluted(best, bestLoadPre)
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
@@ -552,11 +565,12 @@ object Bench {
     // keeps the full record either way.
     val legPollutedVerdict =
       if (args.nonEmpty)
-        bestLoadPre > maxLoadHard || stealFracLeg > maxStealFrac
+        bestLoadPre > maxLoadHard || stealFracLeg > maxStealFrac ||
+          memCanaryMBs < minMemMBs
       else legPolluted
     val contendedFinal = contended || legPollutedVerdict
     val gcFrac = if (wallMeasured > 0) gcMeasured / (wallMeasured * 1000) else 0.0
-    val legHealth = s"""{"gc_frac":${f"$gcFrac%.4f"},"max_gc_frac":$maxGcFrac,"loadavg_pre":$bestLoadPre,"max_load_hard":$maxLoadHard,"steal_frac":${f"$stealFracLeg%.4f"},"max_steal_frac":$maxStealFrac,"retries_used":$retriesUsed,"polluted":$legPolluted,"gc_term_in_verdict":${args.isEmpty}}"""
+    val legHealth = s"""{"gc_frac":${f"$gcFrac%.4f"},"max_gc_frac":$maxGcFrac,"loadavg_pre":$bestLoadPre,"max_load_hard":$maxLoadHard,"steal_frac":${f"$stealFracLeg%.4f"},"max_steal_frac":$maxStealFrac,"mem_mb_s":$memCanaryMBs,"min_mem_mb_s":$minMemMBs,"retries_used":$retriesUsed,"polluted":$legPolluted,"gc_term_in_verdict":${args.isEmpty}}"""
     val floorJson = streamFloor.toSeq.sorted.collect {
       case (k, f) if legMin.contains(k) => s"\"" + k + "\":" + r3(f)
     }.mkString("{", ",", "}")

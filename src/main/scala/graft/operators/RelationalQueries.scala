@@ -830,7 +830,19 @@ object RelationalQueries {
     //    BroadcastNestedLoopJoin, O(|points|·|intervals|); binning turns it
     //    into a broadcastable equi-join + exact residual filter. Day
     //    numbers via NTZ-timestamp → date → days-since-epoch: no timezone
-    //    enters on either engine. --
+    //    enters on either engine.
+    //
+    //    EAGER AGGREGATION through the range join (r18): the query wants
+    //    only per-interval count+sum, both decomposable over the range
+    //    dimension — so points roll up to DAY grain before the join. The
+    //    join then meets |distinct days| (~2.4k) rollup rows instead of
+    //    |lineitem| (~600k at sf0.1, 7.8M true pairs / 16M bin candidates
+    //    measured) — a ~240× cut in join work, and the rollup stays
+    //    O(|days|) no matter how many facts a day holds, which is the
+    //    100 TB property: growth densifies days, the joined frame doesn't
+    //    grow at all. Exactness: count splits into a sum of per-day
+    //    counts; the decimal(18,2) sum is associative, so summing per-day
+    //    decimal sums equals the flat Norm.dsum to the last bit. --
     "q_range_join" -> Q(
       (s, d) => {
         val day = (c: org.apache.spark.sql.Column) =>
@@ -839,11 +851,15 @@ object RelationalQueries {
           .where(col("o_orderkey") % 1000 < 7)
           .select(col("o_orderkey"), day(col("o_orderdate")).as("s_day"))
           .withColumn("e_day", col("s_day") + 30)
-        val pts = Tables.lineitem(s, d)
+        val ptsByDay = Tables.lineitem(s, d)
           .select(day(col("l_shipdate")).as("p_day"), col("l_quantity"))
-        RangeJoin.pointInInterval(pts, "p_day", iv, "s_day", "e_day", 32)
+          .groupBy("p_day")
+          .agg(count(lit(1)).as("n_day"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("qty_day"))
+        RangeJoin.pointInInterval(ptsByDay, "p_day", iv, "s_day", "e_day", 32)
           .groupBy(col("o_orderkey"))
-          .agg(count(lit(1)).as("n_ship"), Norm.dsum(col("l_quantity")).as("sum_qty"))
+          .agg(sum(col("n_day")).as("n_ship"),
+            sum(col("qty_day")).cast("double").as("sum_qty"))
           .orderBy("o_orderkey")
       },
       """WITH iv AS (
