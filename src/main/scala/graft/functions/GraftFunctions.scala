@@ -180,6 +180,23 @@ object GraftFunctions {
           StructField("cnt", LongType, nullable = false))),
           containsNull = false), "bpePairs", e,
         Seq(StringType)), "scala_udf")
+    // incremental BPE training state (TextBpe, r18): persisted byte-id
+    // arrays advanced one merge pass per iteration instead of full
+    // re-encodes (BinaryType = primitive columnar-cache path)
+    reg.createOrReplaceTempFunction("graft_bpe_char_ids",
+      (e: Seq[Expression]) => invokeIn(TextBpe.getClass,
+        BinaryType, "bpeCharIds", e, Seq(StringType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_merge_one",
+      (e: Seq[Expression]) => invokeIn(TextBpe.getClass,
+        BinaryType, "bpeMergeOne", e,
+        Seq(BinaryType, IntegerType, IntegerType, IntegerType)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_pair_id_counts",
+      (e: Seq[Expression]) => invokeIn(TextBpe.getClass,
+        ArrayType(StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("cnt", LongType, nullable = false))),
+          containsNull = false), "bpePairIdCounts", e,
+        Seq(BinaryType)), "scala_udf")
     // perceptual image hash (PerceptualHash — dHash over decoded pixels)
     reg.createOrReplaceTempFunction("graft_dhash",
       (e: Seq[Expression]) => invokeIn(PerceptualHash.getClass,
@@ -252,6 +269,11 @@ object GraftFunctions {
   def bpePairsWith(c: Column, spec: String): Column =
     call_function("graft_bpe_pairs_with", c, lit(spec))
   def bpePairs(c: Column): Column = call_function("graft_bpe_pairs", c)
+  def bpeCharIds(c: Column): Column = call_function("graft_bpe_char_ids", c)
+  def bpeMergeOne(ids: Column, aId: Int, bId: Int, newId: Int): Column =
+    call_function("graft_bpe_merge_one", ids, lit(aId), lit(bId), lit(newId))
+  def bpePairIdCounts(ids: Column): Column =
+    call_function("graft_bpe_pair_id_counts", ids)
   def dhash(c: Column): Column = call_function("graft_dhash", c)
   def dhash128(c: Column): Column = call_function("graft_dhash128", c)
   def synthPatternPng(id: Column): Column = call_function("graft_synth_pattern_png", id)

@@ -370,4 +370,95 @@ object TextBpe {
   }
 
   private val SpacerU8 = UTF8String.fromString(" ")
+
+  // ---- incremental training-state kernels (r18) ----
+  // The training loop used to re-encode every document from raw text under
+  // the grown merge table each iteration — O(rank) passes per doc per
+  // iteration, O(k²) total. These three kernels instead carry the CURRENT
+  // tokenization as a persisted BYTE array (vocab = 37 base + k merges ≤
+  // 127, so every id fits one byte) and advance it by exactly one merge
+  // pass per iteration: O(k) total passes, no normalize/charId redo. Bytes
+  // matter: BinaryType hits the primitive columnar-cache path (a straight
+  // memcpy per value), where array<int> went through the GENERIC per-value
+  // serializer — measured 10× slower cache write per iteration, single
+  // task, with multi-second eviction spikes.
+
+  /** Training ids fit a byte: 37 base chars + at most 90 learned merges. */
+  val maxTrainMerges: Int = 127 - 37
+
+  /** StaticInvoke kernel: rank-0 training state — normalized text as base
+    * char ids into the [a-z0-9_] vocabulary, one byte per token. */
+  def bpeCharIds(text: UTF8String): Array[Byte] = {
+    val norm = normalize(text.toString)
+    val out = new Array[Byte](norm.length)
+    var i = 0
+    while (i < norm.length) { out(i) = charId(norm.charAt(i)).toByte; i += 1 }
+    out
+  }
+
+  /** StaticInvoke kernel: ONE left-to-right non-overlapping merge pass
+    * (aId,bId)→newId over an id array — the incremental training step.
+    * Equivalent to a full re-encode under the grown table: the input is
+    * the fixpoint of all earlier merges (no earlier pair exists), a new
+    * output id is never a side of an earlier rule (well-formedness, object
+    * scaladoc), and a merged occurrence cannot create a fresh (aId,bId)
+    * adjacency (the new token differs from both sides) — so one pass IS
+    * the fixpoint under the grown table. */
+  def bpeMergeOne(ids: Array[Byte], aId: Int, bId: Int, newId: Int): Array[Byte] = {
+    val n = ids.length
+    if (n < 2) return ids
+    val a = aId.toByte
+    val b = bId.toByte
+    val out = new Array[Byte](n)
+    var i = 0
+    var w = 0
+    while (i < n) {
+      if (i < n - 1 && ids(i) == a && ids(i + 1) == b) {
+        out(w) = newId.toByte; i += 2
+      } else { out(w) = ids(i); i += 1 }
+      w += 1
+    }
+    if (w == n) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  // dense per-thread count buffer for bpePairIdCounts: allocated once per
+  // executor thread (128 KB + touched list), dirty slots re-zeroed after
+  // each row — a fresh zeroed array PER ROW was the measured hot spot
+  private val pairCountBuf = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](1 << 14)
+  }
+  private val pairTouchedBuf = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](1 << 14)
+  }
+
+  /** StaticInvoke kernel: per-doc adjacent-pair counts over an id array,
+    * keyed `(a << 7) | b` — the integer twin of [[bpePairsWith]]'s output
+    * for the incremental loop. Pair surfaces are resolved once per
+    * iteration on the driver, never per row. Dense 2^14-slot thread-local
+    * count buffer: zero hashing, emitted in key order. */
+  def bpePairIdCounts(ids: Array[Byte]): ArrayData = {
+    val n = ids.length
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val counts = pairCountBuf.get()
+    val touched = pairTouchedBuf.get()
+    var nt = 0
+    var i = 0
+    while (i < n - 1) {
+      val k = ((ids(i) & 0x7f) << 7) | (ids(i + 1) & 0x7f)
+      if (counts(k) == 0L) { touched(nt) = k; nt += 1 }
+      counts(k) += 1
+      i += 1
+    }
+    java.util.Arrays.sort(touched, 0, nt)
+    val arr = new Array[Any](nt)
+    var j = 0
+    while (j < nt) {
+      val k = touched(j)
+      arr(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](k.toLong, counts(k)))
+      counts(k) = 0L // leave the buffer clean for the next row
+      j += 1
+    }
+    new GenericArrayData(arr)
+  }
 }

@@ -224,34 +224,47 @@ object Dedup {
   def corpusOverlap(docs: DataFrame, srcCol: String, textCol: String,
       k: Int = 3, positions: Int = 64): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val sh = docs.select(col(srcCol).as("src"),
-      explode(shingles(tokens(col(textCol)), k)).as("s")).distinct()
-    val aLit = typedlit(OverlapA.take(positions))
-    val bLit = typedlit(OverlapB.take(positions))
-    val hashed = sh.select(col("src"),
-      pmod(md5Hash60(col("s")), lit(OverlapP)).as("x"))
-    val sig = hashed
-      .select(col("src"), posexplode(
-        transform(sequence(lit(0), lit(positions - 1)),
-          i => pmod(element_at(aLit, i + 1) * col("x") + element_at(bLit, i + 1),
-            lit(OverlapP)))))
-      .toDF("src", "i", "hv")
-      .groupBy("src", "i").agg(min(col("hv")).as("m"))
-    val est = sig.as("a")
-      .join(sig.as("b"), col("a.i") === col("b.i") && col("a.src") < col("b.src"))
-      .groupBy(col("a.src"), col("b.src"))
-      .agg((sum(when(col("a.m") === col("b.m"), 1L).otherwise(0L)).cast("double")
-        / positions).as("est_jaccard"))
-      .toDF("src_a", "src_b", "est_jaccard")
-    val cnt = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("x")
-      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.src") < col("y.src"))
-      .groupBy(col("x.src"), col("y.src")).agg(count(lit(1)).as("inter"))
-      .toDF("src_a", "src_b", "inter")
-    est
+    // r18 shape (same values bit-for-bit, oracle unchanged). One exchange
+    // keyed by shingle carries EVERYTHING: groupBy(s).collect_set(src)
+    // subsumes the old (src,s) distinct, md5 runs once per distinct
+    // shingle (not per (src,s) row), and the old shingle-string self-join
+    // for the exact intersection becomes pair enumeration over each
+    // shingle's source set (|srcs| is a handful; the set is tiny by
+    // construction). The old 64-slot posexplode — 64× every distinct
+    // (src,s) row materialized through a projection — is now 64 plain
+    // min() aggregate columns over one exploded (src, x) pass: declarative
+    // aggregates, whole-stage codegen, map-side partial mins, and the
+    // exchange input after partial agg is |src| rows.
+    val perS = docs.select(col(srcCol).as("src"),
+        explode(shingles(tokens(col(textCol)), k)).as("s"))
+      .groupBy(col("s")).agg(collect_set(col("src")).as("srcs"))
+      .select(pmod(md5Hash60(col("s")), lit(OverlapP)).as("x"),
+        sort_array(col("srcs")).as("srcs"))
+    // per-source: distinct-shingle count + the 64 slot minima in ONE agg
+    val minCols = (0 until positions).map(i =>
+      min(pmod(lit(OverlapA(i)) * col("x") + lit(OverlapB(i)),
+        lit(OverlapP))).as(s"m$i"))
+    val aggCols = count(lit(1)).as("n") +: minCols
+    val sig = perS.select(explode(col("srcs")).as("src"), col("x"))
+      .groupBy(col("src"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // exact pairwise intersections: each shingle contributes one count to
+    // every ordered pair within its source set
+    val inter = perS
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val matches = (0 until positions).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sig.as("a")
+      .join(sig.as("b"), col("a.src") < col("b.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        (matches.cast("double") / positions).as("est_jaccard"))
       .join(inter, Seq("src_a", "src_b"), "left")
-      .join(cnt.toDF("src_a", "n_a"), "src_a")
-      .join(cnt.toDF("src_b", "n_b"), "src_b")
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         (coalesce(col("inter"), lit(0L)).cast("double") /
           (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L)))).as("exact_jaccard"),

@@ -179,27 +179,128 @@ object Tokenize {
       : org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
+    // r18: the loop used to re-encode every document from raw text under
+    // the grown merge table each iteration — O(rank) merge passes per doc
+    // per iteration, O(k²) total, and a per-iteration orderBy+limit(1) job
+    // on concatenated pair STRINGS. It now carries the CURRENT tokenization
+    // as a persisted byte-id array (the fixpoint state a reference BPE
+    // trainer maintains) and advances it by exactly ONE merge pass per
+    // iteration (TextBpe.bpeMergeOne — provably the fixpoint under the
+    // grown table, see its scaladoc), counting pairs by long key. Learned
+    // merges are bit-identical: Round15OpsSpec checks the loop against a
+    // local reference trainer, and the oracle replays all 32 steps.
+    //
+    // Driver state stays bounded: the per-iteration collect is the pair
+    // VOCABULARY histogram — ≤ (37+k)² rows by construction, never
+    // corpus-sized (the same bounded-collect discipline as PAVA). The
+    // checkpointed state is one BYTE per corpus token — at 100 TB this is
+    // the tokenization a distributed trainer must hold anyway; the
+    // checkpoint's MEMORY_AND_DISK level spills it rather than failing.
+    // token surfaces for ids learned so far: 37 base chars + one per merge
+    val tok = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ci = 0
+    while (ci < 26) { tok += String.valueOf(('a' + ci).toChar); ci += 1 }
+    while (ci < 36) { tok += String.valueOf(('0' + ci - 26).toChar); ci += 1 }
+    tok += "_"
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var done = false
-    while (merges.length < k && !done) {
-      val spec = merges.map { case (a, b, _) => s"$a $b" }.mkString(",")
-      // per-doc (pair, count) from the kernel (TextBpe.bpePairsWith):
-      // map-side pre-aggregation inside the scan — the exchange input is
-      // the per-doc pair VOCABULARY, not one row per adjacent pair. Same
-      // counts as the explode formulation (Σ per-doc counts ≡ corpus
-      // count); BpeSpec asserts the equivalence per random doc.
-      val top = docs
-        .select(explode(GraftFunctions.bpePairsWith(col("text"), spec)).as("pc"))
-        .groupBy(col("pc.pair").as("pair")).agg(sum(col("pc.cnt")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
-      else {
-        val pair = top(0).getString(0)
-        val sp = pair.indexOf(' ')
-        merges += ((pair.substring(0, sp), pair.substring(sp + 1),
-          top(0).getLong(1)))
+
+    var explained = false
+    def pairHistogram(state: org.apache.spark.sql.DataFrame): Array[(Long, Long)] = {
+      val h = state.select(explode(GraftFunctions.bpePairIdCounts(col("ids"))).as("pc"))
+        .groupBy(col("pc.k").as("pk")).agg(sum(col("pc.cnt")).as("cnt"))
+      if (sys.env.contains("SPARK_GRAFT_BPE_EXPLAIN") && !explained) {
+        explained = true // the per-iteration job ExplainProbe can't reach
+        System.err.println(h.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       }
+      h.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+
+    val dbg = sys.env.contains("SPARK_GRAFT_BPE_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(tag: String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[bpe] $tag ${(t1 - t0) / 1e9}%.3f s")
+      t0 = t1
+    }
+    require(k <= graft.functions.TextBpe.maxTrainMerges,
+      s"byte-id training state caps merges at ${graft.functions.TextBpe.maxTrainMerges}")
+    // one shuffle of the corpus up front sizes the training state's
+    // partitioning to the DATA (~32 MB of state per task), not to a
+    // partition constant: every iteration re-walks the state, and at small
+    // corpora the per-iteration wall is pure task/shuffle-file overhead
+    // (jstack: FileOutputStream.open0 + mmap churn dominated a 32×32-task
+    // iteration over a 5 MB corpus), while at 100 TB the same formula
+    // fans out to thousands of slices. Cap at the session shuffle
+    // parallelism so local runs never exceed the configured width.
+    // localCheckpoint (the bfsHops discipline) rather than persist: each
+    // state references the previous one, so an un-truncated lineage nests
+    // k InMemoryRelations deep and the DRIVER melts rendering the plan
+    // string per job (measured: iterations grow 0.5 s → 30 s at sf0.01
+    // with persist; flat with the checkpoint). Lazy: the histogram job
+    // below materializes it, so each iteration is exactly one job.
+    val sizeEst = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1, (BigInt(
+      docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .min(sizeEst / (32L << 20) + 1)).toInt)
+    // k histogram micro-queries whose exchange input is ≤ parts × vocab²
+    // rows AT ANY SCALE (map-side partial agg bounds it): one reducer is
+    // optimal and AQE's per-stage re-planning is pure driver latency —
+    // pin both for the loop only, restore after
+    val sess = docs.sparkSession
+    val oldAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val oldParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+    var cur = docs.repartition(parts)
+      .select(GraftFunctions.bpeCharIds(col("text")).as("ids"))
+      .localCheckpoint(false)
+    var counts = pairHistogram(cur)
+    mark("init+hist0")
+    while (merges.length < k && counts.nonEmpty) {
+      // argmax(count DESC, pair-string ASC) on the driver — surfaces are
+      // pure ASCII, so JVM string order ≡ the UTF8 byte order the old
+      // orderBy(cnt DESC, pair ASC) and the oracle's lpad key sort by
+      var bestCnt = -1L
+      var bestStr: String = null
+      var bestKey = 0L
+      var j = 0
+      while (j < counts.length) {
+        val (pk, c) = counts(j)
+        if (c >= bestCnt) {
+          val s = tok((pk >>> 7).toInt) + " " + tok((pk & 0x7fL).toInt)
+          if (c > bestCnt || s.compareTo(bestStr) < 0) {
+            bestCnt = c; bestStr = s; bestKey = pk
+          }
+        }
+        j += 1
+      }
+      val aId = (bestKey >>> 7).toInt
+      val bId = (bestKey & 0x7fL).toInt
+      val newId = tok.length
+      merges += ((tok(aId), tok(bId), bestCnt))
+      tok += tok(aId) + tok(bId)
+      if (merges.length < k) {
+        // merge args ride a broadcast 1-row frame, NOT literals: literal
+        // ids would bake into the generated code text and force a fresh
+        // janino compile per iteration — as columns, every iteration's
+        // plan generates the SAME source and hits the codegen cache
+        import spark.implicits._
+        val params = Seq((aId, bId, newId)).toDF("__ma", "__mb", "__mn")
+        val next = cur.crossJoin(broadcast(params))
+          .select(call_function("graft_bpe_merge_one",
+            col("ids"), col("__ma"), col("__mb"), col("__mn")).as("ids"))
+          .localCheckpoint(dbg)
+        if (dbg) mark(s"ckpt${merges.length}")
+        counts = pairHistogram(next) // materializes next's checkpoint
+        cur = next // superseded state RDDs are ContextCleaner-reclaimed
+        mark(s"iter${merges.length}")
+      } else counts = Array.empty
+    }
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      sess.conf.set("spark.sql.shuffle.partitions", oldParts)
     }
     import spark.implicits._
     merges.toSeq.zipWithIndex
