@@ -111,4 +111,59 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(viaKernel == viaExplode)
   }
+
+  test("incremental byte-id state ≡ full re-encode under the grown table " +
+      "(r18 training-state kernels, random inputs)") {
+    // the property q_bpe_train's rewrite rests on: charIds advanced by one
+    // bpeMergeOne pass per rank reproduces bpeWith's full re-encode, and
+    // bpePairIdCounts counts exactly what bpePairsWith counts
+    val rnd = new scala.util.Random(29)
+    val alphabet = "aethinorsdg_ 0x"
+    // a well-formed ladder like a training loop produces (each side formed)
+    val specMerges = Seq("t" -> "h", "e" -> "s", "th" -> "e", "a" -> "t",
+      "_" -> "at", "es" -> "t")
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    for (_ <- 1 to 500) {
+      val len = rnd.nextInt(90)
+      val s = Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      // advance the byte state one merge pass per rank
+      var state = TextBpe.bpeCharIds(u8(s))
+      val tok = scala.collection.mutable.ArrayBuffer.empty[String]
+      var ci = 0
+      while (ci < 26) { tok += ('a' + ci).toChar.toString; ci += 1 }
+      while (ci < 36) { tok += ('0' + ci - 26).toChar.toString; ci += 1 }
+      tok += "_"
+      specMerges.zipWithIndex.foreach { case ((a, b), r) =>
+        val aId = tok.indexOf(a); val bId = tok.indexOf(b)
+        assert(aId >= 0 && bId >= 0)
+        state = TextBpe.bpeMergeOne(state, aId, bId, tok.length)
+        tok += a + b
+        // state decoded through the surface table ≡ full re-encode at rank r
+        val spec = specMerges.take(r + 1).map { case (x, y) => s"$x $y" }.mkString(",")
+        val full = TextBpe.bpeWith(u8(s), u8(spec))
+        val fullToks = (0 until full.numElements())
+          .map(i => full.getUTF8String(i).toString)
+        val stateToks = state.map(id => tok(id & 0x7f)).toSeq
+        assert(stateToks == fullToks,
+          s"state != re-encode at rank ${r + 1} on <$s>")
+        // pair histogram over the byte state ≡ the string-pair kernel
+        val viaIds = {
+          val ad = TextBpe.bpePairIdCounts(state)
+          (0 until ad.numElements()).map { i =>
+            val row = ad.getStruct(i, 2)
+            val k = row.getLong(0)
+            (tok((k >>> 7).toInt) + " " + tok((k & 0x7f).toInt), row.getLong(1))
+          }.toMap
+        }
+        val viaStrings = {
+          val ad = TextBpe.bpePairsWith(u8(s), u8(spec))
+          (0 until ad.numElements()).map { i =>
+            val row = ad.getStruct(i, 2)
+            (row.getUTF8String(0).toString, row.getLong(1))
+          }.toMap
+        }
+        assert(viaIds == viaStrings, s"histogram mismatch at rank ${r + 1} on <$s>")
+      }
+    }
+  }
 }
