@@ -218,6 +218,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_jw",
       (e: Seq[Expression]) => invoke(DoubleType, "jaroWinkler", e,
         Seq(StringType, StringType)), "scala_udf")
+    // single-pass text feature counts (TextHashes.textFeatures, r18):
+    // [n_chars, n_words, n_punct, hits_en, hits_de, hits_fr, hits_es, cjk]
+    reg.createOrReplaceTempFunction("graft_text_features",
+      (e: Seq[Expression]) => invoke(
+        ArrayType(LongType, containsNull = false), "textFeatures", e,
+        Seq(StringType)), "scala_udf")
   }
 
   // Column-API wrappers (register(spark) must have been called in the session)
@@ -278,6 +284,7 @@ object GraftFunctions {
   def dhash128(c: Column): Column = call_function("graft_dhash128", c)
   def synthPatternPng(id: Column): Column = call_function("graft_synth_pattern_png", id)
   def nfcNorm(c: Column): Column = call_function("graft_nfc", c)
+  def textFeatures(c: Column): Column = call_function("graft_text_features", c)
   def jaroWinkler(a: Column, b: Column): Column = call_function("graft_jw", a, b)
 
   /** Lowercase alphanumeric word tokens (both engines: split on

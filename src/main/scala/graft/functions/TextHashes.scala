@@ -688,4 +688,86 @@ object TextHashes {
       jaro + l * 0.1 * (1.0 - jaro)
     } else jaro
   }
+
+  // ---- single-pass text feature counts (r18) ----
+  // One code-point walk replacing the quality/lang-id family's stack of
+  // regex evaluations per row (lower + split + filter arrays, two
+  // regexp_counts, 4×5 marker compares over a materialized token array).
+  // Markers are all ≤ 3 chars, so a word is classified from a packed int
+  // key with zero allocation.
+
+  private def wordKey(w: String): Int = {
+    val l = w.length
+    (l << 24) | (w.charAt(0) << 16) |
+      (if (l > 1) w.charAt(1) << 8 else 0) | (if (l > 2) w.charAt(2) else 0)
+  }
+  // en, de, fr, es — must stay in sync with TextAnalysis.langMarkers
+  private val markerKeys: Array[Array[Int]] = Array(
+    Array("the", "and", "of", "a", "is"),
+    Array("der", "die", "das", "und", "ist"),
+    Array("le", "la", "les", "et", "est"),
+    Array("el", "los", "las", "y", "es")).map(_.map(wordKey))
+
+  /** StaticInvoke kernel: `[n_chars, n_words, n_punct, hits_en, hits_de,
+    * hits_fr, hits_es, has_cjk]` in ONE pass over the code points.
+    *
+    * Semantics mirror the expression formulation exactly on the corpus
+    * contract (same ASCII discipline as [[TextBpe.normalize]]):
+    * - n_chars = code-point count (= Spark `length`)
+    * - words = maximal runs of [a-z0-9] after ASCII lowercasing; a
+    *   non-ASCII code point never joins a word. This equals
+    *   `split(lower(text),'[^a-z0-9]+')` whenever no non-ASCII code point
+    *   lowercases INTO ASCII alnum (U+212A KELVIN SIGN-style exotics) —
+    *   true of every harness corpus (measured: ASCII + CJK only) and of
+    *   the oracle's own `$tokSql` twin; a violation would hash-mismatch.
+    * - n_punct = code points outside [A-Za-z0-9 ] (pre-lowercase), the
+    *   `regexp_count(text,'[^a-zA-Z0-9 ]')` twin
+    * - hits_* = words equal to one of the 5 per-language markers
+    * - has_cjk = 1 iff any code point in [U+4E00, U+9FFF] */
+  def textFeatures(text: UTF8String): ArrayData = {
+    val s = text.toString
+    var nChars = 0L
+    var nWords = 0L
+    var nPunct = 0L
+    val hits = new Array[Long](4)
+    var cjk = 0L
+    var runLen = 0
+    var k0 = 0; var k1 = 0; var k2 = 0
+    def endRun(): Unit = if (runLen > 0) {
+      nWords += 1
+      if (runLen <= 3) {
+        val key = (runLen << 24) | (k0 << 16) | (k1 << 8) | k2
+        var li = 0
+        while (li < 4) {
+          val mk = markerKeys(li)
+          var mi = 0
+          while (mi < mk.length) {
+            if (mk(mi) == key) hits(li) += 1
+            mi += 1
+          }
+          li += 1
+        }
+      }
+      runLen = 0; k0 = 0; k1 = 0; k2 = 0
+    }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      if (cp >= 0x4E00 && cp <= 0x9FFF) cjk = 1L
+      val lower = if (cp >= 'A' && cp <= 'Z') cp + 32 else cp
+      val isWord = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
+      if (!isWord && cp != ' ') nPunct += 1
+      if (isWord) {
+        if (runLen == 0) k0 = lower
+        else if (runLen == 1) k1 = lower
+        else if (runLen == 2) k2 = lower
+        runLen += 1
+      } else endRun()
+      i += Character.charCount(cp)
+    }
+    endRun()
+    new GenericArrayData(Array(nChars, nWords, nPunct,
+      hits(0), hits(1), hits(2), hits(3), cjk))
+  }
 }

@@ -2120,11 +2120,14 @@ object PipelineQueries {
 
     // ---- text analysis ----
     "q_lang_id" -> Q(
-      (s, d) => Tables.documents(s, d)
-        .withColumn("predicted", TA.langId(col("text")))
-        .groupBy("lang", "predicted")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "predicted"),
+      (s, d) => {
+        GraftFunctions.register(s) // langId rides the textFeatures kernel
+        Tables.documents(s, d)
+          .withColumn("predicted", TA.langId(col("text")))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted")
+      },
       s"""WITH t AS (SELECT lang, $tokSql AS toks, text FROM documents),
          |p AS (SELECT lang,
          |  CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'

@@ -18,19 +18,20 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
-  private def markerHits(toks: Column, lang: String): Column =
-    size(filter(toks, t => langMarkers(lang).map(m => t === m).reduce(_ || _)))
-
   /** Language-ID heuristic: CJK codepoints ⇒ zh; else the language with the
     * most stopword-evidence tokens (strict-majority precedence en > de >
     * fr > es); no evidence ⇒ "und" (undetermined). Deterministic and
     * SQL-expressible — the oracle mirrors the same decision tree. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val en = markerHits(toks, "en"); val de = markerHits(toks, "de")
-    val fr = markerHits(toks, "fr"); val es = markerHits(toks, "es")
-    when(text.rlike("[\\x{4E00}-\\x{9FFF}]"), "zh")
-      .when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
+    // r18: one textFeatures kernel pass replaces the CJK rlike + the
+    // tokenize + 4×5 marker-compare array filters (the caller's session
+    // must have GraftFunctions registered); same decision tree, counts
+    // identical by the kernel's word-run contract
+    val f = textFeatures(text)
+    val en = element_at(f, 4); val de = element_at(f, 5)
+    val fr = element_at(f, 6); val es = element_at(f, 7)
+    when(element_at(f, 8) === 1L, "zh")
+      .when(en === 0L && de === 0L && fr === 0L && es === 0L, "und")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
@@ -96,13 +97,18 @@ object TextAnalysis {
 
   /** Quality features + a deterministic composite score in [0,1]. */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val toks = tokens(t)
-    val nChars = length(t).cast("long")
-    val nWords = size(toks).cast("long")
-    val punct = regexp_count(t, lit("[^a-zA-Z0-9 ]")).cast("long")
-    val stop = markerHits(toks, "en").cast("long")
-    df.select(
+    // r18: all four counts come from ONE textFeatures kernel pass instead
+    // of lower+split+filter token arrays plus two regexp_counts per row;
+    // the derived expressions below are unchanged, so values (and the
+    // composite score's float path) are bit-identical
+    register(df.sparkSession)
+    val f = col("__tf")
+    val nChars = element_at(f, 1)
+    val nWords = element_at(f, 2)
+    val punct = element_at(f, 3)
+    val stop = element_at(f, 4)
+    df.select(col(idCol), textFeatures(col(textCol)).as("__tf"))
+      .select(
       col(idCol),
       nChars.as("n_chars"),
       nWords.as("n_words"),

@@ -149,4 +149,38 @@ class TextHashesSpec extends SparkSpec {
       assert(jw(a, b) >= 0.0 && jw(a, b) <= 1.0)
     }
   }
+
+  test("textFeatures ≡ the expression formulation it replaced (random " +
+      "ASCII+CJK inputs)") {
+    // the single-pass kernel behind qualityFeatures/langId must count
+    // exactly what length / split(lower)+filter / regexp_count / marker
+    // filters counted — compared against Spark's own expressions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(41)
+    val alphabet = "the andofis der die das undistlela lesetest ellos lasy" +
+      "ABC XYZ019.,!?:;-儿那 中文"
+    val texts = Seq("", "the and of a is", "der und das", "el y los", "中文儿",
+      "a", "is is is", "Y") ++ Seq.fill(300)(
+      Seq.fill(rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val toks = graft.functions.GraftFunctions.tokens(col("text"))
+    def hits(lang: String) = size(filter(toks,
+      t => graft.operators.TextAnalysis.langMarkers(lang)
+        .map(m => t === m).reduce(_ || _))).cast("long")
+    val df = texts.toDF("text").select(
+      graft.functions.GraftFunctions.textFeatures(col("text")).as("f"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long").as("n_punct"),
+      hits("en").as("en"), hits("de").as("de"),
+      hits("fr").as("fr"), hits("es").as("es"),
+      when(col("text").rlike("[\\x{4E00}-\\x{9FFF}]"), 1L).otherwise(0L).as("cjk"))
+    df.collect().foreach { r =>
+      val f = r.getSeq[Long](0)
+      val expected = Seq(r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(f == expected, s"kernel $f != expressions $expected")
+    }
+  }
 }
