@@ -218,6 +218,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_jw",
       (e: Seq[Expression]) => invoke(DoubleType, "jaroWinkler", e,
         Seq(StringType, StringType)), "scala_udf")
+    // hashed-classifier ordered weight fold (TextHashes.hashedWeightSum,
+    // r18): memoized two-md5 token weights, bit-identical to the
+    // aggregate(transform(...)) formulation
+    reg.createOrReplaceTempFunction("graft_weight_sum",
+      (e: Seq[Expression]) => invoke(DoubleType, "hashedWeightSum", e,
+        Seq(ArrayType(StringType), IntegerType)), "scala_udf")
     // single-pass text feature counts (TextHashes.textFeatures, r18):
     // [n_chars, n_words, n_punct, hits_en, hits_de, hits_fr, hits_es, cjk]
     reg.createOrReplaceTempFunction("graft_text_features",
@@ -285,6 +291,8 @@ object GraftFunctions {
   def synthPatternPng(id: Column): Column = call_function("graft_synth_pattern_png", id)
   def nfcNorm(c: Column): Column = call_function("graft_nfc", c)
   def textFeatures(c: Column): Column = call_function("graft_text_features", c)
+  def weightSum(toks: Column, numBuckets: Int): Column =
+    call_function("graft_weight_sum", toks, lit(numBuckets))
   def jaroWinkler(a: Column, b: Column): Column = call_function("graft_jw", a, b)
 
   /** Lowercase alphanumeric word tokens (both engines: split on

@@ -689,6 +689,43 @@ object TextHashes {
     } else jaro
   }
 
+  // ---- hashed-classifier weight fold (r18) ----
+  // The linear classifier's token weight — md5-60 of "w_" + (md5-60(tok)
+  // mod buckets), mapped to [-1, 1] — depends only on the token, and a
+  // corpus' vocabulary is bounded, so the two md5 evaluations per token
+  // OCCURRENCE are memoized per executor (the specCache discipline).
+  private val weightCaches =
+    new java.util.concurrent.ConcurrentHashMap[Integer,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]]()
+
+  /** StaticInvoke kernel: the classifier's w_sum — an ORDERED left fold of
+    * per-token weights over the token array, bit-identical to
+    * `aggregate(transform(t, weight), 0.0, _ + _)` (same element order,
+    * same IEEE additions; weights are never -0.0 so the 0.0 seed is
+    * exact). Twin of the oracle's `list_reduce` formulation in
+    * [[graft.operators.Scoring]]. */
+  def hashedWeightSum(toks: ArrayData, numBuckets: Int): Double = {
+    val cache = weightCaches.computeIfAbsent(numBuckets,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]())
+    var sum = 0.0
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val s = t.toString
+      var w = cache.get(s)
+      if (w == null) {
+        val b = md5Hash60(t) % numBuckets
+        val h = md5Hash60(UTF8String.fromString("w_" + b))
+        w = java.lang.Double.valueOf((h % 2001 - 1000).toDouble / 1000.0)
+        cache.put(s, w)
+      }
+      sum += w.doubleValue()
+      i += 1
+    }
+    sum
+  }
+
   // ---- single-pass text feature counts (r18) ----
   // One code-point walk replacing the quality/lang-id family's stack of
   // regex evaluations per row (lower + split + filter arrays, two

@@ -44,11 +44,14 @@ object Scoring {
     * the oracle, stable across runs/partitionings. */
   val numBuckets = 4096
 
-  private def weight(tok: Column): Column =
-    (md5Hash60(concat(lit("w_"),
-      (md5Hash60(tok) % numBuckets).cast("string"))) % 2001 - 1000) / lit(1000.0)
+  // r18: the per-token weight fold runs as ONE memoized kernel pass
+  // (TextHashes.hashedWeightSum — same md5 formula, same ordered IEEE
+  // additions; the old aggregate(transform(t, weight)) evaluated two md5s
+  // per token OCCURRENCE where the vocabulary is bounded)
+  private def wSum(toks: Column): Column =
+    GraftFunctions.weightSum(toks, numBuckets)
 
-  /** DuckDB twin of [[weight]]. */
+  /** DuckDB twin of the kernel's per-token weight. */
   private def weightSql(x: String): String =
     s"(('0x' || substr(md5('w_' || ((('0x' || substr(md5($x), 1, 15))::BIGINT) " +
       s"% $numBuckets)::VARCHAR), 1, 15))::BIGINT % 2001 - 1000) / 1000.0"
@@ -189,8 +192,7 @@ object Scoring {
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .where(size(col("t")) > 0)
       .select(size(col("t")).cast("long").as("n_toks"),
-        aggregate(transform(col("t"), (x: Column) => weight(x)),
-          lit(0.0), (a, c) => a + c).as("w_sum"))
+        wSum(col("t")).as("w_sum"))
       .select(
         round(lit(1.0) / (lit(1.0) + exp(-(col("w_sum") / col("n_toks")))), 6)
           .as("prob"),
@@ -453,8 +455,7 @@ object Scoring {
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .where(size(col("t")) > 0)
           .select(col("doc_id"), size(col("t")).cast("long").as("n_toks"),
-            aggregate(transform(col("t"), (x: Column) => weight(x)), lit(0.0), (a, c) => a + c)
-              .as("w_sum"))
+            wSum(col("t")).as("w_sum"))
           .withColumn("score", col("w_sum") / col("n_toks"))
           .select(col("doc_id"), col("n_toks"), col("w_sum"), col("score"),
             round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 6).as("prob"),

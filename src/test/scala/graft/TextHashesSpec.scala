@@ -150,6 +150,31 @@ class TextHashesSpec extends SparkSpec {
     }
   }
 
+  test("hashedWeightSum ≡ the ordered aggregate(transform(weight)) fold " +
+      "it replaced (random token arrays)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val buckets = 4096
+    def weightExpr(tok: org.apache.spark.sql.Column) =
+      (graft.functions.GraftFunctions.md5Hash60(concat(lit("w_"),
+        (graft.functions.GraftFunctions.md5Hash60(tok) % buckets)
+          .cast("string"))) % 2001 - 1000) / lit(1000.0)
+    val rnd = new scala.util.Random(43)
+    val vocab = (1 to 50).map(i => s"tok$i")
+    val rows = Seq(Seq.empty[String], Seq("a")) ++ Seq.fill(80)(
+      Seq.fill(rnd.nextInt(200))(vocab(rnd.nextInt(vocab.length))))
+    val df = rows.toDF("t").select(
+      graft.functions.GraftFunctions.weightSum(col("t"), buckets).as("k"),
+      aggregate(transform(col("t"), x => weightExpr(x)),
+        lit(0.0), (a, c) => a + c).as("e"))
+    df.collect().foreach { r =>
+      // bit-identical, not approximately equal: same order, same adds
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("textFeatures ≡ the expression formulation it replaced (random " +
       "ASCII+CJK inputs)") {
     // the single-pass kernel behind qualityFeatures/langId must count
