@@ -232,7 +232,7 @@ object Bench {
     } catch { case _: Throwable => None }
   }
 
-  private def readMinima(sfDir: String): (Map[String, Double], Int) =
+  private def readMinima(sfDir: String, cpus: String): (Map[String, Double], Int) =
     minimaPath match {
       case Some(p) if java.nio.file.Files.exists(p) =>
         try {
@@ -244,10 +244,18 @@ object Bench {
           // no-stamp (pre-r18) ledgers are also discarded: their legs'
           // sf is unknowable and the r15/r16 ones were in fact mixed
           val sfStamp = lines.collectFirst { case ("__sf", v) => v }
-          if (!sfStamp.contains(sfDir)) {
+          // __cpus stamp (VERDICT r18 #2): the r18 8-core scaling run
+          // min-merged the 32-core legs' minima (the ledger was keyed by
+          // __sf only), so ~30 queries shipped byte-identical "8-core"
+          // timings that were really 32-core ones. Cross-core minima are
+          // as meaningless as cross-sf ones — same rule, one more key.
+          val cpuStamp = lines.collectFirst { case ("__cpus", v) => v }
+          if (!sfStamp.contains(sfDir) || !cpuStamp.contains(cpus)) {
             System.err.println(s"[bench] minima ledger $p is for sf " +
-              s"'${sfStamp.getOrElse("<unstamped>")}', this run is '$sfDir' " +
-              "— discarding it (cross-sf minima are meaningless)")
+              s"'${sfStamp.getOrElse("<unstamped>")}' cpus " +
+              s"'${cpuStamp.getOrElse("<unstamped>")}', this run is " +
+              s"'$sfDir' cpus '$cpus' — discarding it " +
+              "(cross-sf/cross-cpus minima are meaningless)")
             (Map.empty, 0)
           } else
             (lines.collect { case (k, v) if !k.startsWith("__") =>
@@ -256,11 +264,12 @@ object Bench {
       case _ => (Map.empty, 0)
     }
 
-  private def writeMinima(m: Map[String, Double], legs: Int, sfDir: String): Unit =
+  private def writeMinima(m: Map[String, Double], legs: Int, sfDir: String,
+      cpus: String): Unit =
     minimaPath.foreach { p =>
       try {
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-        val body = (Seq(s"__legs\t$legs", s"__sf\t$sfDir") ++
+        val body = (Seq(s"__legs\t$legs", s"__sf\t$sfDir", s"__cpus\t$cpus") ++
           m.toSeq.sorted.map { case (k, v) => f"$k\t$v%.4f" }).mkString("\n")
         java.nio.file.Files.write(p, body.getBytes("UTF-8"))
       } catch { case _: Throwable => () }
@@ -539,9 +548,9 @@ object Bench {
     val (minAll, nLegs, noiseMed, noiseMax) =
       if (args.nonEmpty) (legMin, 1, 1.0, 1.0)
       else {
-        val (prior, priorLegs) = readMinima(sfDir)
+        val (prior, priorLegs) = readMinima(sfDir, cpus)
         val merged = mergeMinima(prior, legMin)
-        writeMinima(merged, priorLegs + 1, sfDir)
+        writeMinima(merged, priorLegs + 1, sfDir, cpus)
         val ratios = legMin.collect {
           case (k, v) if headline(k) && merged.get(k).exists(_ > 0) =>
             v / merged(k)
@@ -574,11 +583,50 @@ object Bench {
     val floorJson = streamFloor.toSeq.sorted.collect {
       case (k, f) if legMin.contains(k) => s"\"" + k + "\":" + r3(f)
     }.mkString("{", ",", "}")
+    // Payload = this leg's min − the probe's empty-input floor. Floors are
+    // min-merged across probe runs, so a merged floor can exceed a slower
+    // leg's min; printing 0.000 there asserts a measurement the leg
+    // contradicts (VERDICT r18 #5/#9). A clamped row is now emitted as
+    // JSON null and named in stream_payload_clamped instead.
     val payloadJson = streamFloor.toSeq.sorted.collect {
       case (k, f) if legMin.contains(k) =>
-        s"\"" + k + "\":" + r3(math.max(0.0, legMin(k) - f))
+        val p = legMin(k) - f
+        s"\"" + k + "\":" + (if (p < 0) "null" else r3(p))
     }.mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contendedFinal},"leg_health":$legHealth,"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"gc_ms":$gcMeasured,"gc_ms_total":$gcMillis,"git_sha":"$gitSha","shuffle_partitions":$shufflePartsEff,"cpu_canary":{"single_ms":$canarySingleMs,"multi_ms":$canaryMultiMs,"threads":$cpus,"mem_mb_s":$memCanaryMBs},"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"queries_min_all_legs":$qsMinAll,"leg_noise":$legNoise,"stream_floor_meta":$floorMeta,"stream_floor_s":$floorJson,"stream_payload_s":$payloadJson,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+    val payloadClamped = streamFloor.toSeq.sorted.collect {
+      case (k, f) if legMin.contains(k) && legMin(k) - f < 0 => s"\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val summary = s"""{"metric":"total","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"loadavg_pre":$loadPre,"loadavg":$loadavg1,"load_guard":{"max":$maxLoad,"waits":$waits,"contended":$contendedFinal},"leg_health":$legHealth,"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"gc_ms":$gcMeasured,"gc_ms_total":$gcMillis,"git_sha":"$gitSha","shuffle_partitions":$shufflePartsEff,"cpu_canary":{"single_ms":$canarySingleMs,"multi_ms":$canaryMultiMs,"threads":$cpus,"mem_mb_s":$memCanaryMBs},"warmup":$warmJson,"queries":$qs,"queries_med":$qsMed,"queries_min_all_legs":$qsMinAll,"leg_noise":$legNoise,"stream_floor_meta":$floorMeta,"stream_floor_s":$floorJson,"stream_payload_s":$payloadJson,"stream_payload_clamped":$payloadClamped,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+    // Complete per-query record to a machine-readable FILE, every leg,
+    // unconditionally (VERDICT r18 #1): the stdout compact line carries
+    // totals only (the full line outgrows the driver's ~2000-char tail
+    // window), which left PERF_r18 with an empty per_query table — every
+    // per-query claim rested on builder-side files. This artifact is the
+    // driver-facing contract: full min/med maps over EVERY query (not just
+    // headline), the cross-leg minima merge, failures, and the leg-health
+    // block, so per-query deltas and cross-core scaling are reconstructable
+    // from target/ alone. SPARK_GRAFT_BENCH_PERQUERY overrides the path
+    // ("none" disables); cpus is in the filename's content, not the path,
+    // so a low-core scaling run overwrites honestly rather than mixing.
+    val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY",
+      "target/bench_perquery.json")
+    if (perQueryPath != "none") {
+      try {
+        val minJson = results.collect { case (k, ts, _) if ts.nonEmpty =>
+          s"\"" + k + "\":" + r3(ts.min) }.mkString("{", ",", "}")
+        val medJson = results.collect { case (k, ts, _) if ts.nonEmpty =>
+          s"\"" + k + "\":" + r3(median(ts)) }.mkString("{", ",", "}")
+        val minAllJson = minAll.toSeq.sorted.map { case (k, v) =>
+          s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+        val rec = s"""{"metric":"perquery","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"runs_per_query":$runs,"cpus":$cpus,"sf":"$sfDir","git_sha":"$gitSha","epoch_ms":${System.currentTimeMillis()},"n_legs":$nLegs,"contended":$contendedFinal,"leg_health":$legHealth,"warmup":$warmJson,"min":$minJson,"med":$medJson,"min_all_legs":$minAllJson,"stream_floor_meta":$floorMeta,"stream_floor_s":$floorJson,"stream_payload_s":$payloadJson,"stream_payload_clamped":$payloadClamped,"failed":$failed,"flaky":$flaky}"""
+        val pp = java.nio.file.Paths.get(perQueryPath)
+        if (pp.getParent != null) java.nio.file.Files.createDirectories(pp.getParent)
+        java.nio.file.Files.write(pp, rec.getBytes("UTF-8"))
+        System.err.println(s"[bench] per-query record written to $perQueryPath")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] per-query record write FAILED: ${e.getMessage}")
+      }
+    }
     // The summary JSON is emitted on BOTH streams, and on stderr it is the
     // LAST line AFTER the per-query rows: under sbt the stdout println can
     // flush before the buffered stderr block, and a driver that keeps only
@@ -591,7 +639,7 @@ object Bench {
     // record — total + the attribution fields only, bounded well under any
     // tail window — is emitted AFTER the full one on both streams. Whatever
     // the window size, the LAST line always parses.
-    val compact = s"""{"metric":"total_compact","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"n_failed":${results.count(_._2.isEmpty)},"gc_ms":$gcMeasured,"gc_frac":${f"$gcFrac%.4f"},"steal_frac":${f"$stealFracLeg%.4f"},"git_sha":"$gitSha","contended":$contendedFinal,"leg_retries":$retriesUsed,"n_legs":$nLegs,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total_compact","value":${r3(total)},"total_med":${r3(totalMed)},"unit":"sec","n_queries":${results.count(_._2.nonEmpty)},"n_failed":${results.count(_._2.isEmpty)},"gc_ms":$gcMeasured,"gc_frac":${f"$gcFrac%.4f"},"steal_frac":${f"$stealFracLeg%.4f"},"git_sha":"$gitSha","contended":$contendedFinal,"leg_retries":$retriesUsed,"n_legs":$nLegs,"cpus":$cpus,"perquery_file":"${if (perQueryPath == "none") "" else perQueryPath}","sf":"$sfDir"}"""
     System.err.println(summary)
     System.err.println(compact)
     println(summary)
