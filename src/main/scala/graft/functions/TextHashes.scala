@@ -691,9 +691,17 @@ object TextHashes {
 
   // ---- hashed-classifier weight fold (r18) ----
   // The linear classifier's token weight — md5-60 of "w_" + (md5-60(tok)
-  // mod buckets), mapped to [-1, 1] — depends only on the token, and a
-  // corpus' vocabulary is bounded, so the two md5 evaluations per token
-  // OCCURRENCE are memoized per executor (the specCache discipline).
+  // mod buckets), mapped to [-1, 1] — depends only on the token, so the
+  // two md5 evaluations per token OCCURRENCE are memoized per executor
+  // (the specCache discipline). The cache is SIZE-BOUNDED (r19, VERDICT
+  // r18 #8): "the vocabulary is bounded" holds on a curated corpus but an
+  // open-vocabulary 100 TB crawl (unique ids, typos) would grow an
+  // unbounded per-executor map into an OOM vector — past the cap a missed
+  // token just computes its weight inline and is not inserted. ~1 M
+  // entries ≈ low tens of MB; a Zipfian vocabulary keeps its hot head
+  // cached regardless of insertion order, so the memoization win is
+  // intact at any corpus size.
+  private[graft] val weightCacheMaxEntries = 1 << 20
   private val weightCaches =
     new java.util.concurrent.ConcurrentHashMap[Integer,
       java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]]()
@@ -704,7 +712,15 @@ object TextHashes {
     * same IEEE additions; weights are never -0.0 so the 0.0 seed is
     * exact). Twin of the oracle's `list_reduce` formulation in
     * [[graft.operators.Scoring]]. */
-  def hashedWeightSum(toks: ArrayData, numBuckets: Int): Double = {
+  def hashedWeightSum(toks: ArrayData, numBuckets: Int): Double =
+    hashedWeightSumBounded(toks, numBuckets, weightCacheMaxEntries)
+
+  /** [[hashedWeightSum]] with an explicit cache-entry cap — the cap is a
+    * memory bound only, never a semantics dial (a token past the cap is
+    * computed inline from the same formula). Exposed for the spec that
+    * proves cap-independence. */
+  private[graft] def hashedWeightSumBounded(toks: ArrayData, numBuckets: Int,
+      maxEntries: Int): Double = {
     val cache = weightCaches.computeIfAbsent(numBuckets,
       _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]())
     var sum = 0.0
@@ -718,7 +734,10 @@ object TextHashes {
         val b = md5Hash60(t) % numBuckets
         val h = md5Hash60(UTF8String.fromString("w_" + b))
         w = java.lang.Double.valueOf((h % 2001 - 1000).toDouble / 1000.0)
-        cache.put(s, w)
+        // size() on a CHM is a cheap (non-locking) estimate and only runs
+        // on a MISS; a transient overshoot of a few entries is harmless —
+        // the bound is against unbounded growth, not an exact budget
+        if (cache.size < maxEntries) cache.put(s, w)
       }
       sum += w.doubleValue()
       i += 1

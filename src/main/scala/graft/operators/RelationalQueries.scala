@@ -127,7 +127,18 @@ object RelationalQueries {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
-    // -- star join: fact ⋈ fact shuffle once, all dims broadcast --
+    // -- star join: fact ⋈ fact shuffle once, all dims broadcast.
+    //    r19 eager aggregation (guide §2.2/§3 — the q_range_join move):
+    //    revenue and n_orders both decompose over l_orderkey, and
+    //    o_orderkey is unique in orders, so lineitem rolls up to ORDER
+    //    grain below the joins — the fact-fact join input shrinks
+    //    |lineitem| → |orders| (~4×), the joined rows carry one decimal
+    //    partial instead of two double columns, and countDistinct
+    //    becomes a plain count(*) (each orderkey appears once post-
+    //    rollup), deleting the distinct-aggregate's extra (r,n,okey)
+    //    exchange. Exact: decimal partial sums are associative; the
+    //    rollup exchange replaces (not adds to) the join-side exchange
+    //    because the join reuses its hash partitioning. --
     "q_join_star" -> Q(
       (s, d) => {
         val li = Tables.lineitem(s, d)
@@ -135,14 +146,17 @@ object RelationalQueries {
         val c = Tables.customer(s, d)
         val n = Tables.nation(s, d)
         val r = Tables.region(s, d)
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
+        val liAgg = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev_part"))
+        liAgg.join(o, col("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(
-            revenueCol.as("revenue"),
-            countDistinct(col("l_orderkey")).as("n_orders"))
+            sum(col("rev_part")).cast("double").as("revenue"),
+            count(lit(1)).as("n_orders"))
           .orderBy("r_name", "n_name")
       },
       s"""SELECT r_name, n_name, $revenue AS revenue,

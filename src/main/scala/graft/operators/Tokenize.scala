@@ -174,7 +174,31 @@ object Tokenize {
     * min-rank kernel ≡ the oracle's sequential-replace replay — the same
     * equivalence the pinned table rides on. Returns (rank, lft, rgt,
     * token, freq). At 100 TB each iteration is one embarrassingly-
-    * parallel scan; the driver holds k (pair, count) rows. */
+    * parallel scan; the driver holds k (pair, count) rows.
+    *
+    * Contract limits (r19):
+    * - `k` ≤ [[graft.functions.TextBpe.maxTrainMerges]] (90): the
+    *   incremental training state is ONE BYTE per corpus token (37 base
+    *   ids + k merge ids ≤ 127), which is what makes the O(k) corpus-pass
+    *   training affordable; a larger k needs a short/int state (4.4× the
+    *   state bytes) that nothing in the registry requires, so the cap is
+    *   enforced with `require` rather than silently widening the state.
+    * - The loop pins session conf (AQE off, shuffle.partitions=1) for its
+    *   k histogram micro-queries and restores it in `finally`; the pins
+    *   are correct at ANY scale for THESE queries (exchange input ≤
+    *   parts × vocab² pre-aggregated rows) but leak to queries run
+    *   CONCURRENTLY on the same SparkSession — training must run alone
+    *   in its session (the sequential bench does; a server deployment
+    *   should clone via `spark.newSession()` before scheduling it next
+    *   to anything else).
+    * - Training state durability: by default iteration state rides
+    *   `localCheckpoint` (executor-local blocks — an executor loss mid-
+    *   training fails the job, and the retry restarts training from the
+    *   raw corpus). Set SPARK_GRAFT_BPE_CKPT_DIR to a (shared at cluster
+    *   scale) directory to switch the state to RELIABLE `checkpoint()`s
+    *   that survive executor loss — the dial for long 100 TB training
+    *   runs where a restart costs hours. Local bench keeps the default:
+    *   same plans, no HDFS/disk round-trip. */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, k: Int = 32)
       : org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
@@ -252,10 +276,16 @@ object Tokenize {
     val oldParts = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     sess.conf.set("spark.sql.shuffle.partitions", "1")
+    // durability dial (see scaladoc): reliable checkpoint() when a
+    // checkpoint dir is configured, executor-local localCheckpoint()
+    // otherwise — identical plans either way, only the block store differs
+    val ckptDir = sys.env.get("SPARK_GRAFT_BPE_CKPT_DIR")
+    ckptDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: org.apache.spark.sql.DataFrame, eager: Boolean) =
+      if (ckptDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
     try {
-    var cur = docs.repartition(parts)
-      .select(GraftFunctions.bpeCharIds(col("text")).as("ids"))
-      .localCheckpoint(false)
+    var cur = ckpt(docs.repartition(parts)
+      .select(GraftFunctions.bpeCharIds(col("text")).as("ids")), eager = false)
     var counts = pairHistogram(cur)
     mark("init+hist0")
     while (merges.length < k && counts.nonEmpty) {
@@ -288,10 +318,10 @@ object Tokenize {
         // plan generates the SAME source and hits the codegen cache
         import spark.implicits._
         val params = Seq((aId, bId, newId)).toDF("__ma", "__mb", "__mn")
-        val next = cur.crossJoin(broadcast(params))
+        val next = ckpt(cur.crossJoin(broadcast(params))
           .select(call_function("graft_bpe_merge_one",
-            col("ids"), col("__ma"), col("__mb"), col("__mn")).as("ids"))
-          .localCheckpoint(dbg)
+            col("ids"), col("__ma"), col("__mb"), col("__mn")).as("ids")),
+          eager = dbg)
         if (dbg) mark(s"ckpt${merges.length}")
         counts = pairHistogram(next) // materializes next's checkpoint
         cur = next // superseded state RDDs are ContextCleaner-reclaimed

@@ -51,11 +51,19 @@ class JoinShapeSpec extends SparkSpec {
   test("q_join_star: all three dims broadcast; dims never hash-partition") {
     val p = plan(q("q_join_star"))
     assert(count(p, "BroadcastExchange") >= 3, s"dim broadcasts missing:\n$p")
-    // sf0.001 shape: 2 hash exchanges (countDistinct two-phase agg) + 1
-    // range (orderBy); allow the fact-fact shuffle pair if stats stop
-    // auto-broadcasting orders, but never a dim hash-exchange beyond that
+    // r19 eager-agg shape: 1 hash exchange (the order-grain rollup, below
+    // the joins) + 1 for the final (r,n) agg + 1 range (orderBy); allow
+    // the fact-fact shuffle pair if stats stop auto-broadcasting orders,
+    // but never a dim hash-exchange beyond that
     assert(count(p, "hashpartitioning") <= 4, s"unexpected hash exchanges:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the eager-aggregation lock (VERDICT r18 #6): the order-grain partial
+    // rollup must sit BELOW the first join — the plan's innermost
+    // aggregate keys on l_orderkey and no distinct-aggregate Expand
+    // survives anywhere
+    assert(p.contains("Keys [1]: [l_orderkey"),
+      s"order-grain rollup under the joins missing:\n$p")
+    assert(!p.contains("Expand"), s"distinct-aggregate Expand returned:\n$p")
   }
 
   test("q_join_salted_forced: 8-way replication, join keyed on the salt") {

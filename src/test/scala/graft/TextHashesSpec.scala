@@ -175,6 +175,52 @@ class TextHashesSpec extends SparkSpec {
     }
   }
 
+  test("hashedWeightSum cache cap is a memory bound, never a semantics " +
+      "dial: capped ≡ uncapped bit-for-bit") {
+    // distinct numBuckets from every other consumer so this test owns its
+    // cache instance; cap 2 forces the inline-compute fallback for most
+    // tokens while the uncapped run memoizes everything
+    val buckets = 12345
+    val rnd = new scala.util.Random(44)
+    val vocab = (1 to 200).map(i => s"cap_tok$i")
+    for (_ <- 1 to 50) {
+      val toks = Seq.fill(1 + rnd.nextInt(300))(vocab(rnd.nextInt(vocab.length)))
+      val capped = TextHashes.hashedWeightSumBounded(arr(toks), buckets, 2)
+      val full = TextHashes.hashedWeightSumBounded(arr(toks), buckets,
+        TextHashes.weightCacheMaxEntries)
+      assert(java.lang.Double.doubleToLongBits(capped) ==
+        java.lang.Double.doubleToLongBits(full))
+      // cap 0: pure inline computation, still identical
+      val none = TextHashes.hashedWeightSumBounded(arr(toks), buckets, 0)
+      assert(java.lang.Double.doubleToLongBits(none) ==
+        java.lang.Double.doubleToLongBits(full))
+    }
+  }
+
+  test("textFeatures: exotic code points that lowercase INTO ascii alnum " +
+      "stay non-word (the documented kernel contract)") {
+    // ADVICE r18: U+0130 (İ → 'i'+combining dot under full Unicode
+    // lowercasing), U+212A (KELVIN SIGN → 'k'), fullwidth digits — the
+    // kernel ASCII-lowers only A-Z, so none of these joins a word run;
+    // each counts as punct and splits its run. This test PINS that
+    // contract so a future "fix" toward full-Unicode lowercasing can't
+    // slip in silently (it would hash-mismatch the oracle's regex twin
+    // on out-of-contract corpora in untestable ways).
+    def feats(s: String): Seq[Long] =
+      TextHashes.textFeatures(UTF8String.fromString(s))
+        .toLongArray().toSeq
+    // [n_chars, n_words, n_punct, en, de, fr, es, cjk]
+    assert(feats("aİb") == Seq(3L, 2L, 1L, 1L, 0L, 0L, 0L, 0L)) // "a" is an en marker
+    assert(feats("xKy") == Seq(3L, 2L, 1L, 0L, 0L, 0L, 1L, 0L)) // "y" is an es marker
+    // fullwidth digits １２３ are not [0-9]
+    assert(feats("１２３") == Seq(3L, 0L, 3L, 0L, 0L, 0L, 0L, 0L))
+    // marker hit across an exotic break: "the" before İ still counts
+    assert(feats("theİthe") == Seq(7L, 2L, 1L, 2L, 0L, 0L, 0L, 0L))
+    // astral code point (surrogate pair) counts as ONE char, like
+    // Spark length() on code points
+    assert(feats("a😀b") == Seq(3L, 2L, 1L, 1L, 0L, 0L, 0L, 0L))
+  }
+
   test("textFeatures ≡ the expression formulation it replaced (random " +
       "ASCII+CJK inputs)") {
     // the single-pass kernel behind qualityFeatures/langId must count
