@@ -532,27 +532,52 @@ object AdvancedQueries {
         // would truncate toward zero instead; see q_benford), without
         // Spark Round's per-row BigDecimal allocation (2 per row over the
         // fact table was the gc term at the x64 rung)
-        val grp = Tables.lineitem(s, d).select(col("l_returnflag"),
+        //
+        // r19 crossing-bucket selection (guide §2.2/§2.3). The r17/r18
+        // shape collapsed the corpus to per-(flag, cents) sums first —
+        // but cents are ~97% UNIQUE on this data (594 k groups from
+        // 600 k rows, measured), so that exchange + the (flag,pid)
+        // window sort moved essentially the whole fact table twice and
+        // was the row's GC flapper. The median only needs the cumulative
+        // WHERE IT CROSSES tot/2, and the bucket id `pid = cents >> 16`
+        // is monotone in cents, so:
+        //   phase 1: per-(flag, pid) weight sums straight off the scan —
+        //     map-side partial agg makes the exchange input ∝ BUCKETS
+        //     (price domain / 65536 — never rows); windows over that
+        //     bucket frame give exclusive prefix `off`, flag total `tot`,
+        //     and the CROSSING bucket = first pid with 2·(off+bw) ≥ tot.
+        //   phase 2: re-scan, keep only crossing-bucket rows (a
+        //     broadcast semi-join against the ≤|flags| crossing frame),
+        //     collapse those to per-cents sums (∝ rows in ONE bucket),
+        //     one tiny window, and the crossing test 2·(off+cum) ≥ tot.
+        // Exactness: every pre-crossing bucket's inclusive total is
+        // < tot/2, so no cents outside the crossing bucket can be the
+        // minimum satisfying value, and ties still accumulate together
+        // in the per-cents collapse. Same bucket math, same integer
+        // tests — the oracle's RANGE formulation is unchanged.
+        val base = Tables.lineitem(s, d).select(col("l_returnflag"),
             floor(col("l_extendedprice") * 100 + 0.5).as("cents"),
             floor(col("l_quantity") + 0.5).as("wt"))
-          .groupBy(col("l_returnflag"), col("cents"))
-          .agg(sum(col("wt")).as("w"))
           .withColumn("pid", shiftright(col("cents"), 16))
-        // phase 1: per-(flag, bucket) totals; prefix-exclusive offsets and
-        // the flag totals via windows over the BUCKET frame (∝ buckets)
         val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val wTot = Window.partitionBy(col("l_returnflag"))
-        val offs = grp.groupBy(col("l_returnflag"), col("pid"))
-          .agg(sum(col("w")).as("bw"))
+        val offs = base.groupBy(col("l_returnflag"), col("pid"))
+          .agg(sum(col("wt")).as("bw"))
           .select(col("l_returnflag"), col("pid"),
             coalesce(sum(col("bw")).over(wOff), lit(0L)).as("off"),
-            sum(col("bw")).over(wTot).as("tot"))
-        // phase 2: local cumulative within each (flag, bucket) + offset
-        val cumW = Window.partitionBy(col("l_returnflag"), col("pid"))
+            sum(col("bw")).over(wTot).as("tot"), col("bw"))
+        val wPick = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
+        val crossing = offs
+          .where((col("off") + col("bw")) * 2 >= col("tot"))
+          .withColumn("rk", row_number().over(wPick)).where(col("rk") === 1)
+          .select(col("l_returnflag"), col("pid"), col("off"), col("tot"))
+        val cumW = Window.partitionBy(col("l_returnflag"))
           .orderBy(col("cents"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grp.join(offs, Seq("l_returnflag", "pid"))
+        base.join(broadcast(crossing), Seq("l_returnflag", "pid"))
+          .groupBy(col("l_returnflag"), col("cents"), col("off"), col("tot"))
+          .agg(sum(col("wt")).as("w"))
           .withColumn("cum", col("off") + sum(col("w")).over(cumW))
           .groupBy(col("l_returnflag"))
           .agg(min(when(col("cum") * 2 >= col("tot"), col("cents")))

@@ -235,7 +235,17 @@ object Dedup {
     // min() aggregate columns over one exploded (src, x) pass: declarative
     // aggregates, whole-stage codegen, map-side partial mins, and the
     // exchange input after partial agg is |src| rows.
-    val perS = docs.select(col(srcCol).as("src"),
+    // r19: spread the tokenize/shingle/explode scan across the cluster —
+    // the sigSetsPlan discipline. The documents table arrives as ONE
+    // parquet split at harness scale, so without this the CPU-heavy scan
+    // (measured 3.27 s of the row's 4.0 s total, OverlapProbe) runs in a
+    // single task while 31 cores idle; one round-robin exchange of the
+    // raw text (MBs) buys full-width parallelism. At 100 TB the input
+    // arrives in thousands of splits and the repartition is a no-op cost
+    // (still ~32 MB/slice of raw text through the exchange, once).
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val perS = docs.repartition(parts)
+      .select(col(srcCol).as("src"),
         explode(shingles(tokens(col(textCol)), k)).as("s"))
       .groupBy(col("s")).agg(collect_set(col("src")).as("srcs"))
       .select(pmod(md5Hash60(col("s")), lit(OverlapP)).as("x"),
