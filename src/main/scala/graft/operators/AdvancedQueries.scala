@@ -648,23 +648,76 @@ object AdvancedQueries {
       (s, d) => {
         val ps = Seq(0.5, 0.95, 0.99)
         val delta = 0.005
-        // ONE exact-percentile aggregate evaluates all nine quantiles
-        // (exact, lower, upper window edges) over a single value buffer —
-        // three separate percentile() calls each materialized their own
-        // copy of every value in the aggregation buffer, tripling the
-        // dominant cost of this row for identical results.
         val allQs = ps.flatMap(p =>
           Seq(math.max(0.0, p - delta), p, math.min(1.0, p + delta)))
-        val agg = Tables.lineitem(s, d).agg(
-          approx_percentile(col("l_extendedprice"),
-            array(ps.map(lit): _*), lit(10000)).as("ap"),
-          percentile(col("l_extendedprice"), array(allQs.map(lit): _*)).as("q9"))
-        // q9 layout per metric i (0-based): [3i+1]=lo, [3i+2]=exact, [3i+3]=hi
-        agg.select(
-          (ps.indices.map(i => round(element_at(col("q9"), 3 * i + 2), 6).as(s"exact_p${(ps(i) * 100).toInt}")) ++
+        // r19 (guide §2.2): the exact `percentile()` buffer was the row's
+        // whole cost (PctProbe: 2.68 s alone vs 0.44 s for the sketch) —
+        // it hashes every value into a per-partition OpenHashMap (~583 k
+        // distinct doubles here, measured) and merges/sorts them in one
+        // final task. The nine exact quantiles are ORDER STATISTICS, so
+        // compute them with the crossing-bucket discipline instead:
+        //   1. per-bucket counts (pid = ⌊v/64⌋, monotone in v) straight
+        //      off the scan — map-side partial agg makes the exchange
+        //      input ∝ value domain/64, never rows; a prefix window over
+        //      that bucket frame gives each bucket's global start rank
+        //      and the total n.
+        //   2. the 18 target ranks (⌊q·(n−1)⌋ / ⌈q·(n−1)⌉ per quantile)
+        //      locate their buckets; a second scan keeps only those
+        //      buckets' rows (broadcast join, ≤18 buckets), ranks them
+        //      with one tiny window, and picks the 18 values.
+        //   3. assembly replicates Percentile.getPercentile EXACTLY:
+        //      position = q·(n−1) in double, equal-floor/ceil and
+        //      equal-keys cases return the value directly, otherwise
+        //      (hi−pos)·v_lo + (pos−lo)·v_hi — same IEEE ops, so the
+        //      result is bit-identical to the removed buffer (spec-locked
+        //      in Round19OpsSpec; rank-at-duplicate semantics match the
+        //      buffer's binary search because every row of a duplicate
+        //      run carries the same value).
+        // The sketch aggregate stays — it IS the row's subject.
+        val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+        val withPid = li.withColumn("pid", floor(col("v") / 64.0).cast("long"))
+        val buckets = withPid.groupBy(col("pid")).agg(count(lit(1)).as("bc"))
+        val wOff = Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pref = buckets.select(col("pid"), col("bc"),
+          coalesce(sum(col("bc")).over(wOff), lit(0L)).as("start"))
+        val nRow = buckets.agg(sum(col("bc")).as("n"))
+        def posOf(q: Double) = lit(q) * (col("n") - 1).cast("double")
+        val rankCols = allQs.flatMap { q =>
+          Seq(floor(posOf(q)).cast("long"), ceil(posOf(q)).cast("long"))
+        }
+        val ranks = nRow.select(
+          explode(array_distinct(array(rankCols: _*))).as("rank"))
+        val needed = ranks.join(pref,
+            col("rank") >= col("start") &&
+              col("rank") < col("start") + col("bc"))
+          .select(col("pid"), col("start")).distinct()
+        val wRank = Window.partitionBy(col("pid")).orderBy(col("v"))
+        val picked = withPid.join(broadcast(needed), "pid")
+          .withColumn("grank", col("start") + row_number().over(wRank) - 1)
+          .join(broadcast(ranks), col("grank") === col("rank"))
+          .select(col("rank"), col("v"))
+        val vmap = picked.agg(map_from_entries(sort_array(
+          collect_list(struct(col("rank"), col("v"))))).as("vm"))
+        val ap = li.agg(approx_percentile(col("v"),
+          array(ps.map(lit): _*), lit(10000)).as("ap"))
+        val one = nRow.crossJoin(vmap).crossJoin(ap)
+        def exact(q: Double) = {
+          val pos = posOf(q)
+          val lo = floor(pos).cast("long")
+          val hi = ceil(pos).cast("long")
+          val vLo = element_at(col("vm"), lo)
+          val vHi = element_at(col("vm"), hi)
+          when(lo === hi || vLo === vHi, vLo)
+            .otherwise((hi.cast("double") - pos) * vLo +
+              (pos - lo.cast("double")) * vHi)
+        }
+        // allQs layout per metric i (0-based): 3i = lo, 3i+1 = exact, 3i+2 = hi
+        one.select(
+          (ps.indices.map(i => round(exact(allQs(3 * i + 1)), 6).as(s"exact_p${(ps(i) * 100).toInt}")) ++
             ps.indices.map(i =>
-              (element_at(col("ap"), i + 1) >= element_at(col("q9"), 3 * i + 1) &&
-                element_at(col("ap"), i + 1) <= element_at(col("q9"), 3 * i + 3))
+              (element_at(col("ap"), i + 1) >= exact(allQs(3 * i)) &&
+                element_at(col("ap"), i + 1) <= exact(allQs(3 * i + 2)))
                 .as(s"approx_ok_p${(ps(i) * 100).toInt}"))): _*)
       },
       """SELECT round(quantile_cont(l_extendedprice, 0.50), 6) AS exact_p50,
