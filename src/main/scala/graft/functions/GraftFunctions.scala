@@ -224,6 +224,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_weight_sum",
       (e: Seq[Expression]) => invoke(DoubleType, "hashedWeightSum", e,
         Seq(ArrayType(StringType), IntegerType)), "scala_udf")
+    // |a ∩ b| over two DISTINCT long arrays (TextHashes.interCount, r19):
+    // ≡ size(array_intersect(a, b)) on the dedup shingle sets without
+    // allocating the intersection array per pair
+    reg.createOrReplaceTempFunction("graft_inter_count",
+      (e: Seq[Expression]) => invoke(LongType, "interCount", e,
+        Seq(ArrayType(LongType), ArrayType(LongType))), "scala_udf")
     // single-pass text feature counts (TextHashes.textFeatures, r18):
     // [n_chars, n_words, n_punct, hits_en, hits_de, hits_fr, hits_es, cjk]
     reg.createOrReplaceTempFunction("graft_text_features",
@@ -293,6 +299,8 @@ object GraftFunctions {
   def textFeatures(c: Column): Column = call_function("graft_text_features", c)
   def weightSum(toks: Column, numBuckets: Int): Column =
     call_function("graft_weight_sum", toks, lit(numBuckets))
+  def interCount(a: Column, b: Column): Column =
+    call_function("graft_inter_count", a, b)
   def jaroWinkler(a: Column, b: Column): Column = call_function("graft_jw", a, b)
 
   /** Lowercase alphanumeric word tokens (both engines: split on

@@ -689,6 +689,48 @@ object TextHashes {
     } else jaro
   }
 
+  // ---- intersection count over distinct long arrays (r19) ----
+
+  /** StaticInvoke kernel: |a ∩ b| for two arrays of DISTINCT longs —
+    * value-identical to `size(array_intersect(a, b))` on the dedup
+    * shingle-hash sets (which are `array_distinct` by construction, so
+    * array_intersect's extra dedup is a no-op) without allocating the
+    * intersection array per pair. The smaller side fills an
+    * open-addressing long set; the larger side counts membership. */
+  def interCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
+    val (small, big, ns, ng) =
+      if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    var cap = 8
+    while (cap < ns * 2) cap <<= 1
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    def slot(v: Long): Int = {
+      var idx = (((v * 0x9e3779b97f4a7c15L) >>> 40) ^ v).toInt & mask
+      while (used(idx) && keys(idx) != v) idx = (idx + 1) & mask
+      idx
+    }
+    var i = 0
+    while (i < ns) {
+      val v = small.getLong(i)
+      val idx = slot(v)
+      keys(idx) = v; used(idx) = true
+      i += 1
+    }
+    var cnt = 0L
+    var j = 0
+    while (j < ng) {
+      val v = big.getLong(j)
+      val idx = slot(v)
+      if (used(idx)) cnt += 1
+      j += 1
+    }
+    cnt
+  }
+
   // ---- hashed-classifier weight fold (r18) ----
   // The linear classifier's token weight — md5-60 of "w_" + (md5-60(tok)
   // mod buckets), mapped to [-1, 1] — depends only on the token, so the

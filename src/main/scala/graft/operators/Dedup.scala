@@ -121,14 +121,35 @@ object Dedup {
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    jaccardVerify(cand, sets, tau)
+  }
+
+  /** Exact-Jaccard verification shared by the candidate generators (r19):
+    * attach both shingle sets, drop pairs the LENGTH FILTER already
+    * refutes (J ≥ tau ⟹ inter ≥ tau·max(na,nb) and inter ≤ min(na,nb),
+    * so min(na,nb) ≥ ⌈tau·max⌉ is necessary — integer inter makes the
+    * ceil exact; zero false negatives), and count the intersection with
+    * the allocation-free [[graft.functions.TextHashes.interCount]] kernel
+    * evaluated ONCE per pair (`size(array_intersect(..))` appeared twice
+    * in the Jaccard formula and allocates the intersection array each
+    * time). Values bit-identical: the sets are distinct by construction,
+    * so membership count ≡ intersection size. */
+  private def jaccardVerify(cand: DataFrame, sets: DataFrame,
+      tau: Double): DataFrame = {
+    GraftFunctions.register(sets.sparkSession)
+    val Seq(da, db) = cand.columns.toSeq.map(col)
     cand
       .join(sets.select(col("doc_id"), col("ss").as("ssa"), col("n").as("na")),
-        col("da") === col("doc_id")).drop("doc_id")
+        da === col("doc_id")).drop("doc_id")
       .join(sets.select(col("doc_id"), col("ss").as("ssb"), col("n").as("nb")),
-        col("db") === col("doc_id")).drop("doc_id")
-      .select(col("da"), col("db"),
-        (size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-          (col("na") + col("nb") - size(array_intersect(col("ssa"), col("ssb"))))).as("jac"))
+        db === col("doc_id")).drop("doc_id")
+      .where(least(col("na"), col("nb")) >=
+        ceilTau(greatest(col("na"), col("nb")), tau))
+      .select(da, db, interCount(col("ssa"), col("ssb")).as("inter"),
+        col("na"), col("nb"))
+      .select(da, db,
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= tau)
   }
 
@@ -152,6 +173,7 @@ object Dedup {
     * in db. */
   def containmentPairsFrom(sets: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(sets.sparkSession)
     val sh = sets.select(col("doc_id"), col("n"), explode(col("ss")).as("h"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefix = sh.join(dfreq, "h")
@@ -165,13 +187,20 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    // r19 verification: the directed LENGTH FILTER (C ≥ tau ⟹ inter ≥
+    // ⌈tau·na⌉ and inter ≤ nb, so nb ≥ ⌈tau·na⌉ — exact, no false
+    // negatives) drops refutable candidates before any intersection, and
+    // the interCount kernel counts the remainder without allocating
+    // intersection arrays (ContainProbe: verification was 1.65 s of the
+    // row's 1.74 s at 133 k candidates / 505 survivors).
     cand
       .join(sets.select(col("doc_id"), col("ss").as("ssa"), col("n").as("na")),
         col("da") === col("doc_id")).drop("doc_id")
-      .join(sets.select(col("doc_id"), col("ss").as("ssb")),
+      .join(sets.select(col("doc_id"), col("ss").as("ssb"), col("n").as("nb")),
         col("db") === col("doc_id")).drop("doc_id")
+      .where(col("nb") >= ceilTau(col("na"), tau))
       .select(col("da"), col("db"),
-        size(array_intersect(col("ssa"), col("ssb"))).cast("long").as("inter"),
+        interCount(col("ssa"), col("ssb")).as("inter"),
         col("na").cast("long").as("na"))
       .withColumn("cont", col("inter").cast("double") / col("na"))
       .where(col("cont") >= tau)
@@ -354,13 +383,7 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
 
-    cand
-      .join(sets.select(col("doc_id"), col("ss").as("ssa"), col("n").as("na")), col("da") === col("doc_id")).drop("doc_id")
-      .join(sets.select(col("doc_id"), col("ss").as("ssb"), col("n").as("nb")), col("db") === col("doc_id")).drop("doc_id")
-      .select(col("da"), col("db"),
-        (size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-          (col("na") + col("nb") - size(array_intersect(col("ssa"), col("ssb"))))).as("jac"))
-      .where(col("jac") >= tau)
+    jaccardVerify(cand, sets, tau)
   }
 
   /** Cross-corpus MinHash+LSH near-dup pairs: every `(new, corpus)` pair
@@ -387,14 +410,22 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc_id").as("dn"), col("b.doc_id").as("dc"))
       .distinct()
+    // same verification discipline as [[jaccardVerify]] (length filter +
+    // single interCount), spelled out because the two sides come from
+    // DIFFERENT set frames
+    GraftFunctions.register(newSets.sparkSession)
     cand
       .join(newSets.select(col("doc_id"), col("ss").as("ssa"), col("n").as("na")),
         col("dn") === col("doc_id")).drop("doc_id")
       .join(corpusSets.select(col("doc_id"), col("ss").as("ssb"), col("n").as("nb")),
         col("dc") === col("doc_id")).drop("doc_id")
+      .where(least(col("na"), col("nb")) >=
+        ceilTau(greatest(col("na"), col("nb")), tau))
       .select(col("dn"), col("dc"),
-        (size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-          (col("na") + col("nb") - size(array_intersect(col("ssa"), col("ssb"))))).as("jac"))
+        interCount(col("ssa"), col("ssb")).as("inter"), col("na"), col("nb"))
+      .select(col("dn"), col("dc"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= tau)
   }
 

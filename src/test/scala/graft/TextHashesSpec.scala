@@ -175,6 +175,29 @@ class TextHashesSpec extends SparkSpec {
     }
   }
 
+  test("interCount ≡ size(array_intersect) on distinct long arrays " +
+      "(random sets, zero values, empties, self)") {
+    def larr(xs: Seq[Long]) = new GenericArrayData(xs.toArray[Any])
+    val rnd = new scala.util.Random(45)
+    for (_ <- 1 to 300) {
+      // draw from a small domain so intersections are non-trivial; keep
+      // each side DISTINCT (the kernel's documented input contract —
+      // matches the array_distinct shingle sets it verifies)
+      val a = rnd.shuffle((0L until 60L).toList).take(rnd.nextInt(40))
+      val b = rnd.shuffle((0L until 60L).toList).take(rnd.nextInt(40))
+      val want = a.toSet.intersect(b.toSet).size.toLong
+      assert(TextHashes.interCount(larr(a), larr(b)) == want, s"a=$a b=$b")
+      assert(TextHashes.interCount(larr(b), larr(a)) == want)
+    }
+    // zero values are real elements (open-addressing uses a used[] array,
+    // not a 0 sentinel)
+    assert(TextHashes.interCount(larr(Seq(0L, 1L)), larr(Seq(0L, 2L))) == 1L)
+    assert(TextHashes.interCount(larr(Seq.empty), larr(Seq(1L))) == 0L)
+    assert(TextHashes.interCount(larr(Seq(1L)), larr(Seq.empty)) == 0L)
+    val s = (1L to 100L).map(_ * 0x9e3779b97f4a7c15L)
+    assert(TextHashes.interCount(larr(s), larr(s)) == 100L)
+  }
+
   test("hashedWeightSum cache cap is a memory bound, never a semantics " +
       "dial: capped ≡ uncapped bit-for-bit") {
     // distinct numBuckets from every other consumer so this test owns its
