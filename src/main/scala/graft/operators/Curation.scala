@@ -136,6 +136,12 @@ object Curation {
   private def gramSets(s: SparkSession, d: String): DataFrame =
     cache.getOrElseUpdate(s, s"grams:$d") {
       GraftFunctions.register(s)
+      // r19 note: a docsSpread-style repartition before this scan was
+      // measured and REVERTED — the build parallelizes, but the 32-
+      // partition checkpoint slows every downstream consumer pass
+      // (q_contamination alone: 0.46 → 0.92 s warm A/B); the one-time
+      // single-task build is cheaper than three consumers × three runs
+      // of extra stage width over a tiny gram table.
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(gramHashes60(tokens(col("text")), 5))).as("h"))
@@ -156,10 +162,15 @@ object Curation {
     * contamination rate, and if a pathological benchmark contaminates
     * everything the SMJ fallback is still one keyed exchange. Token
     * removal itself is a per-row indexed-lambda filter in codegen. */
-  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+  def decontaminate(docs0: DataFrame, idCol: String, textCol: String,
       benchGrams: DataFrame, k: Int = 5,
       broadcastGrams: Boolean = true): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
+    GraftFunctions.register(docs0.sparkSession)
+    // r19: both consumers of `docs` (the gram-position scan and the final
+    // rewrite side, each tokenizing every row) are CPU-bound kernels over
+    // a single coarse split — spread them (the docsSpread discipline)
+    val docs = docs0.repartition(
+      docs0.sparkSession.sessionState.conf.numShufflePartitions)
     val toksCol = tokens(col(textCol))
     val pos = docs.select(col(idCol),
         posexplode(gramHashes60(toksCol, k)))
@@ -230,7 +241,13 @@ object Curation {
       (s, d) => {
         GraftFunctions.register(s)
         val t = tokens(col("text"))
+        // r19: the per-row kernel stack (two sortedRunCounts + bigrams +
+        // HOF folds) is CPU-bound and the documents table arrives as one
+        // parquet split — without a repartition the whole row runs in a
+        // single task (the corpusOverlap finding). One round-robin
+        // exchange of the raw text buys full-width parallelism.
         Tables.documents(s, d)
+          .repartition(s.sessionState.conf.numShufflePartitions)
           .select(col("doc_id"), t.as("t"))
           .where(size(col("t")) > 0)
           .select(col("doc_id"), col("t"), sortedRunCounts(col("t")).as("cnts"),

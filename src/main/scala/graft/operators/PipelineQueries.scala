@@ -1054,6 +1054,10 @@ object PipelineQueries {
     "q_vocab_growth" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // r19 note: switching this scan to the session-shared tokStream
+        // checkpoint was measured and REVERTED (warm A/B 1.01 → 1.33 s):
+        // the private scan fuses tokenization into the partial aggregates,
+        // which beats re-reading a 32-partition checkpoint here.
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         val tot = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
@@ -2860,8 +2864,12 @@ object PipelineQueries {
     // moves (len+1)·n short keys and verifies only colliding pairs.)
     "q_entity_match" -> Q(
       (s, d) => {
+        // r19: the per-row deletion-variant explode (|name|+1 string
+        // builds per customer) is CPU-bound over one parquet split —
+        // spread it (the docsSpread discipline)
         val c = Tables.customer(s, d).select(
-          col("c_custkey"), col("c_name"), col("c_nationkey"))
+            col("c_custkey"), col("c_name"), col("c_nationkey"))
+          .repartition(s.sessionState.conf.numShufflePartitions)
         val keyed = c.select(col("c_nationkey").as("blk"),
           col("c_custkey"), col("c_name"),
           explode(concat(array(col("c_name")),

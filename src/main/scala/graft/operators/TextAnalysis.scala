@@ -76,7 +76,10 @@ object TextAnalysis {
   def cdcChunk(docs: DataFrame, idCol: String, textCol: String,
       win: Int = 8, mask: Int = 16): DataFrame = {
     val t = col("t")
+    // r19: the cdcEnds kernel + per-chunk hash work is CPU-bound over one
+    // coarse split — spread it (the docsSpread discipline)
     docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .where(size(t) > 0)
       .select(col("doc_id"), t, cdcEnds(t, win, mask).as("ends"))
